@@ -1,0 +1,46 @@
+"""Table catalog: registers the benchmark parquet tables as temp views.
+
+Reference analog: the FE catalog (fe/fe-core/.../catalog/) resolving
+table names to tablet scans. Here a table is a parquet directory and a
+scan is Spark's vectorized parquet reader, which already provides the
+reference's zone-map / dictionary / bloom pruning via row-group stats.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one table. Declarative read → Catalyst gets filter pushdown,
+    column pruning and partition pruning for free."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_tables(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR
+) -> dict[str, DataFrame]:
+    """Register every benchmark table as a temp view; returns the DataFrames."""
+    dfs = {}
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        dfs[name] = df
+    return dfs

@@ -1,0 +1,56 @@
+"""Helpers shared by the query library.
+
+Float-determinism policy: double-precision SUM is not associative, so a
+parallel Spark sum and a DuckDB oracle sum can drift in the last bits;
+and double→DECIMAL casts round through *different* pipelines in the two
+engines (Java BigDecimal HALF_UP vs C++ rint), which disagrees near
+grid half-points. The policy that is bit-identical in both engines:
+
+    fixed(x)  = FLOOR(x * 10^scale + 0.5)      -- pure IEEE double ops,
+                                                  identical in any engine
+    dsum(x)   = CAST(SUM(CAST(fixed(x) AS DECIMAL(38,0))) AS DOUBLE) / 10^scale
+    davg(x)   = dsum(x) / COUNT(x)
+
+Each per-row step is a deterministic IEEE-754 operation; the sum is an
+exact integer (DECIMAL(38,0), order-independent, overflow-safe at any
+scale factor); the final divisions are single IEEE ops. No rounding
+mode is ever consulted, so Spark and DuckDB produce bit-identical
+doubles. The same construction survives a 1000-executor cluster — it is
+order- and partitioning-independent by design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,4)"
+
+
+def fixed(col: Column, scale: int = 4) -> Column:
+    """Round-half-up to fixed-point integer via pure IEEE double math."""
+    return F.floor(col * F.lit(float(10**scale)) + F.lit(0.5)).cast("decimal(38,0)")
+
+
+def dsum(col: Column, scale: int = 4) -> Column:
+    """Order-independent, engine-agnostic SUM of a double expression."""
+    return (F.sum(fixed(col, scale)).cast("double") / F.lit(float(10**scale)))
+
+
+def davg(col: Column, scale: int = 4) -> Column:
+    """Order-independent AVG = dsum / count, evaluated left-to-right."""
+    return dsum(col, scale) / F.count(col)
+
+
+# SQL-side twins (DuckDB). Expression shape mirrors the Column versions
+# exactly — same operand order, same literals — so IEEE results match.
+def sql_fixed(expr: str, scale: int = 4) -> str:
+    return f"CAST(FLOOR(({expr}) * {float(10 ** scale)!r} + 0.5) AS DECIMAL(38,0))"
+
+
+def sql_dsum(expr: str, scale: int = 4) -> str:
+    return f"CAST(SUM({sql_fixed(expr, scale)}) AS DOUBLE) / {float(10 ** scale)!r}"
+
+
+def sql_davg(expr: str, scale: int = 4) -> str:
+    return f"{sql_dsum(expr, scale)} / COUNT({expr})"

@@ -1,0 +1,33 @@
+"""Central registry merging every query module's QUERIES/ORACLE dicts.
+
+The driver contract (__spark_entry__.py) and pytest both consume this,
+so adding a module here automatically widens both the correctness gate
+and the test suite.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from starrocks_spark.queries import tpch
+
+_MODULES = [tpch]
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for mod in _MODULES:
+        overlap = merged.keys() & mod.QUERIES.keys()
+        if overlap:
+            raise ValueError(f"duplicate query names: {overlap}")
+        merged.update(mod.QUERIES)
+    return merged
+
+
+def all_oracles() -> dict[str, str]:
+    merged: dict[str, str] = {}
+    for mod in _MODULES:
+        merged.update(getattr(mod, "ORACLE", {}))
+    return merged

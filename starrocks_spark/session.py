@@ -1,0 +1,75 @@
+"""SparkSession factory tuned for OLAP workloads.
+
+Mirrors the execution-engine defaults the reference gets from its BE
+pipeline engine (be/src/exec/pipeline/) — here they are Spark configs:
+AQE (adaptive DOP / skew join = reference's adaptive pipeline DOP and
+SkewJoinOptimizeRule), runtime bloom filters (= reference's runtime
+filters, be/src/runtime/runtime_filter.h), CBO + join reorder
+(= reference's Cascades memo optimizer), Parquet aggregate/filter
+pushdown (= zone-map / metadata scan pruning).
+
+Designed for a 1000-executor cluster: nothing here assumes local mode
+except the master URL default, which callers override in production.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Shuffle partition count: on a real cluster this should be ~2-3x total
+# executor cores (AQE coalesces down); locally match the core count.
+_DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+OLAP_CONF: dict[str, str] = {
+    # --- adaptive execution: runtime re-planning, skew handling, coalesce
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.localShuffleReader.enabled": "true",
+    # --- cost-based optimizer + join reorder (reference: Cascades memo)
+    "spark.sql.cbo.enabled": "true",
+    "spark.sql.cbo.joinReorder.enabled": "true",
+    # --- runtime filters: bloom filter pushed from join build side to
+    #     probe scan (reference: be/src/runtime/runtime_filter.h)
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.rowLevelOperationGroupFilter.enabled": "true",
+    # --- scan pruning (reference: zone maps / segment stats)
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    # --- broadcast threshold: dimension tables up to 64 MB broadcast
+    #     (reference CBO picks broadcast joins for small build sides)
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # --- Arrow for any pandas-UDF path (sketches, ANN, multimodal)
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # --- determinism: UTC everywhere so results match the DuckDB oracle
+    "spark.sql.session.timeZone": "UTC",
+    # --- ANSI off: MySQL-ish permissive casts like the reference dialect
+    "spark.sql.ansi.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "starrocks-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or reuse) a tuned SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` for tests/bench;
+    pass an explicit cluster master in production.
+    """
+    builder = SparkSession.builder.appName(app_name).master(
+        master or f"local[{_DEFAULT_CPUS}]"
+    )
+    conf = dict(OLAP_CONF)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or _DEFAULT_CPUS)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,71 @@
+"""Order-insensitive result comparison between a Spark DataFrame and a
+DuckDB oracle query — a local mirror of the driver's t2 check so we
+catch mismatches before the driver does.
+
+Strict mode: values must match exactly after canonicalization (the
+decimal-sum policy in queries/_util.py is designed to make that hold
+even for floating-point aggregates).
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import date, datetime
+from decimal import Decimal
+
+
+def _canon(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "f:nan"
+        # exact repr — the decimal-sum policy should make both engines
+        # produce bit-identical doubles
+        return f"f:{v!r}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, datetime):
+        return f"t:{v.replace(tzinfo=None).isoformat()}"
+    if isinstance(v, date):
+        return f"d:{v.isoformat()}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}={_canon(x)}" for k, x in sorted(v.items())) + "}"
+    if isinstance(v, (bytes, bytearray)):
+        return f"x:{bytes(v).hex()}"
+    return f"s:{v}"
+
+
+def _rowset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        "|".join(_canon(r[i]) for i in order) for r in rows
+    )
+
+
+def assert_matches_oracle(spark_df, duck_con, oracle_sql, name=""):
+    s_cols = [c.lower() for c in spark_df.columns]
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    rel = duck_con.execute(oracle_sql)
+    d_cols = [c[0].lower() for c in rel.description]
+    d_rows = rel.fetchall()
+
+    assert sorted(s_cols) == sorted(d_cols), (
+        f"{name}: column mismatch spark={sorted(s_cols)} duck={sorted(d_cols)}"
+    )
+    assert len(s_rows) == len(d_rows), (
+        f"{name}: row count spark={len(s_rows)} duck={len(d_rows)}"
+    )
+    s_set = _rowset(s_cols, s_rows)
+    d_set = _rowset(d_cols, d_rows)
+    if s_set != d_set:
+        diffs = [
+            (a, b) for a, b in zip(s_set, d_set) if a != b
+        ][:5]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
