@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = [
     "region",
@@ -30,7 +31,17 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Declarative read → Catalyst gets filter pushdown,
-    column pruning and partition pruning for free."""
+    column pruning and partition pruning for free.
+
+    events.ts is written as parquet TIMESTAMP(NANOS), which Spark's
+    reader only accepts as a raw long (nanosAsLong); convert to a
+    microsecond timestamp so it behaves like a normal TimestampType
+    (matches DuckDB's nanos→micros truncation).
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -11,9 +11,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from starrocks_spark.queries import tpch
+from starrocks_spark.queries import analytics, table_funcs, tpch
 
-_MODULES = [tpch]
+_MODULES = [tpch, analytics, table_funcs]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
