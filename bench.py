@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {"tpch_q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+The headline set mirrors the reference's published benchmark surface
+(TPC-H subset per docs/en/benchmarking/TPC-H_Benchmarking.md) plus the
+operator families the reference ships beyond plain TPC-H (window,
+grouping sets, ASOF join, funnel/retention/sessionization).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from starrocks_spark import registry
+from starrocks_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: every TPC-H query we implement + one representative per
+# operator family. Kept stable across rounds so BENCH_r{N}.json is
+# comparable release-to-release.
+HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_effect",
+    "tpch_q18_large_volume_customer",
+    "tpch_q19_discounted_revenue",
+    "window_rank",
+    "window_moving_avg",
+    "grouping_cube",
+    "setop_intersect",
+    "subquery_correlated_avg",
+    "asof_purchase_view",
+    "funnel_counts",
+    "sessionize_stats",
+    "retention_weekly",
+    "tumbling_hourly",
+]
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    spark = get_spark(app_name="starrocks-spark-bench")
+    queries = registry.all_queries()
+    names = [n for n in HEADLINE if n in queries]
+    # Warm up the JVM + parquet footers once so per-query timings
+    # measure execution, not first-touch session costs.
+    queries[names[0]](spark, SF_DIR).collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        queries[name](spark, SF_DIR).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_total",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

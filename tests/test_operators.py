@@ -1,0 +1,125 @@
+"""Unit tests for custom operators on tiny inline datasets."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from starrocks_spark.operators import asof_join, retention, sessionize, window_funnel
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_backward_left(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), "a"),
+         (1, _ts("2024-01-01 12:00:00"), "b"),
+         (2, _ts("2024-01-01 09:00:00"), "c")],
+        ["k", "t", "lv"],
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 09:30:00"), 100),
+         (1, _ts("2024-01-01 11:00:00"), 200),
+         (3, _ts("2024-01-01 08:00:00"), 999)],
+        ["k", "t", "rv"],
+    )
+    out = {
+        (r["k"], r["lv"]): (r["rv"], r["t_right"])
+        for r in asof_join(left, right, on="t", by="k").collect()
+    }
+    assert out[(1, "a")] == (100, _ts("2024-01-01 09:30:00"))
+    assert out[(1, "b")] == (200, _ts("2024-01-01 11:00:00"))
+    assert out[(2, "c")] == (None, None)  # no right rows for key 2
+
+
+def test_asof_equal_ts_inclusive(spark):
+    left = spark.createDataFrame([(1, _ts("2024-01-01 10:00:00"), "x")], ["k", "t", "lv"])
+    right = spark.createDataFrame([(1, _ts("2024-01-01 10:00:00"), 7)], ["k", "t", "rv"])
+    rows = asof_join(left, right, on="t", by="k").collect()
+    assert rows[0]["rv"] == 7
+
+
+def test_asof_forward(spark):
+    left = spark.createDataFrame([(1, _ts("2024-01-01 10:00:00"), "x")], ["k", "t", "lv"])
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 09:00:00"), 1), (1, _ts("2024-01-01 10:30:00"), 2),
+         (1, _ts("2024-01-01 11:00:00"), 3)],
+        ["k", "t", "rv"],
+    )
+    rows = asof_join(left, right, on="t", by="k", direction="forward").collect()
+    assert rows[0]["rv"] == 2  # earliest right at-or-after
+
+
+def test_asof_inner_and_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), "near"),
+         (1, _ts("2024-01-01 23:00:00"), "far"),
+         (2, _ts("2024-01-01 10:00:00"), "nomatch")],
+        ["k", "t", "lv"],
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 09:45:00"), 5)], ["k", "t", "rv"]
+    )
+    rows = asof_join(
+        left, right, on="t", by="k", how="inner",
+        tolerance=F.expr("INTERVAL 1 HOUR"),
+    ).collect()
+    assert [(r["lv"], r["rv"]) for r in rows] == [("near", 5)]
+
+
+def test_sessionize_gaps(spark):
+    ev = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00")),
+         (1, _ts("2024-01-01 10:10:00")),   # same session (10 min)
+         (1, _ts("2024-01-01 11:30:00")),   # new session (80 min gap)
+         (2, _ts("2024-01-01 10:00:00"))],
+        ["user_id", "ts"],
+    )
+    s = sessionize(ev, gap_seconds=1800)
+    got = {(r["user_id"], r["ts"]): r["session_id"] for r in s.collect()}
+    assert got[(1, _ts("2024-01-01 10:00:00"))] == 1
+    assert got[(1, _ts("2024-01-01 10:10:00"))] == 1
+    assert got[(1, _ts("2024-01-01 11:30:00"))] == 2
+    assert got[(2, _ts("2024-01-01 10:00:00"))] == 1
+
+
+def test_window_funnel_levels(spark):
+    ev = spark.createDataFrame(
+        [  # user 1: full funnel within window
+            (1, _ts("2024-01-01 10:00:00"), "view"),
+            (1, _ts("2024-01-01 10:05:00"), "click"),
+            (1, _ts("2024-01-01 10:10:00"), "purchase"),
+            # user 2: click before view → stops at level 1
+            (2, _ts("2024-01-01 09:00:00"), "click"),
+            (2, _ts("2024-01-01 10:00:00"), "view"),
+            # user 3: purchase outside 1h window of the anchor
+            (3, _ts("2024-01-01 10:00:00"), "view"),
+            (3, _ts("2024-01-01 10:05:00"), "click"),
+            (3, _ts("2024-01-01 12:00:00"), "purchase"),
+            # user 4: never views
+            (4, _ts("2024-01-01 10:00:00"), "purchase"),
+        ],
+        ["user_id", "ts", "event_type"],
+    )
+    lv = {
+        r["user_id"]: r["level"]
+        for r in window_funnel(
+            ev, ["view", "click", "purchase"], window_seconds=3600
+        ).collect()
+    }
+    assert lv == {1: 3, 2: 1, 3: 2}
+
+
+def test_retention_chain(spark):
+    ev = spark.createDataFrame(
+        [(1, 1, 0), (1, 0, 1),    # user 1: c1, c3
+         (2, 0, 1),               # user 2: no c1 → all false
+         (3, 1, 1)],              # user 3: everything
+        ["user_id", "a", "b"],
+    )
+    r = retention(ev, [F.col("a") == 1, F.col("b") == 1])
+    got = {x["user_id"]: (x["r1"], x["r2"]) for x in r.collect()}
+    assert got == {1: (1, 1), 2: (0, 0), 3: (1, 1)}
