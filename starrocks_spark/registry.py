@@ -11,9 +11,15 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from starrocks_spark.queries import analytics, events_analytics, table_funcs, tpch
+from starrocks_spark.queries import (
+    analytics,
+    events_analytics,
+    table_funcs,
+    tpch,
+    tpch2,
+)
 
-_MODULES = [tpch, analytics, table_funcs, events_analytics]
+_MODULES = [tpch, tpch2, analytics, table_funcs, events_analytics]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
