@@ -48,6 +48,10 @@ HEADLINE = [
     "sessionize_stats",
     "retention_weekly",
     "tumbling_hourly",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_quality_stats",
+    "ann_brute_force",
 ]
 
 

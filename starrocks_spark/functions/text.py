@@ -1,0 +1,334 @@
+"""Text-processing primitives for the LLM-data-pipeline operators:
+normalization, shingling, portable 60-bit hashing, MinHash signatures,
+SimHash, winnowing fingerprints, token counting, language ID.
+
+Design rules (all enforced here):
+
+- **Pure built-in expressions.** Every function returns a
+  ``pyspark.sql.Column`` built from `pyspark.sql.functions` only — no
+  Python UDFs — so the whole pipeline stays inside whole-stage codegen
+  and is embarrassingly parallel (row-local; the first shuffle in any
+  dedup pipeline is the candidate-pair join).
+- **Engine-portable semantics.** Each builder has a ``sql_*`` twin
+  producing the equivalent DuckDB SQL so the driver's oracle check can
+  verify bit-identical results. The only hash primitive is md5, which
+  both engines implement identically; 15 hex chars → a non-negative
+  60-bit integer that fits a BIGINT in both.
+
+Reference surface covered: ngram/ngram_search & string functions
+(be/src/exprs/string_functions.cpp), murmur-style hashing
+(be/src/exprs/hash_functions.cpp — we standardize on md5 for
+portability), plus the north-star dedup/text-analysis operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# normalization + tokenization
+
+_NORM_RE = "[^a-z0-9 ]"
+
+
+def norm_words(text: Column) -> Column:
+    """Lowercase, strip non-alphanumerics, split on runs of spaces.
+    Returns array<string> with no empty tokens."""
+    cleaned = F.trim(F.regexp_replace(F.lower(text), _NORM_RE, ""))
+    return F.filter(F.split(cleaned, " +"), lambda w: w != F.lit(""))
+
+
+def sql_norm_words(text: str) -> str:
+    return (
+        "list_filter(string_split_regex(trim(regexp_replace(lower("
+        + text
+        + f"), '{_NORM_RE}', '', 'g')), ' +'), w -> w <> '')"
+    )
+
+
+# ---------------------------------------------------------------------------
+# portable 60-bit hash
+
+def hash60(s: Column) -> Column:
+    """Non-negative 60-bit integer hash: first 15 hex chars of md5.
+    Identical in any engine with md5 (the reference standardizes its
+    own portable hashes the same way, hash_functions.cpp)."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def sql_hash60(s: str) -> str:
+    return f"(('0x' || substr(md5({s}), 1, 15))::BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# shingles (word n-grams)
+
+def shingles(words: Column, n: int = 3) -> Column:
+    """Distinct word n-grams as strings ('w1 w2 w3'). Docs shorter
+    than n words yield their full text as the single shingle."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    return F.array_distinct(grams)
+
+
+def sql_shingles(words: str, n: int = 3) -> str:
+    return (
+        f"list_distinct([array_to_string(list_slice({words}, i, i + {n - 1}), ' ') "
+        f"FOR i IN generate_series(1, greatest(len({words}) - {n - 1}, 1))])"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash signature + LSH bands
+
+def minhash_signature(shingle_col: Column, k: int = 16) -> Column:
+    """k-minhash signature: for each salt i, min over shingles of
+    hash60(i || ':' || shingle). Returns array<long> of length k.
+    Row-local → no shuffle; the LSH banding join is the only exchange
+    in the dedup pipeline."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                shingle_col,
+                lambda s: hash60(F.concat(i.cast("string"), F.lit(":"), s)),
+            )
+        ),
+    )
+
+
+def sql_minhash_signature(shingle_expr: str, k: int = 16) -> str:
+    h = sql_hash60(f"(i::VARCHAR || ':' || s)")
+    return (
+        f"[list_min(list_transform({shingle_expr}, s -> {h})) "
+        f"FOR i IN generate_series(0, {k - 1})]"
+    )
+
+
+def lsh_bands(sig: Column, bands: int = 4, rows: int = 4) -> Column:
+    """Hash each band of the signature → array<string> of band keys,
+    prefixed with the band index so keys from different bands never
+    collide."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.concat(
+            b.cast("string"),
+            F.lit("|"),
+            F.md5(F.concat_ws(",", F.slice(sig, b * rows + 1, rows))),
+        ),
+    )
+
+
+def sql_lsh_bands(sig: str, bands: int = 4, rows: int = 4) -> str:
+    return (
+        f"[b::VARCHAR || '|' || md5(array_to_string("
+        f"list_slice({sig}, b * {rows} + 1, b * {rows} + {rows}), ',')) "
+        f"FOR b IN generate_series(0, {bands - 1})]"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (64-bit, row-local)
+
+_SIMHASH_BITS = 48
+
+
+def simhash48(word_hashes: Column) -> Column:
+    """48-bit SimHash from an array of word hashes: bit j is set when
+    the sum over words of ±1 (sign of word-hash bit j) is positive.
+    Entirely row-local array math — zero shuffles, zero UDFs. The bit
+    loop is unrolled statically so every shift amount is a literal.
+
+    IMPORTANT (perf): pass a *materialized column* of word hashes
+    (e.g. via operators/dedup.py's persist barrier), not a raw
+    expression — Catalyst's CollapseProject would otherwise inline the
+    expression once per bit (48×)."""
+    def bit_sum(j: int) -> Column:
+        # closure (not a default arg: pyspark's lambda builder inspects
+        # arity, so a 3-arg lambda would get a lambda-var for j)
+        def merge(acc: Column, h: Column) -> Column:
+            return acc + (F.shiftright(h, j) % 2) * 2 - 1
+
+        return F.aggregate(word_hashes, F.lit(0).cast("long"), merge)
+
+    out = F.lit(0).cast("long")
+    for j in range(_SIMHASH_BITS):
+        out = out + F.when(bit_sum(j) > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out
+
+
+def word_hashes(words: Column) -> Column:
+    """Distinct-word hash array (input to simhash48)."""
+    return F.transform(F.array_distinct(words), hash60)
+
+
+def sql_word_hashes(words: str) -> str:
+    h = sql_hash60("w")
+    return f"list_transform(list_distinct({words}), w -> {h})"
+
+
+def sql_simhash48(hashes_col: str) -> str:
+    """DuckDB twin of simhash48; ``hashes_col`` must reference an
+    already-aliased array column (e.g. built via sql_word_hashes)."""
+    bit_sum = (
+        f"list_reduce(list_transform({hashes_col}, "
+        "h -> ((h >> j) % 2) * 2 - 1), (a, b) -> a + b)"
+    )
+    return (
+        f"list_reduce([CASE WHEN {bit_sum} > 0 THEN (1::BIGINT << j) "
+        f"ELSE 0::BIGINT END FOR j IN generate_series(0, {_SIMHASH_BITS - 1})], "
+        "(a, b) -> a + b)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (rolling-hash document fingerprinting)
+
+def winnow_grams(words: Column, k: int = 4) -> Column:
+    """k-gram rolling hashes (input to winnow_fingerprints).
+
+    PERF CONTRACT: ``words`` must be a materialized column, and the
+    result must itself be materialized before feeding it to
+    winnow_fingerprints — Spark evaluates array subexpressions
+    referenced inside a `transform` lambda once PER ELEMENT (no CSE
+    across lambda boundaries), so an inline expression here turns the
+    winnowing pass quadratic."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - F.lit(k - 1), F.lit(1))),
+        lambda i: hash60(F.concat_ws(" ", F.slice(words, i, k))),
+    )
+
+
+def winnow_fingerprints(grams: Column, window: int = 5) -> Column:
+    """Winnowing (Schleimer et al., SIGMOD'03): keep the min hash of
+    each sliding window over the k-gram hashes → the doc's fingerprint
+    set (sorted array<long>). Row-local. ``grams`` must be a
+    materialized column (see winnow_grams)."""
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(grams) - F.lit(window - 1), F.lit(1))),
+        lambda i: F.array_min(F.slice(grams, i, window)),
+    )
+    return F.array_sort(F.array_distinct(mins))
+
+
+def sql_winnow_grams(words: str, k: int = 4) -> str:
+    """DuckDB k-gram hash array; alias it (e.g. ``AS g``) and feed the
+    alias to sql_winnow_fingerprints."""
+    h = sql_hash60(f"array_to_string(list_slice({words}, i, i + {k - 1}), ' ')")
+    return f"[{h} FOR i IN generate_series(1, greatest(len({words}) - {k - 1}, 1))]"
+
+
+def sql_winnow_fingerprints(grams_col: str, window: int = 5) -> str:
+    g = grams_col
+    return (
+        f"list_sort(list_distinct([list_min(list_slice({g}, i, i + {window - 1})) "
+        f"FOR i IN generate_series(1, greatest(len({g}) - {window - 1}, 1))]))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# token counting (whitespace + BPE-ish regex)
+
+_BPE_RE = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"
+
+
+def token_counts(text: Column) -> tuple[Column, Column]:
+    """(whitespace token count, BPE-ish token count). The BPE-ish rule
+    splits letter runs, single digits, and single punctuation — the
+    standard pre-tokenizer shape."""
+    ws = F.size(F.filter(F.split(F.trim(text), "\\s+"), lambda w: w != F.lit("")))
+    bpe = F.size(F.regexp_extract_all(text, F.lit(_BPE_RE), 0))
+    return ws, bpe
+
+
+def sql_token_counts(text: str) -> tuple[str, str]:
+    ws = (
+        f"len(list_filter(string_split_regex(trim({text}), '\\s+'), w -> w <> ''))"
+    )
+    bpe = f"len(regexp_extract_all({text}, '{_BPE_RE}'))"
+    return ws, bpe
+
+
+# ---------------------------------------------------------------------------
+# quality scoring + language ID
+
+_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "for", "on", "with"]
+
+# tiny per-language marker lexicons for the n-gram/stopword heuristic
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "es": ["el", "la", "de", "que", "es"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "zh": ["de", "shi", "bu", "le", "zai"],
+}
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Length / punctuation / stopword-ratio features, double-typed.
+    Mirrors the heuristics of C4/Gopher-style quality filters."""
+    words = norm_words(text)
+    n_words = F.size(words)
+    n_chars = F.length(text)
+    n_punct = F.size(F.regexp_extract_all(text, F.lit("[^a-zA-Z0-9\\s]"), 0))
+    n_stop = F.size(F.filter(words, lambda w: w.isin(_STOPWORDS)))
+    avg_word_len = F.when(
+        n_words > 0,
+        F.aggregate(
+            words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        ).cast("double")
+        / n_words.cast("double"),
+    ).otherwise(F.lit(0.0))
+    return {
+        "n_words": n_words.cast("long"),
+        "n_chars_m": n_chars.cast("long"),
+        "punct_ratio": F.when(n_chars > 0, n_punct.cast("double") / n_chars.cast("double")).otherwise(F.lit(0.0)),
+        "stopword_ratio": F.when(n_words > 0, n_stop.cast("double") / n_words.cast("double")).otherwise(F.lit(0.0)),
+        "avg_word_len": avg_word_len,
+    }
+
+
+def sql_quality_features(text: str) -> dict[str, str]:
+    words = sql_norm_words(text)
+    stop_list = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    return {
+        "n_words": f"len({words})::BIGINT",
+        "n_chars_m": f"length({text})::BIGINT",
+        "punct_ratio": (
+            f"CASE WHEN length({text}) > 0 THEN "
+            f"len(regexp_extract_all({text}, '[^a-zA-Z0-9\\s]'))::DOUBLE / length({text})::DOUBLE "
+            f"ELSE 0.0 END"
+        ),
+        "stopword_ratio": (
+            f"CASE WHEN len({words}) > 0 THEN "
+            f"len(list_filter({words}, w -> w IN ({stop_list})))::DOUBLE / len({words})::DOUBLE "
+            f"ELSE 0.0 END"
+        ),
+        "avg_word_len": (
+            f"CASE WHEN len({words}) > 0 THEN "
+            f"list_reduce(list_transform({words}, w -> length(w)::BIGINT), (a, b) -> a + b)::DOUBLE "
+            f"/ len({words})::DOUBLE ELSE 0.0 END"
+        ),
+    }
+
+
+def lang_scores(words: Column) -> dict[str, Column]:
+    """Marker-word hit count per language (the n-gram-heuristic
+    language-ID: argmax of these scores)."""
+    return {
+        lang: F.size(F.filter(words, lambda w, m=markers: w.isin(m)))
+        for lang, markers in _LANG_MARKERS.items()
+    }
+
+
+def sql_lang_scores(words: str) -> dict[str, str]:
+    out = {}
+    for lang, markers in _LANG_MARKERS.items():
+        lst = ", ".join(f"'{w}'" for w in markers)
+        out[lang] = f"len(list_filter({words}, w -> w IN ({lst})))"
+    return out

@@ -1,0 +1,399 @@
+"""LLM-data-pipeline queries over the documents/embeddings fixtures:
+text analysis, deduplication (exact / MinHash+LSH / SimHash / n-gram
+Jaccard / embedding-cosine), similarity search (brute-force + LSH),
+multimodal metadata extraction.
+
+Every query has a DuckDB oracle built from the same sql_* twins as the
+Spark expressions (functions/text.py, functions/vector.py), so results
+are bit-identical — including every hash, signature, and cosine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from starrocks_spark.catalog import load_table
+from starrocks_spark.functions import text as T
+from starrocks_spark.functions import vector as V
+from starrocks_spark.operators import dedup, multimodal, similarity
+from starrocks_spark.queries._util import dsum, sql_dsum
+
+_WORDS = "(" + T.sql_norm_words("text") + ")"
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus quality profile (C4/Gopher-style filters):
+    doc counts, token totals, punctuation / stopword ratios."""
+    docs = load_table(spark, sf_dir, "documents")
+    qf = T.quality_features(F.col("text"))
+    per_doc = docs.select("lang", *[v.alias(k) for k, v in qf.items()])
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+            dsum(F.col("punct_ratio")).alias("sum_punct_ratio"),
+            dsum(F.col("stopword_ratio")).alias("sum_stopword_ratio"),
+            dsum(F.col("avg_word_len")).alias("sum_avg_word_len"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _sql_text_quality_stats() -> str:
+    qs = T.sql_quality_features("text")
+    return f"""
+WITH per_doc AS (
+  SELECT lang, {qs['n_words']} AS n_words, {qs['punct_ratio']} AS punct_ratio,
+         {qs['stopword_ratio']} AS stopword_ratio, {qs['avg_word_len']} AS avg_word_len
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs, SUM(n_words) AS total_words,
+       {sql_dsum('punct_ratio')} AS sum_punct_ratio,
+       {sql_dsum('stopword_ratio')} AS sum_stopword_ratio,
+       {sql_dsum('avg_word_len')} AS sum_avg_word_len
+FROM per_doc GROUP BY lang ORDER BY lang
+"""
+
+
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID (marker-word scores, deterministic
+    argmax) vs the labeled lang column → confusion counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = T.norm_words(F.col("text"))
+    s = T.lang_scores(words)
+    pred = (
+        F.when(
+            (s["en"] >= s["de"]) & (s["en"] >= s["es"])
+            & (s["en"] >= s["fr"]) & (s["en"] >= s["zh"]),
+            F.lit("en"),
+        )
+        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]) & (s["de"] >= s["zh"]), F.lit("de"))
+        .when((s["es"] >= s["fr"]) & (s["es"] >= s["zh"]), F.lit("es"))
+        .when(s["fr"] >= s["zh"], F.lit("fr"))
+        .otherwise(F.lit("zh"))
+    )
+    return (
+        docs.select(F.col("lang").alias("actual"), pred.alias("predicted"))
+        .groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("actual", "predicted")
+    )
+
+
+def _sql_lang_id_confusion() -> str:
+    s = T.sql_lang_scores(_WORDS)
+    pred = f"""
+      CASE WHEN {s['en']} >= {s['de']} AND {s['en']} >= {s['es']}
+            AND {s['en']} >= {s['fr']} AND {s['en']} >= {s['zh']} THEN 'en'
+           WHEN {s['de']} >= {s['es']} AND {s['de']} >= {s['fr']}
+            AND {s['de']} >= {s['zh']} THEN 'de'
+           WHEN {s['es']} >= {s['fr']} AND {s['es']} >= {s['zh']} THEN 'es'
+           WHEN {s['fr']} >= {s['zh']} THEN 'fr'
+           ELSE 'zh' END"""
+    return f"""
+SELECT lang AS actual, {pred} AS predicted, COUNT(*) AS n
+FROM documents
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def token_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish token counts per source (the two standard
+    budget estimators for training corpora)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws, bpe = T.token_counts(F.col("text"))
+    return (
+        docs.select("source", ws.alias("_ws"), bpe.alias("_bpe"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_ws").alias("ws_tokens"),
+            F.sum("_bpe").alias("bpe_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_token_count_stats() -> str:
+    ws, bpe = T.sql_token_counts("text")
+    return f"""
+SELECT source, COUNT(*) AS n_docs,
+       SUM({ws}) AS ws_tokens, SUM({bpe}) AS bpe_tokens
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def fingerprint_common_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints shared by ≥2 docs — boilerplate/fragment
+    detection. Explode is the only non-row-local step."""
+    docs = load_table(spark, sf_dir, "documents")
+    words_tbl = dedup.words_table(docs, "doc_id", "text")
+    grams_tbl = words_tbl.select(
+        "_id", T.winnow_grams(F.col("_words")).alias("_g")
+    ).persist()
+    fps = grams_tbl.select(
+        F.col("_id").alias("doc_id"),
+        F.explode(T.winnow_fingerprints(F.col("_g"))).alias("fp"),
+    )
+    return (
+        fps.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .agg(
+            F.count(F.lit(1)).alias("shared_fragments"),
+            F.sum("n_docs").alias("doc_hits"),
+            F.max("n_docs").alias("max_docs_per_fragment"),
+        )
+    )
+
+
+def _sql_fingerprint_common_fragments() -> str:
+    grams = T.sql_winnow_grams(_WORDS)
+    return f"""
+WITH g AS (SELECT doc_id, {grams} AS g FROM documents),
+fps AS (SELECT doc_id, unnest({T.sql_winnow_fingerprints('g')}) AS fp FROM g),
+shared AS (
+  SELECT fp, COUNT(DISTINCT doc_id) AS n_docs FROM fps GROUP BY fp
+  HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT COUNT(*) AS shared_fragments, SUM(n_docs) AS doc_hits,
+       MAX(n_docs) AS max_docs_per_fragment
+FROM shared
+"""
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+
+def dedup_exact_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_duplicates(docs).orderBy("fingerprint")
+
+
+def _sql_dedup_exact() -> str:
+    return f"""
+SELECT md5(array_to_string({_WORDS}, ' ')) AS fingerprint,
+       COUNT(*) AS cluster_size, MIN(doc_id) AS keeper_id
+FROM documents
+GROUP BY 1 HAVING COUNT(*) > 1
+ORDER BY fingerprint
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _sql_dedup_minhash() -> str:
+    sh = T.sql_shingles(_WORDS, 3)
+    sig = T.sql_minhash_signature("sh", 16)
+    bands = T.sql_lsh_bands("sig", 4, 4)
+    return f"""
+WITH base AS (SELECT doc_id, {sh} AS sh FROM documents),
+sigs AS (SELECT doc_id, sh, {sig} AS sig FROM base),
+banded AS (SELECT doc_id, unnest({bands}) AS band FROM sigs),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       len(list_intersect(sa.sh, sb.sh))::DOUBLE
+         / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::DOUBLE
+         AS jaccard
+FROM pairs
+JOIN base sa ON sa.doc_id = id_a
+JOIN base sb ON sb.doc_id = id_b
+WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+        / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::DOUBLE >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")
+
+
+def _sql_dedup_simhash() -> str:
+    wh = T.sql_word_hashes("(" + T.sql_shingles(_WORDS, 2) + ")")
+    chunks = ", ".join(
+        f"'{j}|' || ((sim >> {12 * j}) % 4096)::VARCHAR" for j in range(4)
+    )
+    return f"""
+WITH sigs AS (
+  SELECT doc_id, {T.sql_simhash48('wh')} AS sim
+  FROM (SELECT doc_id, {wh} AS wh FROM documents)
+), chunked AS (
+  SELECT doc_id, sim, unnest([{chunks}]) AS chunk
+  FROM sigs
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.sim AS sim_a, b.sim AS sim_b
+  FROM chunked a JOIN chunked b ON a.chunk = b.chunk
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(sim_a, sim_b)) AS hamming
+FROM pairs WHERE bit_count(xor(sim_a, sim_b)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.5).orderBy("id_a", "id_b")
+
+
+def _sql_dedup_ngram_jaccard() -> str:
+    sh = T.sql_shingles(_WORDS, 3)
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, (length(text) / 100)::BIGINT AS lenb, {sh} AS sh
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       len(list_intersect(a.sh, b.sh))::DOUBLE
+         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE
+         AS jaccard
+FROM base a JOIN base b
+  ON a.lang = b.lang AND a.lenb = b.lenb AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_dup_pairs(emb, threshold=0.9).orderBy("id_a", "id_b")
+
+
+def _sql_embedding_cosine_dups() -> str:
+    cos = V.sql_cosine("a.embedding", "b.embedding")
+    return f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cos_sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {cos} >= 0.9
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+
+def ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    c = emb.filter(F.col("vec_id") >= 5)
+    out = similarity.brute_force_topk(q, c, k=5)
+    return out.select(
+        "q_id", F.col("rank").alias("rnk"), "vec_id", "cos_sim"
+    ).orderBy("q_id", "rnk")
+
+
+def _sql_ann_brute_force() -> str:
+    cos = V.sql_cosine("qv", "cv")
+    return f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id >= 5),
+scored AS (SELECT q_id, vec_id, {cos} AS cos_sim FROM q CROSS JOIN c),
+ranked AS (SELECT q_id, vec_id, cos_sim,
+                  row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cos_sim DESC, vec_id) AS rnk
+           FROM scored)
+SELECT q_id, rnk, vec_id, cos_sim FROM ranked WHERE rnk <= 5
+ORDER BY q_id, rnk
+"""
+
+
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    c = emb.filter(F.col("vec_id") >= 20)
+    out = similarity.lsh_bucketed_topk(q, c, k=5, planes=4)
+    return out.select(
+        "q_id", F.col("rank").alias("rnk"), "vec_id", "cos_sim"
+    ).orderBy("q_id", "rnk")
+
+
+def _sql_ann_lsh_bucketed() -> str:
+    cos = V.sql_cosine("qv", "cv")
+    bq = V.sql_lsh_bucket("qv", 4)
+    bc = V.sql_lsh_bucket("cv", 4)
+    return f"""
+WITH q AS (SELECT vec_id AS q_id, qv, {bq} AS bucket
+           FROM (SELECT vec_id, embedding AS qv FROM embeddings WHERE vec_id < 20)),
+c AS (SELECT vec_id, cv, {bc} AS bucket
+      FROM (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id >= 20)),
+scored AS (SELECT q_id, c.vec_id, {cos} AS cos_sim
+           FROM q JOIN c ON q.bucket = c.bucket),
+ranked AS (SELECT q_id, vec_id, cos_sim,
+                  row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cos_sim DESC, vec_id) AS rnk
+           FROM scored)
+SELECT q_id, rnk, vec_id, cos_sim FROM ranked WHERE rnk <= 5
+ORDER BY q_id, rnk
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+
+def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload → Arrow-batched metadata extraction (stubbed
+    decode; see operators/multimodal.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_bin = multimodal.with_binary_payload(docs)
+    return multimodal.fake_decode_meta(with_bin).orderBy("doc_id")
+
+
+_MULTIMODAL_SQL = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "text_quality_stats": text_quality_stats,
+    "lang_id_confusion": lang_id_confusion,
+    "token_count_stats": token_count_stats,
+    "fingerprint_common_fragments": fingerprint_common_fragments,
+    "dedup_exact_clusters": dedup_exact_clusters,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "embedding_cosine_dups": embedding_cosine_dups,
+    "ann_brute_force": ann_brute_force,
+    "ann_lsh_bucketed": ann_lsh_bucketed,
+    "multimodal_decode_meta": multimodal_decode_meta,
+}
+
+ORACLE = {
+    "text_quality_stats": _sql_text_quality_stats(),
+    "lang_id_confusion": _sql_lang_id_confusion(),
+    "token_count_stats": _sql_token_count_stats(),
+    "fingerprint_common_fragments": _sql_fingerprint_common_fragments(),
+    "dedup_exact_clusters": _sql_dedup_exact(),
+    "dedup_minhash_lsh": _sql_dedup_minhash(),
+    "dedup_simhash": _sql_dedup_simhash(),
+    "dedup_ngram_jaccard": _sql_dedup_ngram_jaccard(),
+    "embedding_cosine_dups": _sql_embedding_cosine_dups(),
+    "ann_brute_force": _sql_ann_brute_force(),
+    "ann_lsh_bucketed": _sql_ann_lsh_bucketed(),
+    "multimodal_decode_meta": _MULTIMODAL_SQL,
+}

@@ -14,12 +14,13 @@ from pyspark.sql import DataFrame, SparkSession
 from starrocks_spark.queries import (
     analytics,
     events_analytics,
+    llm_pipeline,
     table_funcs,
     tpch,
     tpch2,
 )
 
-_MODULES = [tpch, tpch2, analytics, table_funcs, events_analytics]
+_MODULES = [tpch, tpch2, analytics, table_funcs, events_analytics, llm_pipeline]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
