@@ -12,6 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from starrocks_spark.queries import (
+    agg_functions,
     analytics,
     events_analytics,
     llm_pipeline,
@@ -20,7 +21,15 @@ from starrocks_spark.queries import (
     tpch2,
 )
 
-_MODULES = [tpch, tpch2, analytics, table_funcs, events_analytics, llm_pipeline]
+_MODULES = [
+    tpch,
+    tpch2,
+    analytics,
+    table_funcs,
+    events_analytics,
+    llm_pipeline,
+    agg_functions,
+]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
