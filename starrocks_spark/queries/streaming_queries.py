@@ -1,0 +1,169 @@
+"""Streaming surface queries — each entry runs a REAL Structured
+Streaming job (readStream → availableNow → sink) and returns the
+settled result, which the oracle checks against equivalent batch SQL.
+
+Reference coverage (SURVEY.md §2.12):
+- Routine/Stream Load continuous ingestion with idempotent upsert
+  (fe/.../load/routineload/RoutineLoadJob.java:143,
+  be/src/orchestration/routine_load_task_executor.cpp)
+  → streaming/ingest.py foreachBatch MERGE.
+- Incremental-MV / IVM aggregation (STREAM_AGG,
+  gensrc/thrift/PlanNodes.thrift:83-85, be/src/exprs/agg/stream/)
+  → streaming/windows.py tumbling/sliding/session window aggs.
+- PRIMARY_KEYS ingest dedup → dropDuplicatesWithinWatermark.
+
+Scale notes: every stateful op here keys its state (per window / per
+key), so state shards across executors; watermarks bound retention.
+The settled-result-equals-batch-SQL property is exactly the
+exactly-once guarantee the reference claims for Routine Load.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from starrocks_spark.queries._util import sql_dsum
+from starrocks_spark.streaming.ingest import (
+    read_events_stream,
+    run_stream_to_memory,
+    upsert_stream_into_table,
+)
+from starrocks_spark.streaming.windows import (
+    dedup_within_watermark,
+    session_window_stats,
+    sliding_window_counts,
+    tumbling_window_revenue,
+)
+
+
+def stream_tumbling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window revenue (complete mode), settled."""
+    stream = read_events_stream(spark, sf_dir)
+    agg = tumbling_window_revenue(stream, width="1 hour")
+    return run_stream_to_memory(agg, output_mode="complete")
+
+
+_TUMBLING_SQL = f"""
+SELECT epoch_us(date_trunc('hour', ts)) AS win_us,
+       event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding-window counts (1h window, 30m hop): each event
+    lands in 2 overlapping windows."""
+    stream = read_events_stream(spark, sf_dir)
+    agg = sliding_window_counts(stream, width="1 hour", slide="30 minutes")
+    return run_stream_to_memory(agg, output_mode="complete")
+
+
+# Spark hop windows are epoch-aligned multiples of the slide; an event
+# belongs to windows floor_30m(ts) - k*30m for k in {0, 1}.
+_SLIDING_SQL = """
+WITH k(k) AS (VALUES (0), (1)),
+f AS (
+  SELECT epoch_us(ts) - epoch_us(ts) % 1800000000 AS floor_us FROM events
+)
+SELECT f.floor_us - k.k * 1800000000 AS win_us, COUNT(*) AS n_events
+FROM f CROSS JOIN k
+GROUP BY 1
+"""
+
+
+def stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (30-minute gap) per user, settled."""
+    stream = read_events_stream(spark, sf_dir)
+    agg = session_window_stats(stream, gap="30 minutes")
+    return run_stream_to_memory(agg, output_mode="complete")
+
+
+# F.session_window merges events strictly less than the gap apart, so
+# a difference of exactly the gap starts a new session (>=).
+_SESSION_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       epoch_us(MIN(ts)) AS session_start_us,
+       COUNT(*) AS n_events
+FROM sess
+GROUP BY user_id, session_id
+"""
+
+
+def stream_dedup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicatesWithinWatermark) on
+    (user_id, event_type); the horizon exceeds the data's time span so
+    the settled result is the exact distinct set."""
+    stream = read_events_stream(spark, sf_dir)
+    deduped = dedup_within_watermark(
+        stream, ["user_id", "event_type"], watermark="3650 days"
+    )
+    settled = run_stream_to_memory(
+        deduped.select("user_id", "event_type"), output_mode="append"
+    )
+    return settled
+
+
+_DEDUP_SQL = "SELECT DISTINCT user_id, event_type FROM events"
+
+
+def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routine-Load-style continuous upsert into a primary-key table:
+    per user, the latest event wins (version = (ts, event_id))."""
+    stream = read_events_stream(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    table = upsert_stream_into_table(
+        stream, key_col="user_id", version_cols=["ts", "event_id"]
+    )
+    return table.select(
+        "user_id",
+        F.unix_micros("ts").alias("last_us"),
+        "event_id",
+        "event_type",
+    )
+
+
+_UPSERT_SQL = """
+SELECT user_id, epoch_us(ts) AS last_us, event_id, event_type
+FROM (
+  SELECT user_id, ts, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
+QUERIES = {
+    "stream_tumbling_revenue": stream_tumbling_revenue,
+    "stream_sliding_counts": stream_sliding_counts,
+    "stream_session_stats": stream_session_stats,
+    "stream_dedup_distinct": stream_dedup_distinct,
+    "stream_upsert_latest": stream_upsert_latest,
+}
+
+ORACLE = {
+    "stream_tumbling_revenue": _TUMBLING_SQL,
+    "stream_sliding_counts": _SLIDING_SQL,
+    "stream_session_stats": _SESSION_SQL,
+    "stream_dedup_distinct": _DEDUP_SQL,
+    "stream_upsert_latest": _UPSERT_SQL,
+}

@@ -16,6 +16,7 @@ from starrocks_spark.queries import (
     analytics,
     events_analytics,
     llm_pipeline,
+    streaming_queries,
     table_funcs,
     tpch,
     tpch2,
@@ -29,6 +30,7 @@ _MODULES = [
     events_analytics,
     llm_pipeline,
     agg_functions,
+    streaming_queries,
 ]
 
 
