@@ -1,0 +1,309 @@
+"""StarRocks/MySQL SQL dialect → Spark SQL translation.
+
+The reference parses a MySQL-flavored dialect with its own ANTLR
+grammar (fe/fe-grammar/src/main/antlr/com/starrocks/grammar/
+StarRocks.g4) and resolves functions against FunctionSet.java. On
+Spark, Catalyst is the parser, so compatibility is a source-to-source
+rewrite. This module closes the dialect gaps flagged in SURVEY.md
+(§4.1 [S] rows, hard parts #4/#5):
+
+- MySQL date-format strings (``%Y-%m-%d`` …) → Java DateTimeFormatter
+  patterns, applied to string literals inside date_format /
+  str_to_date / from_unixtime calls (reference format handling:
+  be/src/exprs/time_functions.cpp).
+- Function-name aliases the reference accepts but Spark names
+  differently (dayname, monthname, money_format, curdate, adddate, …;
+  registry gensrc/script/functions.py).
+- ``date_add(x, INTERVAL n unit)`` MySQL call-form → Spark interval
+  arithmetic (grammar StarRocks.g4 interval rule).
+- ``QUALIFY`` clause (StarRocks.g4:2512) → wrapping subquery with a
+  filter (Spark has no QUALIFY).
+
+Everything here is string rewriting ahead of ``spark.sql`` — the
+translated query still goes through Catalyst untouched, so pushdown /
+pruning / AQE all apply. Translation cost is O(len(sql)) on the
+driver: irrelevant at any data scale.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from starrocks_spark.catalog import register_tables
+
+# ---------------------------------------------------------------------------
+# MySQL date-format token → Java DateTimeFormatter pattern
+# (token list: be/src/exprs/time_functions.cpp date_format handling)
+# ---------------------------------------------------------------------------
+
+_MYSQL_FMT = {
+    "%Y": "yyyy",
+    "%y": "yy",
+    "%m": "MM",
+    "%c": "M",
+    "%d": "dd",
+    "%e": "d",
+    "%H": "HH",
+    "%k": "H",
+    "%h": "hh",
+    "%I": "hh",
+    "%i": "mm",
+    "%s": "ss",
+    "%S": "ss",
+    "%f": "SSSSSS",
+    "%p": "a",
+    "%W": "EEEE",
+    "%a": "EEE",
+    "%b": "MMM",
+    "%M": "MMMM",
+    "%j": "DDD",
+    "%T": "HH:mm:ss",
+    "%r": "hh:mm:ss a",
+    "%v": "ww",
+    "%%": "%",
+}
+
+# Functions whose string-literal arguments are MySQL format strings.
+_FMT_FUNCS = {"date_format", "str_to_date", "from_unixtime", "time_format"}
+
+
+def translate_mysql_format(fmt: str) -> str:
+    """'%Y-%m-%d %H:%i:%s' → 'yyyy-MM-dd HH:mm:ss'. Literal text that
+    is not a %-token passes through; letters would need quoting in
+    Java patterns, so wrap runs of passthrough letters in single
+    quotes (pre-escaped for the SQL literal)."""
+    out: list[str] = []
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            tok = fmt[i : i + 2]
+            out.append(_MYSQL_FMT.get(tok, tok[1]))
+            i += 2
+        else:
+            ch = fmt[i]
+            if ch.isalpha():
+                # literal letter → quote it for DateTimeFormatter
+                out.append(f"'{ch}'")
+            else:
+                out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# Balanced-call rewriting: find `name( args )` with proper quote/paren
+# tracking, hand the top-level-split args to a rewrite callback.
+# ---------------------------------------------------------------------------
+
+
+def _split_top_level(args: str) -> list[str]:
+    parts, depth, cur, i = [], 0, [], 0
+    while i < len(args):
+        ch = args[i]
+        if ch == "'":
+            j = i + 1
+            while j < len(args):
+                if args[j] == "'" and j + 1 < len(args) and args[j + 1] == "'":
+                    j += 2
+                    continue
+                if args[j] == "'":
+                    break
+                j += 1
+            cur.append(args[i : j + 1])
+            i = j + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    if cur:
+        parts.append("".join(cur).strip())
+    return parts
+
+
+def rewrite_calls(sql: str, name: str, fn) -> str:
+    """Replace every call of `name(...)` (case-insensitive, balanced
+    parens, quote-aware) with fn(args_list) -> str. Processes nested
+    calls innermost-last by rescanning until fixpoint."""
+    pat = re.compile(rf"\b{name}\s*\(", re.IGNORECASE)
+    while True:
+        m = pat.search(sql)
+        if m is None:
+            return sql
+        # find matching close paren
+        depth, i = 1, m.end()
+        while i < len(sql) and depth:
+            ch = sql[i]
+            if ch == "'":
+                j = i + 1
+                while j < len(sql) and sql[j] != "'":
+                    j += 1
+                i = j
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            i += 1
+        inner = sql[m.end() : i - 1]
+        repl = fn(_split_top_level(inner))
+        if repl is None:  # leave untouched: re-emit with marker to stop loop
+            repl = f"\0{name}\0({inner})"
+        sql = sql[: m.start()] + repl + sql[i:]
+    # unreachable
+
+
+def _restore_markers(sql: str) -> str:
+    return sql.replace("\0", "")
+
+
+# ---------------------------------------------------------------------------
+# Individual rewrites
+# ---------------------------------------------------------------------------
+
+_INTERVAL_RE = re.compile(
+    r"^INTERVAL\s+(\S+)\s+(YEAR|QUARTER|MONTH|WEEK|DAY|HOUR|MINUTE|SECOND)S?$",
+    re.IGNORECASE,
+)
+
+
+def _rw_date_addsub(sign: str):
+    def rw(args: list[str]):
+        if len(args) != 2:
+            return None
+        m = _INTERVAL_RE.match(args[1].strip())
+        if m is None:
+            return None  # plain int form — Spark-native already
+        n, unit = m.group(1), m.group(2).upper()
+        op = "+" if sign == "+" else "-"
+        return f"(({args[0]}) {op} INTERVAL {n} {unit})"
+
+    return rw
+
+
+def _rw_fmt_func(name: str):
+    """Translate the 2nd-arg format literal of date_format-family calls."""
+
+    def rw(args: list[str]):
+        if len(args) < 2:
+            return None
+        lit = args[-1].strip()
+        if not (lit.startswith("'") and lit.endswith("'")):
+            return None
+        if "%" not in lit:
+            return None  # already a Java pattern
+        java = translate_mysql_format(lit[1:-1])
+        new_args = args[:-1] + [f"'{java}'"]
+        target = {"str_to_date": "to_timestamp", "time_format": "date_format"}.get(
+            name, name
+        )
+        return f"\0{target}\0({', '.join(new_args)})"
+
+    return rw
+
+
+_SIMPLE_WRAPS = {
+    # StarRocks name → template over args
+    "dayname": lambda a: f"\0date_format\0({a[0]}, 'EEEE')",
+    "monthname": lambda a: f"\0date_format\0({a[0]}, 'MMMM')",
+    "money_format": lambda a: f"format_number(CAST({a[0]} AS DOUBLE), 2)",
+    "curdate": lambda a: "current_date()",
+    "utc_timestamp": lambda a: "current_timestamp()",
+    "strleft": lambda a: f"left({', '.join(a)})",
+    "strright": lambda a: f"right({', '.join(a)})",
+    "adddate": lambda a: f"\0date_add\0({', '.join(a)})",
+    "subdate": lambda a: f"\0date_sub\0({', '.join(a)})",
+    "days_add": lambda a: f"\0date_add\0({', '.join(a)})",
+    "days_sub": lambda a: f"\0date_sub\0({', '.join(a)})",
+    "months_add": lambda a: f"add_months({', '.join(a)})",
+    "months_sub": lambda a: f"add_months({a[0]}, -({a[1]}))",
+    "years_add": lambda a: f"(({a[0]}) + INTERVAL {a[1]} YEAR)",
+    "years_sub": lambda a: f"(({a[0]}) - INTERVAL {a[1]} YEAR)",
+    "ucase": lambda a: f"upper({', '.join(a)})",
+    "lcase": lambda a: f"lower({', '.join(a)})",
+}
+
+
+# ---------------------------------------------------------------------------
+# QUALIFY desugar
+# ---------------------------------------------------------------------------
+
+def _find_top_level_keyword(sql: str, kw: str) -> int:
+    """Index of keyword at paren-depth 0 outside quotes, or -1."""
+    depth, i, n = 0, 0, len(sql)
+    kw_re = re.compile(rf"\b{kw}\b", re.IGNORECASE)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            j = i + 1
+            while j < n and sql[j] != "'":
+                j += 1
+            i = j + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            m = kw_re.match(sql, i)
+            if m:
+                return i
+        i += 1
+    return -1
+
+
+def desugar_qualify(sql: str) -> str:
+    """SELECT ... QUALIFY pred [ORDER BY ...] [LIMIT n]
+    → SELECT * EXCEPT(__q) FROM ( SELECT ..., (pred) AS __q ) WHERE __q
+      [ORDER BY ...] [LIMIT n]
+    Window expressions in pred evaluate inside the subquery, which is
+    exactly StarRocks' QUALIFY semantics (StarRocks.g4:2512)."""
+    pos = _find_top_level_keyword(sql, "QUALIFY")
+    if pos < 0:
+        return sql
+    head = sql[:pos].rstrip()
+    rest = sql[pos + len("QUALIFY") :]
+    cut = len(rest)
+    for kw in (r"ORDER\s+BY", "LIMIT"):
+        p = _find_top_level_keyword(rest, kw)
+        if 0 <= p < cut:
+            cut = p
+    pred, tail = rest[:cut], rest[cut:]
+    from_pos = _find_top_level_keyword(head, "FROM")
+    if from_pos < 0:
+        return sql
+    inner = (
+        f"{head[:from_pos].rstrip()}, ({pred.strip()}) AS __q "
+        f"{head[from_pos:]}"
+    )
+    return f"SELECT * EXCEPT(__q) FROM ({inner}) WHERE __q {tail}"
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+def translate(sql: str) -> str:
+    """StarRocks/MySQL-flavored SQL → Spark SQL."""
+    sql = desugar_qualify(sql)
+    sql = rewrite_calls(sql, "date_add", _rw_date_addsub("+"))
+    sql = rewrite_calls(sql, "date_sub", _rw_date_addsub("-"))
+    for name in sorted(_FMT_FUNCS):
+        sql = rewrite_calls(sql, name, _rw_fmt_func(name))
+    for name, tmpl in _SIMPLE_WRAPS.items():
+        sql = rewrite_calls(sql, name, lambda a, t=tmpl: t(a))
+    return _restore_markers(sql)
+
+
+def starrocks_sql(spark: SparkSession, sql: str, sf_dir: str) -> DataFrame:
+    """Run a StarRocks-dialect query against the registered tables."""
+    register_tables(spark, sf_dir)
+    return spark.sql(translate(sql))

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from starrocks_spark.queries import (
     agg_functions,
     analytics,
+    dialect_queries,
     events_analytics,
     llm_pipeline,
     streaming_queries,
@@ -31,6 +32,7 @@ _MODULES = [
     llm_pipeline,
     agg_functions,
     streaming_queries,
+    dialect_queries,
 ]
 
 

@@ -1,0 +1,68 @@
+"""Unit tests for the StarRocks→Spark SQL dialect translator
+(plans/dialect.py) — string-level, no Spark session needed."""
+
+from __future__ import annotations
+
+from starrocks_spark.plans.dialect import (
+    desugar_qualify,
+    translate,
+    translate_mysql_format,
+)
+
+
+def test_format_tokens():
+    assert translate_mysql_format("%Y-%m-%d %H:%i:%s") == "yyyy-MM-dd HH:mm:ss"
+    assert translate_mysql_format("%W %M %Y") == "EEEE MMMM yyyy"
+    assert translate_mysql_format("%%") == "%"
+    # passthrough literal letters get quoted for DateTimeFormatter
+    assert translate_mysql_format("%YT%H") == "yyyy'T'HH"
+
+
+def test_date_format_call():
+    out = translate("SELECT date_format(ts, '%Y-%m') AS ym FROM events")
+    assert "date_format(ts, 'yyyy-MM')" in out
+
+
+def test_str_to_date_becomes_to_timestamp():
+    out = translate("SELECT str_to_date(s, '%Y-%m-%d') FROM t")
+    assert "to_timestamp(s, 'yyyy-MM-dd')" in out
+
+
+def test_nested_interval_inside_format():
+    out = translate("SELECT date_format(date_add(d, INTERVAL 1 DAY), '%Y') FROM t")
+    assert "INTERVAL 1 DAY" in out
+    assert "'yyyy'" in out
+
+
+def test_interval_forms():
+    out = translate("SELECT date_add(d, INTERVAL 3 MONTH), date_sub(d, 5) FROM t")
+    assert "+ INTERVAL 3 MONTH" in out
+    assert "date_sub(d, 5)" in out  # plain int form untouched
+
+
+def test_aliases():
+    out = translate("SELECT dayname(d), money_format(x), ucase(s) FROM t")
+    assert "date_format(d, 'EEEE')" in out
+    assert "format_number(CAST(x AS DOUBLE), 2)" in out
+    assert "upper(s)" in out
+
+
+def test_qualify_moves_pred_into_subquery():
+    out = desugar_qualify(
+        "SELECT a, b FROM t QUALIFY row_number() OVER "
+        "(PARTITION BY a ORDER BY b DESC) <= 2 ORDER BY a LIMIT 10"
+    )
+    assert out.startswith("SELECT * EXCEPT(__q) FROM (SELECT a, b, (row_number()")
+    # the window ORDER BY stays inside; the outer ORDER BY/LIMIT move out
+    assert out.rstrip().endswith("ORDER BY a LIMIT 10")
+    assert "WHERE __q" in out
+
+
+def test_qualify_absent_is_noop():
+    sql = "SELECT a FROM t WHERE a LIKE '%QUALIFY%'"
+    assert desugar_qualify(sql) == sql
+
+
+def test_like_percent_untouched():
+    sql = "SELECT * FROM t WHERE s LIKE '%Y%'"
+    assert translate(sql) == sql
