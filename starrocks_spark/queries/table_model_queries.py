@@ -1,0 +1,207 @@
+"""Table-model queries: exercise the managed-table layer (tables/
+models.py) end-to-end — multi-batch ingest with model semantics, DML,
+compaction — and read the final state back for the oracle to check.
+
+Reference coverage (SURVEY.md §1.1, §2.13):
+- DUP_KEYS append / AGG_KEYS ingest rollup / PRIMARY_KEYS upsert
+  (gensrc/thrift/Types.thrift:459-462, catalog/OlapTable.java)
+- DELETE on PK tables (StarRocks.g4:1367, delete-vector semantics)
+- MERGE INTO (StarRocks.g4:1372, sql/MergeIntoPlanner.java)
+
+Determinism: double value columns go through the fixed-point policy
+(_util.fixed → DECIMAL(38,0)) *at ingest*, so multi-batch partial
+sums are exact integers and batch order cannot change results — the
+same reason the reference's AGG_KEYS SUM columns are exact types.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from starrocks_spark.catalog import load_table
+from starrocks_spark.queries._util import fixed, sql_dsum, sql_fixed
+from starrocks_spark.tables.models import ManagedTable, TableModel
+
+_SCALE = 10_000.0
+
+
+def table_agg_keys_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AGG_KEYS table keyed (user_id, event_type) with SUM/COUNT value
+    columns, ingested in 3 batches (each batch pre-aggregated at
+    ingest — map-side combine before storage), then read with the
+    query-time cross-rowset merge."""
+    events = load_table(spark, sf_dir, "events")
+    prepared = events.select(
+        "event_id", "user_id", "event_type",
+        fixed(F.col("value")).alias("value_f"),
+        F.lit(1).cast("long").alias("n_events"),
+    )
+    t = ManagedTable.create(
+        spark, TableModel.AGG_KEYS, ["user_id", "event_type"],
+        agg_spec={"value_f": "sum", "n_events": "sum"},
+    )
+    try:
+        for i in range(3):
+            # split on event_id so the SAME key appears in several
+            # rowsets — forces the query-time cross-rowset merge
+            t.insert(prepared.filter(F.col("event_id") % 3 == i))
+        t.compact()  # fold rowsets — read-after must be identical
+        return (
+            t.read()
+            .select(
+                "user_id", "event_type",
+                (F.col("value_f").cast("double") / F.lit(_SCALE))
+                .alias("sum_value"),
+                "n_events",
+            )
+        )
+    finally:
+        pass  # table dir is in /tmp; leave for debugging, OS reaps it
+
+
+_AGG_KEYS_SQL = f"""
+SELECT user_id, event_type,
+       {sql_dsum('value')} AS sum_value,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY user_id, event_type
+"""
+
+
+def table_primary_upsert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRIMARY_KEYS table on user_id (version = ts, event_id): 3
+    upsert batches, then DELETE WHERE the surviving row is a 'view'
+    event — merge-on-write + delete-vector semantics."""
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    t = ManagedTable.create(
+        spark, TableModel.PRIMARY_KEYS, ["user_id"],
+        version_cols=["ts", "event_id"],
+    )
+    for i in range(3):
+        t.insert(events.filter(F.col("event_id") % 3 == i))
+    t.delete("event_type = 'view'")
+    return t.read().select(
+        "user_id",
+        F.unix_micros("ts").alias("last_us"),
+        "event_id",
+        "event_type",
+        fixed(F.col("value")).cast("long").alias("value_f"),
+    )
+
+
+_PRIMARY_SQL = f"""
+SELECT user_id, epoch_us(ts) AS last_us, event_id, event_type,
+       CAST({sql_fixed('value')} AS BIGINT) AS value_f
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1 AND event_type <> 'view'
+"""
+
+
+def table_merge_into_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO customer: per-customer order totals as source;
+    matched rows add the delta to c_acctbal, source keys shifted out
+    of range insert as new customers. One full-outer-join plan."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    src = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(fixed(F.col("o_totalprice"))).alias("delta_f"))
+        .select(
+            F.when(F.col("o_custkey") % 10 == 0,
+                   F.col("o_custkey") + 10_000_000)
+            .otherwise(F.col("o_custkey")).alias("c_custkey"),
+            "delta_f",
+            F.lit("MERGED").alias("c_name"),
+            F.lit(-1).cast("int").alias("c_nationkey"),
+            (F.col("delta_f").cast("double") / F.lit(_SCALE))
+            .alias("c_acctbal"),
+            F.lit("NEW").alias("c_mktsegment"),
+        )
+    )
+    t = ManagedTable.create(spark, TableModel.PRIMARY_KEYS, ["c_custkey"])
+    t.insert(customer)
+    t.merge_into(
+        src,
+        update_set={
+            "c_acctbal": f"t.c_acctbal + CAST(s.delta_f AS DOUBLE) / {_SCALE!r}"
+        },
+    )
+    return t.read().select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment",
+        fixed(F.col("c_acctbal")).cast("long").alias("acctbal_f"),
+    )
+
+
+_MERGE_SQL = f"""
+WITH src AS (
+  SELECT CASE WHEN o_custkey % 10 = 0 THEN o_custkey + 10000000
+              ELSE o_custkey END AS k,
+         CAST(SUM({sql_fixed('o_totalprice')}) AS DOUBLE) / 10000.0 AS delta
+  FROM orders
+  GROUP BY 1
+)
+SELECT COALESCE(t.c_custkey, s.k) AS c_custkey,
+       CASE WHEN t.c_custkey IS NULL THEN 'MERGED' ELSE t.c_name END AS c_name,
+       CASE WHEN t.c_custkey IS NULL THEN -1 ELSE t.c_nationkey END
+         AS c_nationkey,
+       CASE WHEN t.c_custkey IS NULL THEN 'NEW' ELSE t.c_mktsegment END
+         AS c_mktsegment,
+       CAST({sql_fixed('''CASE
+              WHEN t.c_custkey IS NOT NULL AND s.k IS NOT NULL
+                THEN t.c_acctbal + s.delta
+              WHEN s.k IS NULL THEN t.c_acctbal
+              ELSE s.delta END''')} AS BIGINT) AS acctbal_f
+FROM customer t
+FULL OUTER JOIN src s ON t.c_custkey = s.k
+"""
+
+
+def table_dup_keys_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUP_KEYS append-only fact table: 4 batch appends then an
+    aggregate scan — batches must be lossless and order-free."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        fixed(F.col("l_quantity")).alias("qty_f"),
+    )
+    t = ManagedTable.create(
+        spark, TableModel.DUP_KEYS, ["l_orderkey", "l_linenumber"]
+    )
+    for i in range(4):
+        t.insert(li.filter(F.col("l_orderkey") % 4 == i))
+    return (
+        t.read()
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum("qty_f").cast("double") / F.lit(_SCALE)).alias("sum_qty"),
+        )
+    )
+
+
+_DUP_SQL = f"""
+SELECT l_returnflag, COUNT(*) AS n, {sql_dsum('l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+QUERIES = {
+    "table_agg_keys_rollup": table_agg_keys_rollup,
+    "table_primary_upsert_delete": table_primary_upsert_delete,
+    "table_merge_into_customers": table_merge_into_customers,
+    "table_dup_keys_batches": table_dup_keys_batches,
+}
+
+ORACLE = {
+    "table_agg_keys_rollup": _AGG_KEYS_SQL,
+    "table_primary_upsert_delete": _PRIMARY_SQL,
+    "table_merge_into_customers": _MERGE_SQL,
+    "table_dup_keys_batches": _DUP_SQL,
+}

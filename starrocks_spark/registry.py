@@ -19,6 +19,7 @@ from starrocks_spark.queries import (
     llm_pipeline,
     streaming_queries,
     table_funcs,
+    table_model_queries,
     tpch,
     tpch2,
 )
@@ -33,6 +34,7 @@ _MODULES = [
     agg_functions,
     streaming_queries,
     dialect_queries,
+    table_model_queries,
 ]
 
 

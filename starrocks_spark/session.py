@@ -47,6 +47,11 @@ OLAP_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     # --- ANSI off: MySQL-ish permissive casts like the reference dialect
     "spark.sql.ansi.enabled": "false",
+    # --- managed tables (table-model layer): keep the warehouse out of
+    #     the repo; dynamic overwrite = rewrite only touched partitions,
+    #     the scale-critical behavior for partitioned upserts
+    "spark.sql.warehouse.dir": "/tmp/sr_spark_warehouse",
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
 }
 
 

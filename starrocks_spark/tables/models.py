@@ -1,0 +1,257 @@
+"""StarRocks table models on Spark: DUP / AGG / UNIQUE / PRIMARY keys.
+
+Reference semantics (SURVEY.md §1.1; gensrc/thrift/Types.thrift:459-462,
+fe/fe-core/.../catalog/OlapTable.java, KeysType):
+
+- DUP_KEYS   — append-only fact table; keys are only a sort hint.
+- AGG_KEYS   — rows with equal keys are pre-aggregated at ingest /
+  compaction time; value columns carry an aggregation type (SUM,
+  REPLACE, MIN, MAX, ...). Query-time reads must still aggregate
+  across rowsets that haven't been compacted yet — exactly what the
+  reference's pre-aggregation phase does
+  (be/src/exec/olap_scan_node.h pre-aggregation flag).
+- UNIQUE_KEYS / PRIMARY_KEYS — upsert: the newest row per key wins;
+  PRIMARY adds delete support (delete-vector merge-on-write,
+  be/src/storage/rowset/segment_iterator.cpp delete-vector path).
+
+Spark realization — every mutation is a *declarative DataFrame plan*:
+
+- A table is a parquet directory (optionally partitioned by a column,
+  written with ``partitionBy``), i.e. the same layout Delta/Iceberg
+  manage; the delta-log is replaced by atomic directory swap locally
+  and would be a real table format on a cluster.
+- Ingest-time rollup for AGG = ``groupBy(keys).agg(...)`` on the
+  incoming batch — a map-side combine that shrinks data *before* it
+  hits storage, the property that matters at 100 TB ingest.
+- Upsert = anti-join/window merge, rewriting only the partitions the
+  batch touches (dynamic partition overwrite) — the reference's
+  per-tablet write amplification, not a full-table rewrite.
+- Compaction = re-aggregate / re-deduplicate and rewrite — the
+  reference's base compaction (be/src/storage/compaction*.cpp).
+
+Aggregation-type registry mirrors Types.thrift TAggregationType:
+SUM, MIN, MAX, REPLACE (latest by version), HLL_UNION-style distinct
+merge is covered by the sketch UDAFs in operators/aggregates.py.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+from dataclasses import dataclass, field
+from enum import Enum
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+class TableModel(str, Enum):
+    DUP_KEYS = "dup"
+    AGG_KEYS = "agg"
+    UNIQUE_KEYS = "unique"
+    PRIMARY_KEYS = "primary"
+
+
+# value-column aggregation types for AGG_KEYS (Types.thrift TAggregationType)
+_AGG_FNS = {
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "count": F.sum,  # counts merge by summing partial counts
+    "replace": lambda c: F.last(c, ignorenulls=False),
+}
+
+
+@dataclass
+class ManagedTable:
+    """A parquet-backed table with StarRocks keys-model semantics.
+
+    ``agg_spec``: for AGG_KEYS, {value_col: "sum"|"min"|"max"|"count"|
+    "replace"} — the per-column aggregation type from the DDL.
+    ``version_cols``: for UNIQUE/PRIMARY, the ordering that decides
+    which row is newest (StarRocks uses load sequence / txn version).
+    """
+
+    spark: SparkSession
+    path: str
+    model: TableModel
+    key_cols: list[str]
+    agg_spec: dict[str, str] = field(default_factory=dict)
+    version_cols: list[str] = field(default_factory=list)
+    partition_by: str | None = None
+
+    # ------------------------------------------------------------------ util
+
+    @classmethod
+    def create(cls, spark: SparkSession, model: TableModel,
+               key_cols: list[str], *, path: str | None = None,
+               agg_spec: dict[str, str] | None = None,
+               version_cols: list[str] | None = None,
+               partition_by: str | None = None) -> "ManagedTable":
+        path = path or os.path.join(
+            tempfile.gettempdir(), f"sr_table_{uuid.uuid4().hex[:12]}"
+        )
+        shutil.rmtree(path, ignore_errors=True)
+        return cls(spark, path, model, list(key_cols),
+                   dict(agg_spec or {}), list(version_cols or []),
+                   partition_by)
+
+    def drop(self) -> None:
+        shutil.rmtree(self.path, ignore_errors=True)
+
+    def _exists(self) -> bool:
+        return os.path.isdir(self.path) and any(os.scandir(self.path))
+
+    def _current(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def _write(self, df: DataFrame, mode: str) -> None:
+        w = df.write.mode(mode)
+        if self.partition_by:
+            w = w.partitionBy(self.partition_by)
+        w.parquet(self.path)
+
+    def _rewrite(self, df: DataFrame) -> None:
+        """Full atomic rewrite via staging dir + swap (local stand-in
+        for a table-format transaction commit)."""
+        out = self.path + ".staging"
+        shutil.rmtree(out, ignore_errors=True)
+        w = df.write.mode("overwrite")
+        if self.partition_by:
+            w = w.partitionBy(self.partition_by)
+        w.parquet(out)
+        old = self.path + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(self.path):
+            os.rename(self.path, old)
+        os.rename(out, self.path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    # ----------------------------------------------------------------- rollup
+
+    def _rollup(self, df: DataFrame) -> DataFrame:
+        """AGG_KEYS ingest/compaction rollup: one row per key tuple."""
+        aggs = []
+        for col, how in self.agg_spec.items():
+            if how == "replace" and self.version_cols:
+                # newest-by-version REPLACE: max_by over the version tuple
+                aggs.append(
+                    F.max_by(col, F.struct(*self.version_cols)).alias(col)
+                )
+            else:
+                aggs.append(_AGG_FNS[how](col).alias(col))
+        group = self.key_cols + ([self.partition_by] if self.partition_by
+                                 and self.partition_by not in self.key_cols
+                                 else [])
+        return df.groupBy(*group).agg(*aggs)
+
+    def _latest_per_key(self, df: DataFrame) -> DataFrame:
+        order = [F.desc(c) for c in self.version_cols] or [F.lit(1)]
+        w = Window.partitionBy(*self.key_cols).orderBy(*order)
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    # ------------------------------------------------------------------- DML
+
+    def insert(self, batch: DataFrame) -> None:
+        """INSERT a batch with model semantics (StarRocks.g4:1346)."""
+        if self.model == TableModel.DUP_KEYS:
+            self._write(batch, "append")
+            return
+        if self.model == TableModel.AGG_KEYS:
+            # map-side combine before storage: the batch is rolled up on
+            # its keys; cross-rowset merge happens at read/compaction.
+            self._write(self._rollup(batch), "append")
+            return
+        # UNIQUE / PRIMARY upsert — merge-on-write
+        if not self._exists():
+            self._write(self._latest_per_key(batch), "append")
+            return
+        if self.partition_by:
+            # rewrite only the partitions present in the batch (dynamic
+            # overwrite): bounded write amplification at scale.
+            parts = [r[0] for r in
+                     batch.select(self.partition_by).distinct().collect()]
+            current = self._current().filter(F.col(self.partition_by).isin(parts))
+            merged = self._latest_per_key(current.unionByName(batch))
+            merged.write.mode("overwrite").partitionBy(self.partition_by) \
+                .parquet(self.path)  # dynamic mode keeps untouched partitions
+        else:
+            merged = self._latest_per_key(self._current().unionByName(batch))
+            self._rewrite(merged)
+
+    def delete(self, predicate: str) -> None:
+        """DELETE WHERE predicate (StarRocks.g4:1367) — copy-on-write
+        anti-filter, the batch analog of the PK delete-vector."""
+        self._rewrite(self._current().filter(f"NOT ({predicate})"))
+
+    def update(self, assignments: dict[str, str], predicate: str) -> None:
+        """UPDATE SET col=expr WHERE predicate (StarRocks.g4:1363)."""
+        df = self._current()
+        cond = F.expr(predicate)
+        for col, expr in assignments.items():
+            df = df.withColumn(
+                col, F.when(cond, F.expr(expr)).otherwise(F.col(col))
+            )
+        self._rewrite(df)
+
+    def merge_into(self, source: DataFrame, *, update_set: dict[str, str],
+                   insert_when_missing: bool = True) -> None:
+        """MERGE INTO (StarRocks.g4:1372, sql/MergeIntoPlanner.java):
+        matched → update with expressions over target (t.*) and source
+        (s.*); unmatched source rows → insert. One outer-join plan, no
+        per-row driver logic."""
+        target = self._current().alias("t")
+        src = source.alias("s")
+        cond = [F.col(f"t.{k}") == F.col(f"s.{k}") for k in self.key_cols]
+        joined = target.join(src, cond, "full_outer")
+        t_first = self.key_cols[0]
+        matched = F.col(f"t.{t_first}").isNotNull() & \
+            F.col(f"s.{self.key_cols[0]}").isNotNull()
+        only_target = F.col(f"s.{self.key_cols[0]}").isNull()
+
+        out_cols = []
+        target_cols = self._current().columns
+        for c in target_cols:
+            upd = update_set.get(c)
+            updated = F.expr(upd) if upd else F.col(f"t.{c}")
+            source_val = F.col(f"s.{c}") if c in source.columns else F.lit(None)
+            out_cols.append(
+                F.when(matched, updated)
+                .when(only_target, F.col(f"t.{c}"))
+                .otherwise(source_val)
+                .alias(c)
+            )
+        result = joined.select(*out_cols)
+        if not insert_when_missing:
+            result = joined.filter(~(F.col(f"t.{t_first}").isNull())) \
+                .select(*out_cols)
+        self._rewrite(result)
+
+    # ------------------------------------------------------------------ read
+
+    def read(self) -> DataFrame:
+        """Model-aware scan. AGG_KEYS merges un-compacted rowsets by
+        re-applying the rollup (the reference's query-time
+        pre-aggregation); UNIQUE/PRIMARY are already merge-on-write."""
+        df = self._current()
+        if self.model == TableModel.AGG_KEYS:
+            return self._rollup(df)
+        return df
+
+    def compact(self) -> None:
+        """Base compaction: fold all rowsets into one fully-merged copy
+        (be/src/storage/compaction*.cpp; Delta OPTIMIZE analog)."""
+        if self.model == TableModel.AGG_KEYS:
+            self._rewrite(self._rollup(self._current()))
+        elif self.model in (TableModel.UNIQUE_KEYS, TableModel.PRIMARY_KEYS):
+            self._rewrite(self._latest_per_key(self._current()))
+        else:
+            self._rewrite(self._current().coalesce(
+                max(1, self.spark.sparkContext.defaultParallelism // 4)
+            ))
