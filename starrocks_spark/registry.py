@@ -17,6 +17,7 @@ from starrocks_spark.queries import (
     dialect_queries,
     events_analytics,
     llm_pipeline,
+    sources_queries,
     streaming_queries,
     table_funcs,
     table_model_queries,
@@ -35,6 +36,7 @@ _MODULES = [
     streaming_queries,
     dialect_queries,
     table_model_queries,
+    sources_queries,
 ]
 
 
