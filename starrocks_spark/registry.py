@@ -17,6 +17,7 @@ from starrocks_spark.queries import (
     dialect_queries,
     events_analytics,
     llm_pipeline,
+    scalar_funcs2,
     sources_queries,
     streaming_queries,
     table_funcs,
@@ -37,6 +38,7 @@ _MODULES = [
     dialect_queries,
     table_model_queries,
     sources_queries,
+    scalar_funcs2,
 ]
 
 
