@@ -17,6 +17,7 @@ from starrocks_spark.queries import (
     dialect_queries,
     events_analytics,
     llm_pipeline,
+    mv_queries,
     scalar_funcs2,
     sources_queries,
     streaming_queries,
@@ -39,6 +40,7 @@ _MODULES = [
     table_model_queries,
     sources_queries,
     scalar_funcs2,
+    mv_queries,
 ]
 
 

@@ -1,0 +1,138 @@
+"""Async materialized views with partition-incremental (PCT) refresh.
+
+Reference: async MVs with Partition Change Tracking
+(fe/fe-core/.../catalog/MaterializedView.java:140,
+scheduler/mv/MVRefreshExecutor.java, mv/refresh/pct/) — an MV over a
+partitioned base table re-computes only the partitions whose source
+data changed since the last refresh.
+
+Spark realization:
+- The MV is a partitioned parquet table produced by an arbitrary
+  DataFrame-producing ``definition`` (the MV query), partitioned on a
+  column of its output.
+- Change tracking: at refresh time a per-partition fingerprint
+  (count + order-independent hash-sum) of the *source* rows is
+  computed with one aggregate scan; partitions whose fingerprint
+  differs from the stored snapshot are recomputed with a partition
+  filter (pushed to the source scan) and written with dynamic
+  partition overwrite. Unchanged partitions are never read or
+  written — at 100 TB this is the difference between an hourly
+  refresh touching one day and one touching three years.
+- Full refresh = rebuild everything (the reference's FORCE refresh).
+
+The fingerprint (xor-sum of per-row hashes) is order- and
+partitioning-independent, so it is stable across cluster layouts.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class MaterializedView:
+    """A partition-change-tracked materialized view.
+
+    ``definition(source) -> DataFrame``: the MV query over the source;
+    its output must contain ``partition_col``, and rows for one output
+    partition must depend only on source rows in the matching source
+    partition (the same constraint the reference's PCT refresh
+    imposes: partition-aligned MVs, mv/refresh/pct/).
+    ``source_partition_expr``: expression string over source rows that
+    yields the partition value (e.g. ``date_trunc('month', ts)``).
+    """
+
+    def __init__(self, spark: SparkSession,
+                 definition: Callable[[DataFrame], DataFrame],
+                 partition_col: str, source_partition_expr: str,
+                 path: str | None = None) -> None:
+        self.spark = spark
+        self.definition = definition
+        self.partition_col = partition_col
+        self.source_partition_expr = source_partition_expr
+        self.path = path or os.path.join(
+            tempfile.gettempdir(), f"sr_mv_{uuid.uuid4().hex[:12]}"
+        )
+        self._meta_path = self.path + ".meta"
+
+    # -------------------------------------------------------------- internal
+
+    def _fingerprints(self, source: DataFrame) -> DataFrame:
+        """One aggregate scan → (partition value, count, xor-hash)."""
+        part = F.expr(self.source_partition_expr).alias("__part")
+        row_hash = F.xxhash64(*[F.col(c) for c in source.columns])
+        # xor-sum: order/partitioning independent, no overflow concerns
+        return (
+            source.select(part, row_hash.alias("__h"))
+            .groupBy("__part")
+            .agg(
+                F.count("*").alias("__n"),
+                F.expr("cast(bit_xor(__h) as long)").alias("__sig"),
+            )
+        )
+
+    def _changed_partitions(self, source: DataFrame) -> list | None:
+        """Partitions whose fingerprint differs from the snapshot.
+        None = no snapshot yet (first refresh → full)."""
+        if not os.path.isdir(self._meta_path):
+            return None
+        current = self._fingerprints(source)
+        prev = self.spark.read.parquet(self._meta_path)
+        delta = current.alias("c").join(
+            prev.alias("p"),
+            F.col("c.__part") == F.col("p.__part"),
+            "full_outer",
+        ).filter(
+            "p.__part IS NULL OR c.__part IS NULL "
+            "OR c.__n <> p.__n OR c.__sig <> p.__sig"
+        )
+        return [r["__part"] for r in
+                delta.select(F.coalesce("c.__part", "p.__part")
+                             .alias("__part")).collect()]
+
+    def _write_meta(self, source: DataFrame) -> None:
+        out = self._meta_path + ".staging"
+        self._fingerprints(source).coalesce(1).write.mode("overwrite") \
+            .parquet(out)
+        shutil.rmtree(self._meta_path, ignore_errors=True)
+        os.rename(out, self._meta_path)
+
+    # ---------------------------------------------------------------- public
+
+    def refresh(self, source: DataFrame, force_full: bool = False) -> int:
+        """Refresh from the current source; returns the number of
+        partitions rewritten (-1 for a full rebuild)."""
+        changed = None if force_full else self._changed_partitions(source)
+        if changed is None:
+            result = self.definition(source)
+            result.write.mode("overwrite") \
+                .partitionBy(self.partition_col).parquet(self.path)
+            self._write_meta(source)
+            return -1
+        if not changed:
+            return 0
+        # recompute ONLY changed partitions: the source filter prunes
+        # the scan; dynamic overwrite rewrites only those directories.
+        pruned = source.filter(
+            F.expr(self.source_partition_expr).isin(changed)
+        )
+        result = self.definition(pruned).filter(
+            F.col(self.partition_col).isin(changed)
+        )
+        result.write.mode("overwrite") \
+            .partitionBy(self.partition_col).parquet(self.path)
+        self._write_meta(source)
+        return len(changed)
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def drop(self) -> None:
+        shutil.rmtree(self.path, ignore_errors=True)
+        shutil.rmtree(self._meta_path, ignore_errors=True)
