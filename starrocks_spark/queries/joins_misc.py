@@ -1,0 +1,133 @@
+"""Join-surface fill-ins (SURVEY.md §2.4, §2.1, §4.1):
+
+- non-equi range join → BroadcastNestedLoopJoin
+  (be/src/exec/cross_join_node.h:28, nljoin_probe_operator.h:30)
+- PK point lookup — the short-circuit LOOKUP_NODE/FETCH_NODE path
+  (be/src/exec/lookup_node.cpp; here a pushed-down unique-key filter)
+- large IN-list → broadcast semi join
+  (LargeInPredicateToJoinRule.java via operators/in_rewrite.py)
+- json_each over the events props column
+  (be/src/exprs/table_function/json_each.cpp)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from starrocks_spark.catalog import load_table
+from starrocks_spark.operators.in_rewrite import filter_in_values
+from starrocks_spark.queries._util import fixed
+
+
+def join_nonequi_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band join: price buckets as a tiny boundary table, orders
+    joined on lo <= price < hi. Non-equi → Spark plans a broadcast
+    nested-loop join; the small side MUST be the broadcast side."""
+    orders = load_table(spark, sf_dir, "orders")
+    buckets = spark.createDataFrame(
+        [("micro", 0.0, 50_000.0), ("small", 50_000.0, 150_000.0),
+         ("mid", 150_000.0, 300_000.0), ("large", 300_000.0, 1e9)],
+        "bucket string, lo double, hi double",
+    )
+    return (
+        orders.join(
+            F.broadcast(buckets),
+            (orders.o_totalprice >= buckets.lo)
+            & (orders.o_totalprice < buckets.hi),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(fixed(F.col("o_totalprice"))).cast("double") / 1e4)
+            .alias("total"),
+        )
+    )
+
+
+_NONEQUI_SQL = """
+WITH buckets(bucket, lo, hi) AS (
+  VALUES ('micro', 0.0, 50000.0), ('small', 50000.0, 150000.0),
+         ('mid', 150000.0, 300000.0), ('large', 300000.0, 1000000000.0)
+)
+SELECT bucket, COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR((o_totalprice) * 10000.0 + 0.5)
+                AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS total
+FROM orders JOIN buckets
+  ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY bucket
+"""
+
+
+def point_lookup_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PK point query (LOOKUP_NODE): equality filter on the unique
+    key — pushed to the parquet scan, prunes row groups by stats."""
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.filter(F.col("c_custkey").isin(1, 777, 1500, 9999)) \
+        .select("c_custkey", "c_name", "c_mktsegment")
+
+
+_POINT_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey IN (1, 777, 1500, 9999)
+"""
+
+
+def large_in_list_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN list with 500 values → broadcast LEFT SEMI against a local
+    relation instead of a 500-branch OR chain."""
+    orders = load_table(spark, sf_dir, "orders")
+    values = [3 + 7 * i for i in range(500)]
+    picked = filter_in_values(orders, "o_custkey", values)
+    return picked.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("o_custkey").alias("n_cust"),
+    )
+
+
+_LARGE_IN_SQL = f"""
+SELECT o_orderpriority, COUNT(*) AS n, COUNT(DISTINCT o_custkey) AS n_cust
+FROM orders
+WHERE o_custkey IN ({', '.join(str(3 + 7 * i) for i in range(500))})
+GROUP BY o_orderpriority
+"""
+
+
+def json_each_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json_each: explode every key/value pair of the events.props
+    JSON object into rows (json_each.cpp)."""
+    events = load_table(spark, sf_dir, "events")
+    kv = events.select(
+        "event_id",
+        F.explode(
+            F.from_json("props", "map<string,string>")
+        ).alias("key", "value"),
+    )
+    return kv.groupBy("key").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("value").alias("n_values"),
+    )
+
+
+_JSON_EACH_SQL = """
+SELECT k AS key, COUNT(*) AS n,
+       COUNT(DISTINCT props ->> k) AS n_values
+FROM events, unnest(json_keys(props)) AS t(k)
+GROUP BY k
+"""
+
+
+QUERIES = {
+    "join_nonequi_range": join_nonequi_range,
+    "point_lookup_pk": point_lookup_pk,
+    "large_in_list_join": large_in_list_join,
+    "json_each_props": json_each_props,
+}
+
+ORACLE = {
+    "join_nonequi_range": _NONEQUI_SQL,
+    "point_lookup_pk": _POINT_SQL,
+    "large_in_list_join": _LARGE_IN_SQL,
+    "json_each_props": _JSON_EACH_SQL,
+}

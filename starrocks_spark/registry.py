@@ -16,6 +16,7 @@ from starrocks_spark.queries import (
     analytics,
     dialect_queries,
     events_analytics,
+    joins_misc,
     llm_pipeline,
     mv_queries,
     scalar_funcs2,
@@ -41,6 +42,7 @@ _MODULES = [
     sources_queries,
     scalar_funcs2,
     mv_queries,
+    joins_misc,
 ]
 
 
