@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from starrocks_spark.queries import (
     agg_functions,
     analytics,
+    complex_types,
     dialect_queries,
     events_analytics,
     joins_misc,
@@ -43,6 +44,7 @@ _MODULES = [
     scalar_funcs2,
     mv_queries,
     joins_misc,
+    complex_types,
 ]
 
 
