@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from starrocks_spark.queries import (
     agg_functions,
+    agg_pushdown_queries,
     analytics,
     complex_types,
     dialect_queries,
@@ -45,6 +46,7 @@ _MODULES = [
     mv_queries,
     joins_misc,
     complex_types,
+    agg_pushdown_queries,
 ]
 
 

@@ -126,3 +126,22 @@ def test_runtime_bloom_filter_enabled(spark):
         spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
         == "true"
     )
+
+
+def test_agg_pushdown_partial_agg_below_join(spark, sf_dir):
+    """rollup_join must aggregate the fact table BEFORE the dimension
+    joins: in the formatted plan (operators numbered leaf-to-root) the
+    fact-side HashAggregate's id is smaller than every join's."""
+    from starrocks_spark.queries.agg_pushdown_queries import (
+        agg_pushdown_nation_revenue,
+    )
+
+    df = agg_pushdown_nation_revenue(spark, sf_dir)
+    p = plan_str(df, mode="simple")
+    assert p.count("HashAggregate") >= 3  # partial+final of pre-agg, final
+    assert "BroadcastHashJoin" in p
+    # the scan feeding the first HashAggregate must be lineitem, and no
+    # join may appear between them (pre-agg hugs the scan)
+    before_first_join = p.split("BroadcastHashJoin")[-1]
+    assert "lineitem" in before_first_join
+    assert "HashAggregate" in before_first_join
