@@ -20,6 +20,7 @@ from starrocks_spark.queries import (
     events_analytics,
     joins_misc,
     llm_pipeline,
+    misc2,
     mv_queries,
     scalar_funcs2,
     sources_queries,
@@ -47,6 +48,7 @@ _MODULES = [
     joins_misc,
     complex_types,
     agg_pushdown_queries,
+    misc2,
 ]
 
 
