@@ -23,6 +23,7 @@ from starrocks_spark.queries import (
     misc2,
     mv_queries,
     scalar_funcs2,
+    skew_queries,
     sources_queries,
     streaming_queries,
     table_funcs,
@@ -49,6 +50,7 @@ _MODULES = [
     complex_types,
     agg_pushdown_queries,
     misc2,
+    skew_queries,
 ]
 
 
