@@ -52,6 +52,15 @@ HEADLINE = [
     "dedup_simhash",
     "text_quality_stats",
     "ann_brute_force",
+    # round-1 additions: one representative per newer family
+    "recursive_cte_months",      # recursive CTE (dialect layer)
+    "dialect_date_format_mysql", # MySQL-format translation path
+    "large_in_list_join",        # IN-list→broadcast-semi rewrite
+    "agg_pushdown_nation_revenue",  # partial agg below join
+    "skew_salted_agg",           # salted two-phase aggregation
+    "files_csv_roundtrip",       # FILES() export+scan round-trip
+    "table_agg_keys_rollup",     # AGG_KEYS ingest rollup (load path)
+    "mv_incremental_refresh",    # PCT materialized-view refresh
 ]
 
 
