@@ -30,6 +30,7 @@ from starrocks_spark.queries import (
     table_model_queries,
     tpch,
     tpch2,
+    unnest_multi,
 )
 
 _MODULES = [
@@ -51,6 +52,7 @@ _MODULES = [
     agg_pushdown_queries,
     misc2,
     skew_queries,
+    unnest_multi,
 ]
 
 
