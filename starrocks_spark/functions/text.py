@@ -332,3 +332,50 @@ def sql_lang_scores(words: str) -> dict[str, str]:
         lst = ", ".join(f"'{w}'" for w in markers)
         out[lang] = f"len(list_filter({words}, w -> w IN ({lst})))"
     return out
+
+
+# ---------------------------------------------------------------------------
+# character n-grams + ngram_search (reference: be/src/exprs/ngram.cpp —
+# ngram_search(haystack, needle, n) returns the fraction of the
+# needle's distinct n-grams found in the haystack)
+
+
+def char_ngrams(s: Column, n: int = 4) -> Column:
+    """Distinct character n-grams of a lowercased string, as
+    array<string> — pure sequence/transform expressions."""
+    low = F.lower(s)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(low) - (n - 1), F.lit(0))),
+            lambda i: F.substring(low, i, F.lit(n)),
+        )
+    )
+
+
+def sql_char_ngrams(s: str, n: int = 4) -> str:
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(length(lower({s})) - {n - 1}, 0) + 1), "
+        f"i -> substr(lower({s}), i, {n})))"
+    )
+
+
+def ngram_search(haystack: Column, needle: Column, n: int = 4) -> Column:
+    """Similarity in [0,1]: |grams(needle) ∩ grams(haystack)| /
+    |grams(needle)| (ngram.cpp semantics; 0 when the needle is shorter
+    than n)."""
+    hg, ng = char_ngrams(haystack, n), char_ngrams(needle, n)
+    return F.when(
+        F.size(ng) > 0,
+        F.size(F.array_intersect(ng, hg)).cast("double")
+        / F.size(ng).cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def sql_ngram_search(haystack: str, needle: str, n: int = 4) -> str:
+    hg, ng = sql_char_ngrams(haystack, n), sql_char_ngrams(needle, n)
+    return (
+        f"CASE WHEN len({ng}) > 0 THEN "
+        f"len(list_intersect({ng}, {hg}))::DOUBLE / len({ng})::DOUBLE "
+        f"ELSE 0.0 END"
+    )

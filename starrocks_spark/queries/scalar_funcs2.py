@@ -230,3 +230,35 @@ ORACLE = {
     "func_json_construct": _JSON_CONSTRUCT_SQL,
     # func_geo_haversine intentionally has no oracle (trig ulp drift)
 }
+
+
+def func_ngram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ngram_search similarity of part names against a probe string
+    (be/src/exprs/ngram.cpp) — distinct 4-gram containment score."""
+    from starrocks_spark.functions.text import ngram_search
+
+    part = load_table(spark, sf_dir, "part")
+    score = ngram_search(F.col("p_name"), F.lit("turquoise metallic"), 4)
+    return (
+        part.select(
+            "p_partkey",
+            F.floor(score * 10000 + 0.5).cast("long").alias("sim_bp"),
+        )
+        .filter(F.col("sim_bp") > 0)
+    )
+
+
+def _sql_ngram_search() -> str:
+    from starrocks_spark.functions.text import sql_ngram_search
+
+    score = sql_ngram_search("p_name", "'turquoise metallic'", 4)
+    return f"""
+SELECT p_partkey,
+       CAST(FLOOR(({score}) * 10000 + 0.5) AS BIGINT) AS sim_bp
+FROM part
+WHERE CAST(FLOOR(({score}) * 10000 + 0.5) AS BIGINT) > 0
+"""
+
+
+QUERIES["func_ngram_search"] = func_ngram_search
+ORACLE["func_ngram_search"] = _sql_ngram_search()
