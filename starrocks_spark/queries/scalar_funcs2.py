@@ -238,7 +238,7 @@ def func_ngram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from starrocks_spark.functions.text import ngram_search
 
     part = load_table(spark, sf_dir, "part")
-    score = ngram_search(F.col("p_name"), F.lit("turquoise metallic"), 4)
+    score = ngram_search(F.col("p_name"), F.lit("small widget"), 4)
     return (
         part.select(
             "p_partkey",
@@ -251,7 +251,7 @@ def func_ngram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_ngram_search() -> str:
     from starrocks_spark.functions.text import sql_ngram_search
 
-    score = sql_ngram_search("p_name", "'turquoise metallic'", 4)
+    score = sql_ngram_search("p_name", "'small widget'", 4)
     return f"""
 SELECT p_partkey,
        CAST(FLOOR(({score}) * 10000 + 0.5) AS BIGINT) AS sim_bp
