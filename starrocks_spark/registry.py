@@ -15,6 +15,7 @@ from starrocks_spark.queries import (
     agg_functions,
     agg_pushdown_queries,
     analytics,
+    bitmap_queries,
     complex_types,
     dialect_queries,
     events_analytics,
@@ -53,6 +54,7 @@ _MODULES = [
     misc2,
     skew_queries,
     unnest_multi,
+    bitmap_queries,
 ]
 
 
