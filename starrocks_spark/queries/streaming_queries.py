@@ -20,15 +20,17 @@ exactly-once guarantee the reference claims for Routine Load.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from starrocks_spark.queries._util import sql_dsum
 from starrocks_spark.streaming.ingest import (
     read_events_stream,
+    read_events_stream_split,
     run_stream_to_memory,
     upsert_stream_into_table,
 )
+from starrocks_spark.streaming.stateful import stateful_user_profiles
 from starrocks_spark.streaming.windows import (
     dedup_within_watermark,
     session_window_stats,
@@ -152,7 +154,46 @@ WHERE rn = 1
 """
 
 
+def stream_stateful_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (IVM STREAM_AGG analog,
+    applyInPandasWithState): per-user running profile evolved across 3
+    real micro-batches; the settled state must equal the batch
+    aggregate. Update-mode emits one row per (user, batch it appeared
+    in); the final state per user is the row with the max running
+    count (strictly monotone)."""
+    stream = read_events_stream_split(spark, sf_dir, n_splits=3).select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
+        .alias("value_f"),
+    )
+    updates = run_stream_to_memory(
+        stateful_user_profiles(stream), output_mode="update"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        updates.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n_events", "value_f", "last_type")
+    )
+
+
+_STATEFUL_SQL = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS value_f,
+       (SELECT e2.event_type FROM events e2
+        WHERE e2.user_id = e.user_id
+        ORDER BY e2.ts DESC, e2.event_id DESC LIMIT 1) AS last_type
+FROM events e
+GROUP BY user_id
+"""
+
+
 QUERIES = {
+    "stream_stateful_profiles": stream_stateful_profiles,
     "stream_tumbling_revenue": stream_tumbling_revenue,
     "stream_sliding_counts": stream_sliding_counts,
     "stream_session_stats": stream_session_stats,
@@ -161,6 +202,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "stream_stateful_profiles": _STATEFUL_SQL,
     "stream_tumbling_revenue": _TUMBLING_SQL,
     "stream_sliding_counts": _SLIDING_SQL,
     "stream_session_stats": _SESSION_SQL,

@@ -64,6 +64,32 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
     return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+_SPLIT_DIRS: dict[tuple[str, int], str] = {}
+
+
+def read_events_stream_split(spark: SparkSession, sf_dir: str,
+                             n_splits: int = 3) -> DataFrame:
+    """Like read_events_stream, but the backlog is split into
+    ``n_splits`` files consumed one per micro-batch — real multi-batch
+    arrival for stateful-operator tests (each batch ≈ one Kafka offset
+    range commit)."""
+    key = (sf_dir, n_splits)
+    split_dir = _SPLIT_DIRS.get(key)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if split_dir is None or not os.path.isdir(split_dir):
+        split_dir = tempfile.mkdtemp(prefix="sr_spark_stream_split_")
+        spark.read.parquet(f"{sf_dir}/events.parquet") \
+            .repartition(n_splits).write.mode("overwrite").parquet(split_dir)
+        _SPLIT_DIRS[key] = split_dir
+    schema = spark.read.parquet(split_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(split_dir)
+    )
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
 def run_stream_to_memory(stream_df: DataFrame, output_mode: str = "complete",
                          name: str | None = None) -> DataFrame:
     """Run a streaming DataFrame to completion with the availableNow
