@@ -59,7 +59,7 @@ _MAP_SQL = """
 SELECT n_regionkey,
        COUNT(*) AS n_nations,
        COUNT(*) FILTER (WHERE n_nationkey % 2 = 0) AS n_even,
-       SUM(n_nationkey * 2) AS sum_doubled,
+       CAST(SUM(n_nationkey * 2) AS BIGINT) AS sum_doubled,
        string_agg(n_name, ',' ORDER BY n_name) AS names
 FROM nation
 GROUP BY n_regionkey

@@ -145,7 +145,7 @@ WITH marked AS (
 )
 SELECT user_id,
        MAX(session_id) AS n_sessions,
-       SUM(n_events) AS n_events,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
        MAX(session_secs) AS max_session_secs
 FROM per_session
 GROUP BY user_id

@@ -52,7 +52,7 @@ WITH per_doc AS (
          {qs['stopword_ratio']} AS stopword_ratio, {qs['avg_word_len']} AS avg_word_len
   FROM documents
 )
-SELECT lang, COUNT(*) AS n_docs, SUM(n_words) AS total_words,
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_words) AS BIGINT) AS total_words,
        {sql_dsum('punct_ratio')} AS sum_punct_ratio,
        {sql_dsum('stopword_ratio')} AS sum_stopword_ratio,
        {sql_dsum('avg_word_len')} AS sum_avg_word_len
@@ -123,7 +123,7 @@ def _sql_token_count_stats() -> str:
     ws, bpe = T.sql_token_counts("text")
     return f"""
 SELECT source, COUNT(*) AS n_docs,
-       SUM({ws}) AS ws_tokens, SUM({bpe}) AS bpe_tokens
+       CAST(SUM({ws}) AS BIGINT) AS ws_tokens, CAST(SUM({bpe}) AS BIGINT) AS bpe_tokens
 FROM documents GROUP BY source ORDER BY source
 """
 
@@ -161,7 +161,7 @@ shared AS (
   SELECT fp, COUNT(DISTINCT doc_id) AS n_docs FROM fps GROUP BY fp
   HAVING COUNT(DISTINCT doc_id) >= 2
 )
-SELECT COUNT(*) AS shared_fragments, SUM(n_docs) AS doc_hits,
+SELECT COUNT(*) AS shared_fragments, CAST(SUM(n_docs) AS BIGINT) AS doc_hits,
        MAX(n_docs) AS max_docs_per_fragment
 FROM shared
 """

@@ -80,12 +80,12 @@ def func_bit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BIT_SQL = """
-SELECT SUM(o_orderkey & 255) AS sum_and,
-       SUM(o_orderkey | 4096) AS sum_or,
-       SUM(xor(o_orderkey, o_custkey)) AS sum_xor,
-       SUM(o_orderkey << 3) AS sum_shl,
-       SUM(o_orderkey >> 2) AS sum_shr,
-       SUM(bit_count(o_orderkey)) AS sum_bits
+SELECT CAST(SUM(o_orderkey & 255) AS BIGINT) AS sum_and,
+       CAST(SUM(o_orderkey | 4096) AS BIGINT) AS sum_or,
+       CAST(SUM(xor(o_orderkey, o_custkey)) AS BIGINT) AS sum_xor,
+       CAST(SUM(o_orderkey << 3) AS BIGINT) AS sum_shl,
+       CAST(SUM(o_orderkey >> 2) AS BIGINT) AS sum_shr,
+       CAST(SUM(bit_count(o_orderkey)) AS BIGINT) AS sum_bits
 FROM orders
 """
 

@@ -99,7 +99,7 @@ def files_orc_partitioned_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORC_SQL = """
-SELECT p_brand, COUNT(*) AS n_parts, SUM(p_size) AS sum_size
+SELECT p_brand, COUNT(*) AS n_parts, CAST(SUM(p_size) AS BIGINT) AS sum_size
 FROM part
 WHERE p_brand IN ('Brand#11', 'Brand#22', 'Brand#33')
 GROUP BY p_brand

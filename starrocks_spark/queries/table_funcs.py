@@ -119,7 +119,7 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JSON_PROPS_SQL = """
 SELECT event_type, COUNT(*) AS cnt,
-       SUM(json_extract(props, '$.k')::INT) AS k_sum,
+       CAST(SUM(json_extract(props, '$.k')::INT) AS BIGINT) AS k_sum,
        MIN(json_extract(props, '$.k')::INT) AS k_min,
        MAX(json_extract(props, '$.k')::INT) AS k_max
 FROM events

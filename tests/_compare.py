@@ -49,7 +49,26 @@ def _rowset(cols, rows):
     )
 
 
+def assert_no_hugeint(duck_con, oracle_sql, name=""):
+    """The driver's value-hash is type-sensitive: DuckDB SUM(int) yields
+    HUGEINT (int128), which Spark can never produce (it gives BIGINT), so
+    a bare integer SUM in an oracle hash-mismatches even when values are
+    identical. Guard: every oracle output column must be a type Spark can
+    emit — flag HUGEINT so the fix (CAST(... AS BIGINT)) happens locally,
+    before the driver sees it."""
+    bad = [
+        (c[0], str(c[1]))
+        for c in duck_con.execute(f"SELECT * FROM ({oracle_sql}) LIMIT 0").description
+        if "HUGEINT" in str(c[1]).upper()
+    ]
+    assert not bad, (
+        f"{name}: oracle emits HUGEINT column(s) {bad} — wrap in "
+        f"CAST(... AS BIGINT) (driver hash is type-sensitive)"
+    )
+
+
 def assert_matches_oracle(spark_df, duck_con, oracle_sql, name=""):
+    assert_no_hugeint(duck_con, oracle_sql, name)
     s_cols = [c.lower() for c in spark_df.columns]
     s_rows = [tuple(r) for r in spark_df.collect()]
     rel = duck_con.execute(oracle_sql)
