@@ -9,61 +9,84 @@ rows. At 100 TB that's the difference between joining 10^11 rows and
 joining 10^7, and the dimension join becomes a broadcast over an
 already-tiny stream.
 
-Correct whenever the measures are decomposable (SUM/COUNT/MIN/MAX —
-partial state merges associatively), which is the same condition the
-reference's rule checks.
+Correct whenever the measures are decomposable (partial state merges
+associatively) — and the caller declares HOW they merge explicitly,
+the same information the reference's rule reads from its aggregate
+registry. (An earlier version inferred the merge by substring-matching
+the Column's string repr, which mis-fired on min_by/count_if.)
 """
 
 from __future__ import annotations
+
+from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+# named merge strategies for partial aggregation states
+_MERGES: dict[str, Callable[[str], Column]] = {
+    "sum": F.sum,    # SUM and COUNT partials re-sum
+    "min": F.min,
+    "max": F.max,
+    "bool_or": F.bool_or,
+    "bool_and": F.bool_and,
+    "bit_or": F.bit_or,
+    "bit_and": F.bit_and,
+}
+
 
 def rollup_join(
     fact: DataFrame,
     fact_key: str,
-    measures: dict[str, Column],
+    measures: dict[str, tuple[Column, str | Callable[[str], Column]]],
     dims: list[tuple[DataFrame, Column]],
     group_by: list[str],
 ) -> DataFrame:
     """fact ⨝ dims grouped by dim attributes, with the fact side
     pre-aggregated on its join key.
 
-    ``measures``: output name → decomposable aggregate over fact
-    columns (evaluated in the pre-aggregation). ``dims``: (dimension
-    DataFrame, join condition) pairs, joined in order, each broadcast.
-    ``group_by``: final grouping columns (from the dimensions or the
-    fact key).
+    ``measures``: output name → (partial aggregate over fact columns,
+    merge) where merge is a name from ``_MERGES`` ("sum"/"min"/"max"/
+    "bool_or"/...) or a callable column-builder. Non-decomposable
+    aggregates (min_by, count_if over post-join rows, percentile, ...)
+    have no valid merge and must be rejected by the caller — exactly
+    the reference rule's decomposability check.
+
+    ``dims``: (dimension DataFrame, join condition) pairs, joined in
+    order, each broadcast. ``group_by``: final grouping columns (from
+    the dimensions or the fact key).
 
     Plan shape: HashAggregate(fact) → BroadcastHashJoin* →
     HashAggregate(final merge) — two aggs, the big one before any
     join, verified by tests/test_plans.py.
     """
+    partials, merges = {}, {}
+    for name, spec in measures.items():
+        if not (isinstance(spec, tuple) and len(spec) == 2):
+            raise ValueError(
+                f"measure {name!r}: pass (aggregate, merge) — the merge "
+                f"function cannot be inferred from a Column (min_by/"
+                f"count_if would silently merge wrong)"
+            )
+        agg, merge = spec
+        if isinstance(merge, str):
+            if merge not in _MERGES:
+                raise ValueError(
+                    f"measure {name!r}: unknown merge {merge!r}; "
+                    f"expected one of {sorted(_MERGES)} or a callable"
+                )
+            merge = _MERGES[merge]
+        partials[name] = agg
+        merges[name] = merge
+
     partial = fact.groupBy(fact_key).agg(
-        *[m.alias(f"__p_{name}") for name, m in measures.items()]
+        *[m.alias(f"__p_{name}") for name, m in partials.items()]
     )
     joined = partial
     for dim_df, cond in dims:
         joined = joined.join(broadcast(dim_df), cond)
     final_aggs = [
-        _merge_fn(m)(f"__p_{name}").alias(name)
-        for name, m in measures.items()
+        merges[name](f"__p_{name}").alias(name) for name in partials
     ]
     return joined.groupBy(*group_by).agg(*final_aggs)
-
-
-def _merge_fn(measure: Column):
-    """How partial states merge: SUM/COUNT partials re-sum, MIN takes
-    min, MAX takes max. The expression string is the only
-    introspection PySpark offers; unsupported (non-decomposable)
-    aggregates are rejected — same check as the reference's rule."""
-    s = str(measure).lower()
-    if "min(" in s:
-        return F.min
-    if "max(" in s:
-        return F.max
-    if "sum(" in s or "count(" in s:
-        return F.sum
-    raise ValueError(f"non-decomposable measure for rollup_join: {measure}")

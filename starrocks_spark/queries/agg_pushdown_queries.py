@@ -23,11 +23,11 @@ def agg_pushdown_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li,
         fact_key="l_suppkey",
         measures={
-            "rev_f": F.sum(
+            "rev_f": (F.sum(
                 fixed(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-            ),
-            "n_items": F.count(F.lit(1)),
-            "max_qty_f": F.max(fixed(F.col("l_quantity"))),
+            ), "sum"),
+            "n_items": (F.count(F.lit(1)), "sum"),
+            "max_qty_f": (F.max(fixed(F.col("l_quantity"))), "max"),
         },
         dims=[
             (supplier, F.col("l_suppkey") == F.col("s_suppkey")),

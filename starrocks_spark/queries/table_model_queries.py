@@ -163,6 +163,85 @@ FULL OUTER JOIN src s ON t.c_custkey = s.k
 """
 
 
+def table_merge_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO with the full WHEN surface (sql/MergeIntoPlanner.java):
+    ordered matched clauses with conditions — frequent customers get a
+    VIP update, negative-balance one-off customers are deleted — plus a
+    conditioned NOT MATCHED insert. First-matching-clause-wins."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    src = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(fixed(F.col("o_totalprice"))).alias("delta_f"),
+        )
+        .select(
+            F.when(F.col("o_custkey") % 10 == 0,
+                   F.col("o_custkey") + 10_000_000)
+            .otherwise(F.col("o_custkey")).alias("c_custkey"),
+            "n_orders",
+            "delta_f",
+            F.lit("MERGED").alias("c_name"),
+            F.lit(-1).cast("int").alias("c_nationkey"),
+            (F.col("delta_f").cast("double") / F.lit(_SCALE))
+            .alias("c_acctbal"),
+            F.lit("NEW").alias("c_mktsegment"),
+        )
+    )
+    t = ManagedTable.create(spark, TableModel.PRIMARY_KEYS, ["c_custkey"])
+    t.insert(customer)
+    t.merge_into(
+        src,
+        when_matched=[
+            {"condition": "s.n_orders >= 10",
+             "update": {
+                 "c_acctbal":
+                     f"t.c_acctbal + CAST(s.delta_f AS DOUBLE) / {_SCALE!r}",
+                 "c_mktsegment": "'VIP'",
+             }},
+            {"condition": "t.c_acctbal < 0", "delete": True},
+        ],
+        insert_condition="s.c_custkey % 3 = 0",
+    )
+    return t.read().select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment",
+        fixed(F.col("c_acctbal")).cast("long").alias("acctbal_f"),
+    )
+
+
+_MERGE_COND_SQL = f"""
+WITH src AS (
+  SELECT CASE WHEN o_custkey % 10 = 0 THEN o_custkey + 10000000
+              ELSE o_custkey END AS k,
+         COUNT(*) AS n_orders,
+         CAST(SUM({sql_fixed('o_totalprice')}) AS DOUBLE) / 10000.0 AS delta
+  FROM orders
+  GROUP BY 1
+), merged AS (
+  SELECT t.c_custkey AS tk, s.k AS sk, t.c_name, t.c_nationkey,
+         t.c_mktsegment, t.c_acctbal, s.n_orders, s.delta
+  FROM customer t FULL OUTER JOIN src s ON t.c_custkey = s.k
+)
+SELECT COALESCE(tk, sk) AS c_custkey,
+       CASE WHEN tk IS NULL THEN 'MERGED' ELSE c_name END AS c_name,
+       CASE WHEN tk IS NULL THEN -1 ELSE c_nationkey END AS c_nationkey,
+       CASE WHEN tk IS NOT NULL AND sk IS NOT NULL AND n_orders >= 10
+              THEN 'VIP'
+            WHEN tk IS NULL THEN 'NEW'
+            ELSE c_mktsegment END AS c_mktsegment,
+       CAST({sql_fixed('''CASE
+              WHEN tk IS NOT NULL AND sk IS NOT NULL AND n_orders >= 10
+                THEN c_acctbal + delta
+              WHEN tk IS NULL THEN delta
+              ELSE c_acctbal END''')} AS BIGINT) AS acctbal_f
+FROM merged
+WHERE NOT (tk IS NOT NULL AND sk IS NOT NULL
+           AND NOT (n_orders >= 10) AND c_acctbal < 0)
+  AND NOT (tk IS NULL AND sk % 3 <> 0)
+"""
+
+
 def table_dup_keys_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DUP_KEYS append-only fact table: 4 batch appends then an
     aggregate scan — batches must be lossless and order-free."""
@@ -196,10 +275,12 @@ QUERIES = {
     "table_agg_keys_rollup": table_agg_keys_rollup,
     "table_primary_upsert_delete": table_primary_upsert_delete,
     "table_merge_into_customers": table_merge_into_customers,
+    "table_merge_conditional": table_merge_conditional,
     "table_dup_keys_batches": table_dup_keys_batches,
 }
 
 ORACLE = {
+    "table_merge_conditional": _MERGE_COND_SQL,
     "table_agg_keys_rollup": _AGG_KEYS_SQL,
     "table_primary_upsert_delete": _PRIMARY_SQL,
     "table_merge_into_customers": _MERGE_SQL,

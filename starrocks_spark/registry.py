@@ -106,6 +106,7 @@ _PRIORITY = [
     "table_agg_keys_rollup",
     "table_primary_upsert_delete",
     "table_merge_into_customers",
+    "table_merge_conditional",
     "mv_incremental_refresh",
     # aggregate library
     "agg_group_concat",

@@ -45,6 +45,10 @@ OLAP_CONF: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # --- determinism: UTC everywhere so results match the DuckDB oracle
     "spark.sql.session.timeZone": "UTC",
+    # --- parquet TIMESTAMP(NANOS) (events.ts) is only readable as a raw
+    #     long; static here so reads are ordering-independent (the flag is
+    #     a no-op for every other table — none carries NANOS timestamps)
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     # --- ANSI off: MySQL-ish permissive casts like the reference dialect
     "spark.sql.ansi.enabled": "false",
     # --- managed tables (table-model layer): keep the warehouse out of

@@ -60,7 +60,6 @@ _AGG_FNS = {
     "min": F.min,
     "max": F.max,
     "count": F.sum,  # counts merge by summing partial counts
-    "replace": lambda c: F.last(c, ignorenulls=False),
 }
 
 
@@ -135,8 +134,18 @@ class ManagedTable:
         """AGG_KEYS ingest/compaction rollup: one row per key tuple."""
         aggs = []
         for col, how in self.agg_spec.items():
-            if how == "replace" and self.version_cols:
-                # newest-by-version REPLACE: max_by over the version tuple
+            if how == "replace":
+                # The reference's REPLACE is load-order-defined; a Spark
+                # batch groupBy has no such order, so an order-free
+                # REPLACE would be nondeterministic (partition-layout
+                # dependent). Require an explicit version and take
+                # newest-by-version via max_by.
+                if not self.version_cols:
+                    raise ValueError(
+                        "AGG_KEYS REPLACE requires version_cols — Spark "
+                        "batches have no load order, so REPLACE without a "
+                        "version column is nondeterministic"
+                    )
                 aggs.append(
                     F.max_by(col, F.struct(*self.version_cols)).alias(col)
                 )
@@ -145,7 +154,20 @@ class ManagedTable:
         group = self.key_cols + ([self.partition_by] if self.partition_by
                                  and self.partition_by not in self.key_cols
                                  else [])
-        return df.groupBy(*group).agg(*aggs)
+        has_replace = "replace" in self.agg_spec.values()
+        if has_replace:
+            # keep the winning version tuple in storage so later
+            # cross-rowset merges (read/compaction) can still pick
+            # newest-by-version — max(struct) is exactly the version of
+            # the row max_by selected
+            aggs.append(F.max(F.struct(*self.version_cols)).alias("__v"))
+        out = df.groupBy(*group).agg(*aggs)
+        if has_replace:
+            for vc in self.version_cols:
+                if vc not in group and vc not in self.agg_spec:
+                    out = out.withColumn(vc, F.col(f"__v.{vc}"))
+            out = out.drop("__v")
+        return out
 
     def _latest_per_key(self, df: DataFrame) -> DataFrame:
         order = [F.desc(c) for c in self.version_cols] or [F.lit(1)]
@@ -200,12 +222,34 @@ class ManagedTable:
             )
         self._rewrite(df)
 
-    def merge_into(self, source: DataFrame, *, update_set: dict[str, str],
-                   insert_when_missing: bool = True) -> None:
-        """MERGE INTO (StarRocks.g4:1372, sql/MergeIntoPlanner.java):
-        matched → update with expressions over target (t.*) and source
-        (s.*); unmatched source rows → insert. One outer-join plan, no
-        per-row driver logic."""
+    def merge_into(self, source: DataFrame, *,
+                   update_set: dict[str, str] | None = None,
+                   when_matched: list[dict] | None = None,
+                   insert_when_missing: bool = True,
+                   insert_condition: str | None = None) -> None:
+        """MERGE INTO with the full WHEN surface (StarRocks.g4:1372,
+        sql/MergeIntoPlanner.java): an ordered list of matched clauses,
+        each optionally conditioned on target (t.*) / source (s.*)
+        expressions — the FIRST clause whose condition holds wins:
+
+            when_matched=[
+                {"condition": "s.v > t.v", "update": {"v": "s.v"}},
+                {"condition": "s.v < 0", "delete": True},
+                {"update": {...}},          # unconditional fallback
+            ]
+
+        plus WHEN NOT MATCHED [AND insert_condition] THEN INSERT.
+        ``update_set`` is shorthand for one unconditional update clause.
+        The whole merge is ONE full-outer-join plan with a computed
+        action column — no per-row driver logic, shuffles once on the
+        key columns."""
+        if when_matched is None:
+            when_matched = (
+                [{"update": update_set}] if update_set is not None else []
+            )
+        elif update_set is not None:
+            raise ValueError("pass either update_set or when_matched, not both")
+
         target = self._current().alias("t")
         src = source.alias("s")
         cond = [F.col(f"t.{k}") == F.col(f"s.{k}") for k in self.key_cols]
@@ -215,23 +259,43 @@ class ManagedTable:
             F.col(f"s.{self.key_cols[0]}").isNotNull()
         only_target = F.col(f"s.{self.key_cols[0]}").isNull()
 
+        # action: -1 keep target row as-is, -2 insert source row,
+        # -3 drop, i>=0 clause i fires (first match wins)
+        KEEP, INSERT, DROP = -1, -2, -3
+        action = F.when(only_target, F.lit(KEEP))
+        for i, clause in enumerate(when_matched):
+            fire = matched if clause.get("condition") is None \
+                else matched & F.expr(clause["condition"])
+            action = action.when(fire, F.lit(i))
+        action = action.when(matched, F.lit(KEEP))
+        if insert_when_missing:
+            ins = F.lit(True) if insert_condition is None \
+                else F.expr(insert_condition)
+            action = action.when(ins, F.lit(INSERT))
+        action = action.otherwise(F.lit(DROP))
+
+        delete_actions = [i for i, c in enumerate(when_matched)
+                          if c.get("delete")]
+        staged = joined.withColumn("__action", action).filter(
+            ~F.col("__action").isin(*(delete_actions + [DROP]))
+            if delete_actions else F.col("__action") != DROP
+        )
+
         out_cols = []
-        target_cols = self._current().columns
-        for c in target_cols:
-            upd = update_set.get(c)
-            updated = F.expr(upd) if upd else F.col(f"t.{c}")
+        for c in self._current().columns:
             source_val = F.col(f"s.{c}") if c in source.columns else F.lit(None)
-            out_cols.append(
-                F.when(matched, updated)
-                .when(only_target, F.col(f"t.{c}"))
-                .otherwise(source_val)
-                .alias(c)
-            )
-        result = joined.select(*out_cols)
-        if not insert_when_missing:
-            result = joined.filter(~(F.col(f"t.{t_first}").isNull())) \
-                .select(*out_cols)
-        self._rewrite(result)
+            col_expr = F.when(F.col("__action") == KEEP, F.col(f"t.{c}")) \
+                .when(F.col("__action") == INSERT, source_val)
+            for i, clause in enumerate(when_matched):
+                if clause.get("delete"):
+                    continue
+                upd = clause.get("update", {}).get(c)
+                col_expr = col_expr.when(
+                    F.col("__action") == i,
+                    F.expr(upd) if upd else F.col(f"t.{c}"),
+                )
+            out_cols.append(col_expr.alias(c))
+        self._rewrite(staged.select(*out_cols))
 
     # ------------------------------------------------------------------ read
 

@@ -123,3 +123,27 @@ def test_retention_chain(spark):
     r = retention(ev, [F.col("a") == 1, F.col("b") == 1])
     got = {x["user_id"]: (x["r1"], x["r2"]) for x in r.collect()}
     assert got == {1: (1, 1), 2: (0, 0), 3: (1, 1)}
+
+
+def test_rollup_join_requires_explicit_merge(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from starrocks_spark.operators.agg_pushdown import rollup_join
+
+    fact = spark.createDataFrame([(1, 2.0)], "k long, v double")
+    dim = spark.createDataFrame([(1, "a")], "k2 long, name string")
+    with pytest.raises(ValueError, match="merge"):
+        rollup_join(
+            fact, "k",
+            {"m": F.min_by("v", "k")},  # bare Column — ambiguous merge
+            [(dim, F.col("k") == F.col("k2"))],
+            ["name"],
+        )
+    with pytest.raises(ValueError, match="unknown merge"):
+        rollup_join(
+            fact, "k",
+            {"m": (F.sum("v"), "median")},
+            [(dim, F.col("k") == F.col("k2"))],
+            ["name"],
+        )

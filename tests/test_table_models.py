@@ -70,6 +70,74 @@ def test_merge_into_update_and_insert(spark):
     t.drop()
 
 
+def test_agg_keys_replace_requires_version(spark):
+    import pytest
+
+    t = ManagedTable.create(
+        spark, TableModel.AGG_KEYS, ["k"], agg_spec={"v": "replace"},
+    )
+    with pytest.raises(ValueError, match="version_cols"):
+        t.insert(spark.createDataFrame([(1, 10)], "k long, v long"))
+    t.drop()
+
+
+def test_agg_keys_replace_deterministic_under_shuffled_partitions(spark):
+    # same rows, adversarial partition layouts — REPLACE must always
+    # pick the newest-by-version row, never "last seen in a partition"
+    rows = [(1, i, i * 10) for i in range(20)]
+    for seed in range(3):
+        shuffled = rows[seed:] + rows[:seed]
+        t = ManagedTable.create(
+            spark, TableModel.AGG_KEYS, ["k"],
+            agg_spec={"v": "replace"}, version_cols=["ver"],
+        )
+        df = spark.createDataFrame(
+            shuffled, "k long, ver long, v long"
+        ).repartition(7)
+        t.insert(df)
+        assert _rows(t.read().select("k", "v")) == [(1, 190)]
+        t.drop()
+
+
+def test_merge_into_conditional_clauses(spark):
+    t = ManagedTable.create(spark, TableModel.PRIMARY_KEYS, ["k"])
+    t.insert(spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, 30.0), (4, 40.0)], "k long, v double"
+    ))
+    src = spark.createDataFrame(
+        [(1, 100.0), (2, 1.0), (3, 2.0), (8, 80.0), (9, 90.0)],
+        "k long, v double",
+    )
+    t.merge_into(
+        src,
+        when_matched=[
+            # clause order matters: k=1 hits the update even though a
+            # later delete-all clause would also match
+            {"condition": "s.v >= 50", "update": {"v": "t.v + s.v"}},
+            {"condition": "t.v < 0", "delete": True},
+        ],
+        insert_condition="s.k % 2 = 0",
+    )
+    # k=1: clause1 update (10+100); k=2: clause2 delete; k=3: matched,
+    # no clause fires -> kept as-is; k=4: only-target kept; k=8:
+    # insert (even); k=9: not inserted (odd)
+    assert _rows(t.read()) == [(1, 110.0), (3, 30.0), (4, 40.0), (8, 80.0)]
+    t.drop()
+
+
+def test_merge_into_matched_delete_without_insert(spark):
+    t = ManagedTable.create(spark, TableModel.PRIMARY_KEYS, ["k"])
+    t.insert(spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double"))
+    src = spark.createDataFrame([(1, 0.0), (7, 7.0)], "k long, v double")
+    t.merge_into(
+        src,
+        when_matched=[{"delete": True}],
+        insert_when_missing=False,
+    )
+    assert _rows(t.read()) == [(2, 2.0)]
+    t.drop()
+
+
 def test_dup_keys_append_lossless(spark):
     t = ManagedTable.create(spark, TableModel.DUP_KEYS, ["k"])
     d = spark.createDataFrame([(1, "x"), (1, "x"), (2, "y")], "k long, s string")
