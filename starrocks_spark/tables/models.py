@@ -46,6 +46,8 @@ from enum import Enum
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from starrocks_spark.operators import sketches
+
 
 class TableModel(str, Enum):
     DUP_KEYS = "dup"
@@ -130,10 +132,31 @@ class ManagedTable:
 
     # ----------------------------------------------------------------- rollup
 
-    def _rollup(self, df: DataFrame) -> DataFrame:
-        """AGG_KEYS ingest/compaction rollup: one row per key tuple."""
+    def _rollup(self, df: DataFrame, *, ingest: bool = False) -> DataFrame:
+        """AGG_KEYS ingest/compaction rollup: one row per key tuple.
+
+        ``ingest=True`` is the raw-batch phase; sketch-typed value
+        columns (hll_union / percentile_union) build their state from
+        raw values there, and MERGE stored states on the read/compact
+        path (reference: hll_union.h / percentile_union.h — ingest
+        hashes values into the sketch, compaction unions sketches).
+        """
         aggs = []
         for col, how in self.agg_spec.items():
+            if how == "hll_union":
+                aggs.append(
+                    (sketches.hll_state(col) if ingest
+                     else sketches.hll_merge(col)).alias(col)
+                )
+                continue
+            if isinstance(how, tuple) and how[0] == "percentile_union":
+                params = how[1]
+                w, b = params["width"], params["buckets"]
+                aggs.append(
+                    (sketches.pct_state(F.col(col), w, b) if ingest
+                     else sketches.pct_merge(col, b)).alias(col)
+                )
+                continue
             if how == "replace":
                 # The reference's REPLACE is load-order-defined; a Spark
                 # batch groupBy has no such order, so an order-free
@@ -188,7 +211,7 @@ class ManagedTable:
         if self.model == TableModel.AGG_KEYS:
             # map-side combine before storage: the batch is rolled up on
             # its keys; cross-rowset merge happens at read/compaction.
-            self._write(self._rollup(batch), "append")
+            self._write(self._rollup(batch, ingest=True), "append")
             return
         # UNIQUE / PRIMARY upsert — merge-on-write
         if not self._exists():
