@@ -175,54 +175,72 @@ def simhash_pairs(
     )
 
 
+def capped_blocks(blocked: DataFrame, block_col: str,
+                  block_cap: int) -> DataFrame:
+    """Drop blocks larger than ``block_cap`` rows. The cap converts the
+    self-join's worst case from O(corpus²) (one mega-block of
+    boilerplate) to O(Σ cap·block_i) — the property that keeps blocked
+    dedup alive at 100 TB. An oversized LSH block is near-boilerplate
+    by construction (thousands of docs sharing a signature band), which
+    pipelines handle as a separate boilerplate pass, not pairwise.
+    One extra aggregation on the (small) block table; no data scan."""
+    sizes = blocked.groupBy(block_col).agg(F.count(F.lit(1)).alias("_bn"))
+    return blocked.join(
+        F.broadcast(sizes.filter(F.col("_bn") <= block_cap)), block_col
+    ).drop("_bn")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
-    block_cols: tuple[str, ...] = ("lang",),
+    k: int = 16,
+    bands: int = 4,
+    rows: int = 4,
+    block_cap: int = 1000,
 ) -> DataFrame:
-    """Exact n-gram Jaccard within cheap blocking keys (default: same
-    lang + same 100-char length bucket). The all-pairs comparison is
-    confined to each block; at scale the block key bounds the
-    quadratic term."""
-    words_tbl = _persist(
-        _spread(
-            df.select(F.col(id_col).alias("_id"), F.col(text_col),
-                      *[F.col(c) for c in block_cols]),
-            "_id",
-        ).select(
-            "_id",
-            T.norm_words(F.col(text_col)).alias("_words"),
-            (F.length(text_col) / F.lit(100)).cast("long").alias("_lenb"),
-            *[F.col(c) for c in block_cols],
+    """Exact n-gram Jaccard over LSH-band candidate blocks.
+
+    Earlier design blocked on (lang, length-bucket) — unbounded block
+    sizes (an `en` block is most of a corpus → quadratic self-join).
+    Blocks now come from MinHash LSH bands over the same n-gram
+    shingle sets the verification uses, so block membership correlates
+    with the metric being thresholded, block sizes are bounded by
+    ``capped_blocks``, and the self-join shuffles only (id, band)."""
+    base = shingle_table(df, id_col, text_col, n)
+    banded = _persist(
+        capped_blocks(
+            base.select(
+                "_id",
+                F.explode(
+                    T.lsh_bands(T.minhash_signature(F.col("_sh"), k),
+                                bands, rows)
+                ).alias("_band"),
+            ),
+            "_band",
+            block_cap,
         )
     )
-    base = _persist(
-        words_tbl.select(
-            "_id",
-            T.shingles(F.col("_words"), n).alias("_sh"),
-            "_lenb",
-            *[F.col(c) for c in block_cols],
-        )
+    pairs = (
+        banded.select("_band", F.col("_id").alias("id_a"))
+        .join(banded.select("_band", F.col("_id").alias("id_b")), "_band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
     )
-    a = base.select(
-        F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a"), "_lenb",
-        *[F.col(c).alias(f"_ba_{c}") for c in block_cols],
+    verified = (
+        pairs.join(base.select(F.col("_id").alias("id_a"),
+                               F.col("_sh").alias("_sh_a")), "id_a")
+        .join(base.select(F.col("_id").alias("id_b"),
+                          F.col("_sh").alias("_sh_b")), "id_b")
     )
-    b = base.select(
-        F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b"),
-        F.col("_lenb").alias("_lenb2"),
-        *[F.col(c).alias(f"_bb_{c}") for c in block_cols],
-    )
-    cond = (F.col("id_a") < F.col("id_b")) & (F.col("_lenb") == F.col("_lenb2"))
-    for c in block_cols:
-        cond = cond & (F.col(f"_ba_{c}") == F.col(f"_bb_{c}"))
     inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
     union = (F.size("_sh_a") + F.size("_sh_b") - inter).cast("double")
     return (
-        a.join(b, cond)
-        .select("id_a", "id_b", (inter.cast("double") / union).alias("jaccard"))
+        verified.select(
+            "id_a", "id_b", (inter.cast("double") / union).alias("jaccard")
+        )
         .filter(F.col("jaccard") >= threshold)
     )

@@ -56,23 +56,43 @@ def lsh_bucketed_topk(
     k: int = 5,
     planes: int = 8,
     dim: int = 64,
+    probes: int = 0,
 ) -> DataFrame:
     """Approximate top-k: candidates = corpus vectors in the query's
-    LSH bucket; exact cosine + rank within the bucket only."""
+    LSH bucket; exact cosine + rank within the candidate set only.
+
+    ``probes`` > 0 is the recall knob (multi-probe LSH): each query
+    additionally probes the ``probes`` neighbor buckets at Hamming
+    distance 1 (lowest plane bits flipped first). A vector whose
+    projection sits near one hyperplane lands in the neighbor bucket;
+    probing recovers it for ~(1+probes)/2^planes of the corpus scanned
+    instead of 1/2^planes — cost stays an equi-join, recall climbs
+    toward brute force as probes → planes."""
+    probe_list = [0] + [1 << p for p in range(min(probes, planes))]
     q = queries.select(
         F.col(query_id),
         F.col(vec_col).alias("_qv"),
-        V.lsh_bucket(F.col(vec_col), planes, dim).alias("_bucket"),
+        F.explode(
+            F.array(*[
+                V.lsh_bucket(F.col(vec_col), planes, dim)
+                .bitwiseXOR(F.lit(flip)) for flip in probe_list
+            ])
+        ).alias("_bucket"),
     )
     c = corpus.select(
         F.col(corpus_id),
         F.col(vec_col).alias("_cv"),
         V.lsh_bucket(F.col(vec_col), planes, dim).alias("_bucket"),
     )
-    scored = F.broadcast(q).join(c, "_bucket").select(
-        query_id,
-        corpus_id,
-        V.cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+    scored = (
+        F.broadcast(q).join(c, "_bucket")
+        # a corpus vector can match several probe buckets of one query
+        .dropDuplicates([query_id, corpus_id])
+        .select(
+            query_id,
+            corpus_id,
+            V.cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.col(corpus_id))
     return (
@@ -86,18 +106,35 @@ def cosine_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    block_col: str = "label",
     threshold: float = 0.9,
+    planes: int = 8,
+    dim: int = 64,
+    block_cap: int = 2000,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs within a blocking key
-    (exact within block; at scale the block comes from LSH buckets)."""
-    a = df.select(
-        F.col(block_col).alias("_blk"),
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"),
+    """Embedding-cosine near-duplicate pairs, blocked by random-
+    hyperplane LSH bucket with a per-block size cap.
+
+    Earlier design blocked on a label column — unbounded block sizes
+    (at 100 TB one label is most of the corpus → quadratic self-join).
+    Hyperplane buckets shrink exponentially in ``planes`` (corpus/2^p
+    expected), correlate with cosine similarity (near-dup vectors sign-
+    agree on most projections), and the cap bounds the worst block."""
+    from starrocks_spark.operators.dedup import capped_blocks
+
+    base = capped_blocks(
+        df.select(
+            F.col(id_col),
+            F.col(vec_col).alias("_v"),
+            V.lsh_bucket(F.col(vec_col), planes, dim).alias("_blk"),
+        ),
+        "_blk",
+        block_cap,
     )
-    b = df.select(
-        F.col(block_col).alias("_blk"),
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"),
+    a = base.select(
+        "_blk", F.col(id_col).alias("id_a"), F.col("_v").alias("_va")
+    )
+    b = base.select(
+        "_blk", F.col(id_col).alias("id_b"), F.col("_v").alias("_vb")
     )
     return (
         a.join(b, "_blk")
@@ -107,4 +144,5 @@ def cosine_dup_pairs(
             V.cosine(F.col("_va"), F.col("_vb")).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
     )

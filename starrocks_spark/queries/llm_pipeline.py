@@ -248,40 +248,64 @@ ORDER BY id_a, id_b
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact bigram-Jaccard with LSH-band blocking + block cap (the
+    scale-safe successor of (lang, length-bucket) blocking, whose
+    block sizes were unbounded)."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(docs, threshold=0.5).orderBy("id_a", "id_b")
+    return dedup.ngram_jaccard_pairs(
+        docs, n=2, threshold=0.6, block_cap=1000
+    ).orderBy("id_a", "id_b")
 
 
 def _sql_dedup_ngram_jaccard() -> str:
-    sh = T.sql_shingles(_WORDS, 3)
+    sh = T.sql_shingles(_WORDS, 2)
+    sig = T.sql_minhash_signature("sh", 16)
+    bands = T.sql_lsh_bands("sig", 4, 4)
+    jac = (
+        "len(list_intersect(sa.sh, sb.sh))::DOUBLE"
+        " / (len(sa.sh) + len(sb.sh)"
+        " - len(list_intersect(sa.sh, sb.sh)))::DOUBLE"
+    )
     return f"""
-WITH base AS (
-  SELECT doc_id, lang, (length(text) / 100)::BIGINT AS lenb, {sh} AS sh
-  FROM documents
+WITH base AS (SELECT doc_id, {sh} AS sh FROM documents),
+sigs AS (SELECT doc_id, sh, {sig} AS sig FROM base),
+banded AS (SELECT doc_id, unnest({bands}) AS band FROM sigs),
+ok AS (SELECT band FROM banded GROUP BY band HAVING COUNT(*) <= 1000),
+capped AS (SELECT banded.* FROM banded JOIN ok USING (band)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM capped a JOIN capped b ON a.band = b.band
+  WHERE a.doc_id < b.doc_id
 )
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       len(list_intersect(a.sh, b.sh))::DOUBLE
-         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE
-         AS jaccard
-FROM base a JOIN base b
-  ON a.lang = b.lang AND a.lenb = b.lenb AND a.doc_id < b.doc_id
-WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE >= 0.5
+SELECT id_a, id_b, {jac} AS jaccard
+FROM pairs
+JOIN base sa ON sa.doc_id = id_a
+JOIN base sb ON sb.doc_id = id_b
+WHERE {jac} >= 0.6
 ORDER BY id_a, id_b
 """
 
 
 def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine near-dup pairs blocked by hyperplane LSH bucket + cap
+    (scale-safe successor of label blocking)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.cosine_dup_pairs(emb, threshold=0.9).orderBy("id_a", "id_b")
+    return similarity.cosine_dup_pairs(
+        emb, threshold=0.9, planes=8, dim=64, block_cap=2000
+    ).orderBy("id_a", "id_b")
 
 
 def _sql_embedding_cosine_dups() -> str:
-    cos = V.sql_cosine("a.embedding", "b.embedding")
+    cos = V.sql_cosine("a.emb", "b.emb")
+    bkt = V.sql_lsh_bucket("embedding", 8, 64)
     return f"""
+WITH base AS (
+  SELECT vec_id, embedding AS emb, {bkt} AS blk FROM embeddings
+), ok AS (
+  SELECT blk FROM base GROUP BY blk HAVING COUNT(*) <= 2000
+), capped AS (SELECT base.* FROM base JOIN ok USING (blk))
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cos_sim
-FROM embeddings a JOIN embeddings b
-  ON a.label = b.label AND a.vec_id < b.vec_id
+FROM capped a JOIN capped b ON a.blk = b.blk AND a.vec_id < b.vec_id
 WHERE {cos} >= 0.9
 ORDER BY id_a, id_b
 """
@@ -349,6 +373,45 @@ ORDER BY q_id, rnk
 """
 
 
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-k (recall knob): each query also probes 2
+    neighbor buckets at Hamming distance 1 — recovers vectors whose
+    projection falls just across one hyperplane."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    c = emb.filter(F.col("vec_id") >= 20)
+    out = similarity.lsh_bucketed_topk(q, c, k=5, planes=4, probes=2)
+    return out.select(
+        "q_id", F.col("rank").alias("rnk"), "vec_id", "cos_sim"
+    ).orderBy("q_id", "rnk")
+
+
+def _sql_ann_lsh_multiprobe() -> str:
+    cos = V.sql_cosine("qv", "cv")
+    bq = V.sql_lsh_bucket("qv", 4)
+    bc = V.sql_lsh_bucket("cv", 4)
+    return f"""
+WITH q0 AS (SELECT vec_id AS q_id, qv, {bq} AS b
+            FROM (SELECT vec_id, embedding AS qv FROM embeddings
+                  WHERE vec_id < 20)),
+q AS (SELECT q_id, qv, unnest([b, xor(b, 1::BIGINT), xor(b, 2::BIGINT)])
+        AS bucket FROM q0),
+c AS (SELECT vec_id, cv, {bc} AS bucket
+      FROM (SELECT vec_id, embedding AS cv FROM embeddings
+            WHERE vec_id >= 20)),
+scored AS (SELECT DISTINCT q_id, c.vec_id, {cos} AS cos_sim
+           FROM q JOIN c ON q.bucket = c.bucket),
+ranked AS (SELECT q_id, vec_id, cos_sim,
+                  row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cos_sim DESC, vec_id) AS rnk
+           FROM scored)
+SELECT q_id, rnk, vec_id, cos_sim FROM ranked WHERE rnk <= 5
+ORDER BY q_id, rnk
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 
@@ -380,6 +443,7 @@ QUERIES = {
     "embedding_cosine_dups": embedding_cosine_dups,
     "ann_brute_force": ann_brute_force,
     "ann_lsh_bucketed": ann_lsh_bucketed,
+    "ann_lsh_multiprobe": ann_lsh_multiprobe,
     "multimodal_decode_meta": multimodal_decode_meta,
 }
 
@@ -395,5 +459,6 @@ ORACLE = {
     "embedding_cosine_dups": _sql_embedding_cosine_dups(),
     "ann_brute_force": _sql_ann_brute_force(),
     "ann_lsh_bucketed": _sql_ann_lsh_bucketed(),
+    "ann_lsh_multiprobe": _sql_ann_lsh_multiprobe(),
     "multimodal_decode_meta": _MULTIMODAL_SQL,
 }

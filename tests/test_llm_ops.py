@@ -44,13 +44,68 @@ def test_simhash_identical_docs(spark):
 
 def test_ngram_jaccard_pairs(spark):
     df = spark.createDataFrame(
-        [(1, "a b c d e f", "en"), (2, "a b c d e f", "en"),
-         (3, "a b c d e f", "fr")],  # other lang → other block
-        ["doc_id", "text", "lang"],
+        [(1, "a b c d e f"), (2, "a b c d e f"),
+         (3, "q r s t u v w x")],  # disjoint shingles → no LSH band match
+        ["doc_id", "text"],
     )
     pairs = dedup.ngram_jaccard_pairs(df).collect()
     assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
     assert pairs[0]["jaccard"] == 1.0
+
+
+def test_ngram_jaccard_block_cap_drops_boilerplate_block(spark):
+    # 30 identical docs form one oversized LSH band per band index;
+    # cap=10 drops them all (boilerplate goes to a dedicated pass, not
+    # a quadratic self-join), a loose cap keeps all 435 pairs
+    df = spark.createDataFrame(
+        [(i, "same boilerplate text repeated everywhere forever")
+         for i in range(30)],
+        ["doc_id", "text"],
+    )
+    assert dedup.ngram_jaccard_pairs(df, block_cap=10).count() == 0
+    assert dedup.ngram_jaccard_pairs(df, block_cap=1000).count() == 435
+
+
+def test_cosine_dup_pairs_lsh_blocked(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0] * 64), (2, [1.0] * 64),
+         (3, [(-1.0) ** i * 1.0 for i in range(64)])],
+        ["vec_id", "embedding"],
+    )
+    pairs = similarity.cosine_dup_pairs(df, threshold=0.99).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+    # cap of 1 drops every block with >1 member → nothing to compare
+    assert similarity.cosine_dup_pairs(df, block_cap=1).count() == 0
+
+
+def test_multiprobe_recall_not_below_single_bucket(spark, sf_dir):
+    from starrocks_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    c = emb.filter(F.col("vec_id") >= 20)
+    truth = {
+        (r["q_id"], r["vec_id"])
+        for r in similarity.brute_force_topk(q, c, k=5).collect()
+    }
+
+    def recall(probes):
+        got = {
+            (r["q_id"], r["vec_id"])
+            for r in similarity.lsh_bucketed_topk(
+                q, c, k=5, planes=4, probes=probes
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r0, r3 = recall(0), recall(3)
+    assert r3 >= r0
+    # deterministic dataset: probing 3 extra buckets (4/16 of the
+    # corpus scanned) must recover meaningfully more than the single
+    # bucket (1/16 scanned)
+    assert r3 >= max(0.35, r0 + 0.1)
 
 
 def test_brute_force_topk_exact(spark):
