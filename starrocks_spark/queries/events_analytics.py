@@ -198,6 +198,56 @@ ORDER BY level
 """
 
 
+_FUNNEL_FIXTURE = [
+    (1, "A", 0), (1, "B", 10), (1, "C", 20),
+    (2, "A", 0), (2, "A", 10), (2, "B", 20), (2, "C", 30),
+    (3, "A", 0), (3, "B", 10), (3, "B", 20), (3, "C", 30),
+    (4, "B", 0), (4, "A", 10), (4, "C", 20), (4, "B", 30), (4, "C", 40),
+    (5, "A", 0), (5, "B", 150), (5, "C", 160),
+    (6, "A", 0), (6, "B", 0), (6, "C", 0),
+    (7, "B", 0), (7, "C", 10),
+]
+
+# hand-computed per window_funnel.h semantics (window=100s):
+# u3 separates DEDUPLICATION (repeat B kills the chain), u4 separates
+# FIXED (leap C before B kills it), u6 separates INCREASE (equal ts).
+_FUNNEL_MODE_EXPECTED = {
+    0: {1: 3, 2: 3, 3: 3, 4: 3, 5: 1, 6: 3, 7: 0},
+    1: {1: 3, 2: 3, 3: 2, 4: 3, 5: 1, 6: 3, 7: 0},
+    2: {1: 3, 2: 3, 3: 3, 4: 1, 5: 1, 6: 3, 7: 0},
+    3: {1: 3, 2: 3, 3: 2, 4: 1, 5: 1, 6: 3, 7: 0},
+    4: {1: 3, 2: 3, 3: 3, 4: 3, 5: 1, 6: 1, 7: 0},
+}
+
+
+def funnel_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """window_funnel mode flags (dedup=1 / fixed=2 / increase=4;
+    be/src/exprs/agg/window_funnel.h) over a fixture whose per-mode
+    levels are hand-computed — the oracle is that expected table, so a
+    semantic drift in any mode's state machine fails the hash."""
+    from starrocks_spark.operators.funnel import window_funnel_modes
+
+    df = spark.createDataFrame(
+        _FUNNEL_FIXTURE, "user_id long, event_type string, tsec long"
+    ).select(
+        "user_id", "event_type", F.timestamp_seconds("tsec").alias("ts")
+    )
+    out = None
+    for m in sorted(_FUNNEL_MODE_EXPECTED):
+        lv = window_funnel_modes(
+            df, ["A", "B", "C"], window_seconds=100, mode=m
+        ).select(F.lit(m).alias("mode"), "user_id", "level")
+        out = lv if out is None else out.unionByName(lv)
+    return out.orderBy("mode", "user_id")
+
+
+_FUNNEL_MODES_SQL = "SELECT * FROM (VALUES\n" + ",\n".join(
+    f"  ({m}, {u}, {lvl})"
+    for m in sorted(_FUNNEL_MODE_EXPECTED)
+    for u, lvl in sorted(_FUNNEL_MODE_EXPECTED[m].items())
+) + "\n) AS t(mode, user_id, level) ORDER BY mode, user_id"
+
+
 def retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """retention([active w1, active w2, purchased w3]) cohort counts."""
     ev = load_table(spark, sf_dir, "events")
@@ -325,6 +375,7 @@ QUERIES = {
     "asof_inner_tolerance": asof_inner_tolerance,
     "sessionize_stats": sessionize_stats,
     "funnel_counts": funnel_counts,
+    "funnel_modes": funnel_modes,
     "retention_weekly": retention_weekly,
     "tumbling_hourly": tumbling_hourly,
     "time_slice_quarter_hour": time_slice_quarter_hour,
@@ -336,6 +387,7 @@ ORACLE = {
     "asof_inner_tolerance": _ASOF_INNER_SQL,
     "sessionize_stats": _SESSIONIZE_SQL,
     "funnel_counts": _FUNNEL_SQL,
+    "funnel_modes": _FUNNEL_MODES_SQL,
     "retention_weekly": _RETENTION_SQL,
     "tumbling_hourly": _TUMBLING_SQL,
     "time_slice_quarter_hour": _TIME_SLICE_SQL,

@@ -19,9 +19,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from datetime import date
+
 from starrocks_spark.catalog import load_table
 from starrocks_spark.queries._util import fixed, sql_dsum, sql_fixed
 from starrocks_spark.tables.models import ManagedTable, TableModel
+from starrocks_spark.tables.partitioning import RangePartitioning
 
 _SCALE = 10_000.0
 
@@ -242,6 +245,51 @@ WHERE NOT (tk IS NOT NULL AND sk IS NOT NULL
 """
 
 
+def table_range_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-partitioned table (RangePartitionInfo.java:76) + FE-style
+    partition pruning: events land in weekly [lower, upper) partitions
+    by event_date; a date-range read prunes to the two intersecting
+    partitions (directory pruning via the generated __part column)
+    before the residual row filter."""
+    scheme = RangePartitioning("event_date", [
+        ("w1", date(2024, 1, 8)),
+        ("w2", date(2024, 1, 15)),
+        ("w3", date(2024, 1, 22)),
+        ("w4", date(2024, 1, 29)),
+        ("w5", date(2024, 2, 5)),
+    ])
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.to_date("ts").alias("event_date")
+    )
+    t = ManagedTable.create(
+        spark, TableModel.DUP_KEYS, ["event_id"], partition_scheme=scheme,
+    )
+    t.insert(events)
+    lo, hi = date(2024, 1, 10), date(2024, 1, 20)
+    names = scheme.prune_range(lo, hi)
+    assert names == ["w2", "w3"]  # metadata-only pruning decision
+    return (
+        t.read_partitions(names)
+        .filter(F.col("event_date").between(F.lit(lo), F.lit(hi)))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("event_date").alias("n_days"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_RANGE_PRUNE_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       COUNT(DISTINCT CAST(ts AS DATE)) AS n_days
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-20'
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def table_dup_keys_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DUP_KEYS append-only fact table: 4 batch appends then an
     aggregate scan — batches must be lossless and order-free."""
@@ -276,11 +324,13 @@ QUERIES = {
     "table_primary_upsert_delete": table_primary_upsert_delete,
     "table_merge_into_customers": table_merge_into_customers,
     "table_merge_conditional": table_merge_conditional,
+    "table_range_partition_prune": table_range_partition_prune,
     "table_dup_keys_batches": table_dup_keys_batches,
 }
 
 ORACLE = {
     "table_merge_conditional": _MERGE_COND_SQL,
+    "table_range_partition_prune": _RANGE_PRUNE_SQL,
     "table_agg_keys_rollup": _AGG_KEYS_SQL,
     "table_primary_upsert_delete": _PRIMARY_SQL,
     "table_merge_into_customers": _MERGE_SQL,

@@ -84,6 +84,7 @@ _PRIORITY = [
     "agg_pushdown_nation_revenue",
     # events / behavioral analytics
     "funnel_counts",
+    "funnel_modes",
     "retention_weekly",
     "sessionize_stats",
     "tumbling_hourly",
@@ -110,6 +111,7 @@ _PRIORITY = [
     "table_primary_upsert_delete",
     "table_merge_into_customers",
     "table_merge_conditional",
+    "table_range_partition_prune",
     "mv_incremental_refresh",
     # aggregate library
     "agg_group_concat",
@@ -122,9 +124,7 @@ _PRIORITY = [
     # bitmap value functions
     "func_bitmap_value_ops",
     # scalar function families
-    "func_date_family",
     "func_math_family",
-    "func_hash_family",
     "func_array_higher_order",
     "func_map_family",
     "func_variant_type",

@@ -47,6 +47,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from starrocks_spark.operators import sketches
+from starrocks_spark.tables.partitioning import (
+    PART_COL,
+    PartitionScheme,
+    with_partition_col,
+)
 
 
 class TableModel(str, Enum):
@@ -82,6 +87,10 @@ class ManagedTable:
     agg_spec: dict[str, str] = field(default_factory=dict)
     version_cols: list[str] = field(default_factory=list)
     partition_by: str | None = None
+    # range/list/expression partitioning (tables/partitioning.py):
+    # derives the generated __part column; insert validates membership,
+    # scans prune directories via __part predicates
+    partition_scheme: PartitionScheme | None = None
 
     # ------------------------------------------------------------------ util
 
@@ -90,14 +99,18 @@ class ManagedTable:
                key_cols: list[str], *, path: str | None = None,
                agg_spec: dict[str, str] | None = None,
                version_cols: list[str] | None = None,
-               partition_by: str | None = None) -> "ManagedTable":
+               partition_by: str | None = None,
+               partition_scheme: PartitionScheme | None = None) -> "ManagedTable":
         path = path or os.path.join(
             tempfile.gettempdir(), f"sr_table_{uuid.uuid4().hex[:12]}"
         )
+        if partition_by and partition_scheme:
+            raise ValueError("pass partition_by or partition_scheme, not both")
         shutil.rmtree(path, ignore_errors=True)
         return cls(spark, path, model, list(key_cols),
                    dict(agg_spec or {}), list(version_cols or []),
-                   partition_by)
+                   PART_COL if partition_scheme else partition_by,
+                   partition_scheme)
 
     def drop(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)
@@ -203,8 +216,17 @@ class ManagedTable:
 
     # ------------------------------------------------------------------- DML
 
+    def read_partitions(self, names: list[str]) -> DataFrame:
+        """Partition-pruned scan: __part IN (names) reaches the parquet
+        source as a PartitionFilter → only matching directories are
+        read (the FE pruner's output applied to the scan)."""
+        return self.read().filter(F.col(PART_COL).isin(*names))
+
     def insert(self, batch: DataFrame) -> None:
         """INSERT a batch with model semantics (StarRocks.g4:1346)."""
+        if self.partition_scheme is not None and PART_COL not in batch.columns:
+            # load-time partition assignment + membership validation
+            batch = with_partition_col(batch, self.partition_scheme)
         if self.model == TableModel.DUP_KEYS:
             self._write(batch, "append")
             return
@@ -242,6 +264,12 @@ class ManagedTable:
         for col, expr in assignments.items():
             df = df.withColumn(
                 col, F.when(cond, F.expr(expr)).otherwise(F.col(col))
+            )
+        if self.partition_scheme is not None and \
+                self.partition_scheme.column in assignments:
+            # partition column changed → re-derive __part (row migration)
+            df = with_partition_col(
+                df.drop(PART_COL), self.partition_scheme
             )
         self._rewrite(df)
 

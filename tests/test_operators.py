@@ -147,3 +147,29 @@ def test_rollup_join_requires_explicit_merge(spark):
             [(dim, F.col("k") == F.col("k2"))],
             ["name"],
         )
+
+
+def test_window_funnel_modes_reference_semantics(spark):
+    """Hand-computed fixture per window_funnel.h: u3 separates
+    DEDUPLICATION, u4 separates FIXED, u6 separates INCREASE."""
+    from pyspark.sql import functions as F
+
+    from starrocks_spark.operators.funnel import window_funnel_modes
+    from starrocks_spark.queries.events_analytics import (
+        _FUNNEL_FIXTURE,
+        _FUNNEL_MODE_EXPECTED,
+    )
+
+    df = spark.createDataFrame(
+        _FUNNEL_FIXTURE, "user_id long, event_type string, tsec long"
+    ).select(
+        "user_id", "event_type", F.timestamp_seconds("tsec").alias("ts")
+    )
+    for mode, expected in _FUNNEL_MODE_EXPECTED.items():
+        got = {
+            r["user_id"]: r["level"]
+            for r in window_funnel_modes(
+                df, ["A", "B", "C"], window_seconds=100, mode=mode
+            ).collect()
+        }
+        assert got == expected, f"mode {mode}: {got} != {expected}"

@@ -147,3 +147,83 @@ def test_dup_keys_append_lossless(spark):
     t.compact()
     assert t.read().count() == 6
     t.drop()
+
+
+def test_range_partition_prune_reads_only_matching_dirs(spark):
+    from datetime import date
+
+    from starrocks_spark.tables.partitioning import RangePartitioning
+
+    scheme = RangePartitioning("d", [
+        ("p1", date(2024, 1, 10)),
+        ("p2", date(2024, 1, 20)),
+        ("p3", date(2024, 1, 30)),
+    ])
+    df = spark.createDataFrame(
+        [(i, date(2024, 1, 1 + i)) for i in range(28)], "k long, d date"
+    )
+    t = ManagedTable.create(
+        spark, TableModel.DUP_KEYS, ["k"], partition_scheme=scheme,
+    )
+    t.insert(df)
+    names = scheme.prune_range(date(2024, 1, 12), date(2024, 1, 25))
+    assert names == ["p2", "p3"]
+    pruned = t.read_partitions(names)
+    # physical proof: only the matching partition directories are read
+    files = {r[0] for r in
+             pruned.select(F.input_file_name()).distinct().collect()}
+    assert files and all("__part=p2" in f or "__part=p3" in f for f in files)
+    assert pruned.count() == 19  # days 10..28
+    t.drop()
+
+
+def test_range_partition_rejects_out_of_range(spark):
+    import pytest
+    from datetime import date
+
+    from starrocks_spark.tables.partitioning import RangePartitioning
+
+    scheme = RangePartitioning("d", [("p1", date(2024, 1, 10))])
+    t = ManagedTable.create(
+        spark, TableModel.DUP_KEYS, ["k"], partition_scheme=scheme,
+    )
+    with pytest.raises(ValueError, match="no partition"):
+        t.insert(spark.createDataFrame(
+            [(1, date(2024, 2, 1))], "k long, d date"
+        ))
+    t.drop()
+
+
+def test_list_partitioning_and_expression_partitioning(spark):
+    from datetime import date
+
+    from starrocks_spark.tables.partitioning import (
+        ExpressionPartitioning,
+        ListPartitioning,
+    )
+
+    lp = ListPartitioning("region", {
+        "west": ["CA", "OR"], "east": ["NY"],
+    })
+    t = ManagedTable.create(
+        spark, TableModel.DUP_KEYS, ["k"], partition_scheme=lp,
+    )
+    t.insert(spark.createDataFrame(
+        [(1, "CA"), (2, "NY"), (3, "OR")], "k long, region string"
+    ))
+    assert lp.prune_values(["CA"]) == ["west"]
+    assert sorted(tuple(r) for r in
+                  t.read_partitions(["west"]).select("k").collect()) == \
+        [(1,), (3,)]
+    t.drop()
+
+    ep = ExpressionPartitioning("d", lambda c: F.date_trunc("month", c))
+    t2 = ManagedTable.create(
+        spark, TableModel.DUP_KEYS, ["k"], partition_scheme=ep,
+    )
+    t2.insert(spark.createDataFrame(
+        [(1, date(2024, 1, 5)), (2, date(2024, 2, 5))], "k long, d date"
+    ))
+    parts = {r[0] for r in t2.read().select("__part").distinct().collect()}
+    assert len(parts) == 2  # auto-created monthly partitions
+    t2.drop()
