@@ -17,6 +17,7 @@ from starrocks_spark.queries import (
     analytics,
     bitmap_queries,
     complex_types,
+    connector_queries,
     dialect_queries,
     events_analytics,
     joins_misc,
@@ -57,6 +58,7 @@ _MODULES = [
     unnest_multi,
     bitmap_queries,
     sketch_queries,
+    connector_queries,
 ]
 
 # The driver's correctness gate checks the FIRST ~50 registered queries
@@ -73,6 +75,8 @@ _PRIORITY = [
     # fixed round-1 driver failures first (proof of the oracle-typing fix)
     "tpch_q12_shipmode_priority",
     "json_extract_props",
+    # external connector scan (DSv2 Python DataSource over DuckDB)
+    "connector_duckdb_scan",
     # core scan/agg + join anchor (q1 itself is covered by the entry()
     # smoke check, so q12+q21 carry the TPC-H family here)
     "tpch_q21_suppliers_kept_waiting",
@@ -126,7 +130,6 @@ _PRIORITY = [
     # scalar function families
     "func_math_family",
     "func_array_higher_order",
-    "func_map_family",
     "func_variant_type",
     "func_bit_ops",
     # dialect / recursion

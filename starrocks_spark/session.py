@@ -43,6 +43,8 @@ OLAP_CONF: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # --- Arrow for any pandas-UDF path (sketches, ANN, multimodal)
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # --- predicate pushdown into Python DataSource connectors
+    "spark.sql.python.filterPushdown.enabled": "true",
     # --- determinism: UTC everywhere so results match the DuckDB oracle
     "spark.sql.session.timeZone": "UTC",
     # --- parquet TIMESTAMP(NANOS) (events.ts) is only readable as a raw
