@@ -131,13 +131,20 @@ def sql_lsh_bands(sig: str, bands: int = 4, rows: int = 4) -> str:
 
 
 # ---------------------------------------------------------------------------
-# SimHash (64-bit, row-local)
+# SimHash (60-bit, row-local)
 
-_SIMHASH_BITS = 48
+# 60 bits = every bit of hash60 (the widest portable signature the
+# md5-prefix hash provides); 4 chunks of 15 bits each → 32768 candidate
+# buckets per chunk (8× the old 48-bit/12-bit layout), so expected
+# chunk-block size is corpus/32768 and the pigeonhole guarantee
+# (hamming ≤ 3 ⇒ one of 4 chunks identical) is preserved.
+_SIMHASH_BITS = 60
+SIMHASH_CHUNKS = 4
+SIMHASH_CHUNK_BITS = _SIMHASH_BITS // SIMHASH_CHUNKS  # 15
 
 
-def simhash48(word_hashes: Column) -> Column:
-    """48-bit SimHash from an array of word hashes: bit j is set when
+def simhash60(word_hashes: Column) -> Column:
+    """60-bit SimHash from an array of word hashes: bit j is set when
     the sum over words of ±1 (sign of word-hash bit j) is positive.
     Entirely row-local array math — zero shuffles, zero UDFs. The bit
     loop is unrolled statically so every shift amount is a literal.
@@ -163,7 +170,7 @@ def simhash48(word_hashes: Column) -> Column:
 
 
 def word_hashes(words: Column) -> Column:
-    """Distinct-word hash array (input to simhash48)."""
+    """Distinct-word hash array (input to simhash60)."""
     return F.transform(F.array_distinct(words), hash60)
 
 
@@ -172,8 +179,8 @@ def sql_word_hashes(words: str) -> str:
     return f"list_transform(list_distinct({words}), w -> {h})"
 
 
-def sql_simhash48(hashes_col: str) -> str:
-    """DuckDB twin of simhash48; ``hashes_col`` must reference an
+def sql_simhash60(hashes_col: str) -> str:
+    """DuckDB twin of simhash60; ``hashes_col`` must reference an
     already-aliased array column (e.g. built via sql_word_hashes)."""
     bit_sum = (
         f"list_reduce(list_transform({hashes_col}, "
@@ -317,11 +324,19 @@ def sql_quality_features(text: str) -> dict[str, str]:
     }
 
 
+def _marker_membership(markers: tuple[str, ...]):
+    # Single-parameter lambda built via a factory: PySpark's higher-order
+    # function binding counts declared parameters (including defaulted
+    # ones), so a `lambda w, m=markers:` form would receive the positional
+    # INDEX as `m` and compare words against an integer.
+    return lambda w: w.isin(list(markers))
+
+
 def lang_scores(words: Column) -> dict[str, Column]:
     """Marker-word hit count per language (the n-gram-heuristic
     language-ID: argmax of these scores)."""
     return {
-        lang: F.size(F.filter(words, lambda w, m=markers: w.isin(m)))
+        lang: F.size(F.filter(words, _marker_membership(markers)))
         for lang, markers in _LANG_MARKERS.items()
     }
 

@@ -9,7 +9,7 @@ Scale design, same for every variant:
    functions/text.py — no UDFs), **materialized** via persist: the
    signature table is tiny next to the corpus, and the barrier stops
    Catalyst's CollapseProject from inlining the shingle expression
-   into every lambda reference (16× for minhash, 48× for simhash —
+   into every lambda reference (16× for minhash, 60× for simhash —
    measured 8× slowdown without the barrier). At petabyte scale this
    stage writes a parquet signature table instead of caching.
 2. a **candidate-generation equi-join** on a compact blocking key
@@ -89,21 +89,29 @@ def minhash_lsh_pairs(
     bands: int = 4,
     rows: int = 4,
     jaccard_threshold: float = 0.5,
+    block_cap: int = 1000,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-verified.
 
     signature (row-local, materialized) → explode band keys →
+    **capped** band blocks (one boilerplate mega-band would otherwise
+    yield O(block²) candidate pairs; see capped_blocks) →
     self-equi-join on band → distinct candidate id pairs → exact
     Jaccard via joins back to the shingle table → threshold filter.
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
     sh_tbl = shingle_table(df, id_col, text_col)
     banded = _persist(
-        sh_tbl.select(
-            "_id",
-            F.explode(
-                T.lsh_bands(T.minhash_signature(F.col("_sh"), k), bands, rows)
-            ).alias("_band"),
+        capped_blocks(
+            sh_tbl.select(
+                "_id",
+                F.explode(
+                    T.lsh_bands(T.minhash_signature(F.col("_sh"), k),
+                                bands, rows)
+                ).alias("_band"),
+            ),
+            "_band",
+            block_cap,
         )
     )
     pairs = (
@@ -134,11 +142,19 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    chunk_cap: int = 2000,
 ) -> DataFrame:
-    """SimHash near-dup pairs: 48-bit signature over word-bigram
-    features, candidates share one of four 12-bit chunks (pigeonhole:
+    """SimHash near-dup pairs: 60-bit signature over word-bigram
+    features, candidates share one of four 15-bit chunks (pigeonhole:
     hamming ≤ 3 ⇒ at least one chunk is identical), verified by exact
     Hamming distance.
+
+    Scale bound: 15-bit chunks give 32768 buckets per chunk position
+    (8× the old 12-bit layout), so the expected chunk-block size is
+    corpus/32768; ``chunk_cap`` bounds the worst block regardless, so
+    the self-join is O(Σ cap·block_i), never Θ(n²/buckets). Docs in an
+    over-cap chunk block are near-boilerplate and belong to a separate
+    boilerplate pass (see capped_blocks).
 
     Features are bigram shingles, not unigrams: on a small shared
     vocabulary every doc has nearly the same distinct word *set*, which
@@ -149,19 +165,25 @@ def simhash_pairs(
         bigram_tbl.select("_id", T.word_hashes(F.col("_sh")).alias("_wh"))
     )
     sigs = _persist(
-        wh_tbl.select("_id", T.simhash48(F.col("_wh")).alias("_sim"))
+        wh_tbl.select("_id", T.simhash60(F.col("_wh")).alias("_sim"))
     )
-    chunked = sigs.select(
-        "_id", "_sim",
-        F.explode(
-            F.array(*[
-                F.concat(
-                    F.lit(f"{j}|"),
-                    (F.shiftright(F.col("_sim"), 12 * j) % 4096).cast("string"),
-                )
-                for j in range(4)
-            ])
-        ).alias("_chunk"),
+    cb = T.SIMHASH_CHUNK_BITS
+    chunked = capped_blocks(
+        sigs.select(
+            "_id", "_sim",
+            F.explode(
+                F.array(*[
+                    F.concat(
+                        F.lit(f"{j}|"),
+                        (F.shiftright(F.col("_sim"), cb * j) % (1 << cb))
+                        .cast("string"),
+                    )
+                    for j in range(T.SIMHASH_CHUNKS)
+                ])
+            ).alias("_chunk"),
+        ),
+        "_chunk",
+        chunk_cap,
     )
     a = chunked.select("_chunk", F.col("_id").alias("id_a"), F.col("_sim").alias("_sim_a"))
     b = chunked.select("_chunk", F.col("_id").alias("id_b"), F.col("_sim").alias("_sim_b"))
