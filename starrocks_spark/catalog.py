@@ -33,10 +33,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Declarative read → Catalyst gets filter pushdown,
     column pruning and partition pruning for free.
 
-    events.ts is written as parquet TIMESTAMP(NANOS), which Spark's
-    reader only accepts as a raw long (nanosAsLong); convert to a
-    microsecond timestamp so it behaves like a normal TimestampType
-    (matches DuckDB's nanos→micros truncation).
+    events.ts has shipped both as parquet TIMESTAMP(NANOS) — which
+    Spark's reader only accepts as a raw long (nanosAsLong) — and as
+    plain TIMESTAMP(MICROS). Normalize on the actual read-back type so
+    either vintage of the testdata behaves like a normal TimestampType
+    (nanos→micros truncation matches DuckDB).
     """
     if name == "events":
         # nanosAsLong lives in session.py's static conf for get_spark()
@@ -46,7 +47,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":  # NANOS vintage
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":  # MICROS vintage
+            # instant semantics (unix_micros etc.) need TimestampType;
+            # identical wall-clock under the UTC session the oracle
+            # comparison already requires.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -487,7 +487,7 @@ def agg_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STATE_MERGE_SQL = """
 SELECT l_returnflag,
-       SUM(CAST(l_quantity AS BIGINT)) AS total_qty,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
        count(*) AS n_rows,
        min(l_extendedprice) AS min_price,
        max(l_extendedprice) AS max_price

@@ -139,7 +139,8 @@ SELECT l_orderkey,
          AS n_small,
        parts[1] AS first_part,
        len(parts[1:2]) AS n_sliced,
-       list_sum(list_transform(parts, p -> p * 2)) AS sum_self_zip
+       CAST(list_sum(list_transform(parts, p -> p * 2)) AS BIGINT)
+         AS sum_self_zip
 FROM per_order
 """
 

@@ -168,18 +168,81 @@ FROM shared
 
 
 # ---------------------------------------------------------------------------
+# planted-fixture augmentation
+#
+# The synthetic corpus is English-ish gibberish with zero exact
+# duplicates and no near-identical embeddings, which made the lang-ID /
+# exact-dedup / cosine-dedup checks vacuous (0 rows, or an all-'en'
+# matrix both engines agree on even when one is broken). Both engines
+# derive the SAME deterministic planted rows from the base tables —
+# marker-word docs per non-English language, exact-copy docs, exact-copy
+# vectors — so these checks now verify non-trivial answers without
+# touching the read-only testdata.
+
+_PLANT_TEXT = {
+    lang: " ".join(T._LANG_MARKERS[lang] * 3)
+    for lang in ("de", "es", "fr", "zh")
+}
+
+
+def _augmented_docs(docs: DataFrame, plant_markers: bool = False,
+                    plant_dups: bool = False) -> DataFrame:
+    out = docs
+    if plant_markers:
+        for lang, txt in sorted(_PLANT_TEXT.items()):
+            out = out.unionByName(
+                docs.filter((F.col("lang") == lang)
+                            & (F.col("doc_id") % 13 == 0))
+                .select(
+                    (F.col("doc_id") + 10_000_000).alias("doc_id"),
+                    F.lit(txt).alias("text"),
+                    F.col("lang"), F.col("source"),
+                    F.lit(len(txt)).cast("long").alias("n_chars"),
+                )
+            )
+    if plant_dups:
+        out = out.unionByName(
+            docs.filter(F.col("doc_id") % 37 == 0).select(
+                (F.col("doc_id") + 20_000_000).alias("doc_id"),
+                "text", "lang", "source", "n_chars",
+            )
+        )
+    return out
+
+
+def _sql_docs_aug(plant_markers: bool = False,
+                  plant_dups: bool = False) -> str:
+    parts = ["SELECT doc_id, text, lang, source, n_chars FROM documents"]
+    if plant_markers:
+        for lang, txt in sorted(_PLANT_TEXT.items()):
+            parts.append(
+                f"SELECT doc_id + 10000000, '{txt}', lang, source, "
+                f"CAST({len(txt)} AS BIGINT) FROM documents "
+                f"WHERE lang = '{lang}' AND doc_id % 13 = 0"
+            )
+    if plant_dups:
+        parts.append(
+            "SELECT doc_id + 20000000, text, lang, source, n_chars "
+            "FROM documents WHERE doc_id % 37 = 0"
+        )
+    return " UNION ALL ".join(parts)
+
+
+# ---------------------------------------------------------------------------
 # deduplication
 
 def dedup_exact_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _augmented_docs(load_table(spark, sf_dir, "documents"),
+                           plant_dups=True)
     return dedup.exact_duplicates(docs).orderBy("fingerprint")
 
 
 def _sql_dedup_exact() -> str:
     return f"""
+WITH documents_aug AS ({_sql_docs_aug(plant_dups=True)})
 SELECT md5(array_to_string({_WORDS}, ' ')) AS fingerprint,
        COUNT(*) AS cluster_size, MIN(doc_id) AS keeper_id
-FROM documents
+FROM documents_aug
 GROUP BY 1 HAVING COUNT(*) > 1
 ORDER BY fingerprint
 """
@@ -200,9 +263,11 @@ def _sql_dedup_minhash() -> str:
 WITH base AS (SELECT doc_id, {sh} AS sh FROM documents),
 sigs AS (SELECT doc_id, sh, {sig} AS sig FROM base),
 banded AS (SELECT doc_id, unnest({bands}) AS band FROM sigs),
+ok AS (SELECT band FROM banded GROUP BY band HAVING COUNT(*) <= 1000),
+capped AS (SELECT banded.* FROM banded JOIN ok USING (band)),
 pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM banded a JOIN banded b ON a.band = b.band
+  FROM capped a JOIN capped b ON a.band = b.band
   WHERE a.doc_id < b.doc_id
 )
 SELECT id_a, id_b,
@@ -225,20 +290,24 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_dedup_simhash() -> str:
     wh = T.sql_word_hashes("(" + T.sql_shingles(_WORDS, 2) + ")")
+    cb = T.SIMHASH_CHUNK_BITS
     chunks = ", ".join(
-        f"'{j}|' || ((sim >> {12 * j}) % 4096)::VARCHAR" for j in range(4)
+        f"'{j}|' || ((sim >> {cb * j}) % {1 << cb})::VARCHAR"
+        for j in range(T.SIMHASH_CHUNKS)
     )
     return f"""
 WITH sigs AS (
-  SELECT doc_id, {T.sql_simhash48('wh')} AS sim
+  SELECT doc_id, {T.sql_simhash60('wh')} AS sim
   FROM (SELECT doc_id, {wh} AS wh FROM documents)
 ), chunked AS (
   SELECT doc_id, sim, unnest([{chunks}]) AS chunk
   FROM sigs
-), pairs AS (
+), ok AS (SELECT chunk FROM chunked GROUP BY chunk HAVING COUNT(*) <= 2000),
+capped AS (SELECT chunked.* FROM chunked JOIN ok USING (chunk)),
+pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
          a.sim AS sim_a, b.sim AS sim_b
-  FROM chunked a JOIN chunked b ON a.chunk = b.chunk
+  FROM capped a JOIN capped b ON a.chunk = b.chunk
   WHERE a.doc_id < b.doc_id
 )
 SELECT id_a, id_b, bit_count(xor(sim_a, sim_b)) AS hamming

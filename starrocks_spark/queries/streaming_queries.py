@@ -183,7 +183,8 @@ def stream_stateful_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STATEFUL_SQL = """
 SELECT user_id,
        COUNT(*) AS n_events,
-       SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS value_f,
+       CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_f,
        (SELECT e2.event_type FROM events e2
         WHERE e2.user_id = e.user_id
         ORDER BY e2.ts DESC, e2.event_id DESC LIMIT 1) AS last_type

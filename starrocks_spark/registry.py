@@ -63,78 +63,86 @@ _MODULES = [
 
 # The driver's correctness gate checks the FIRST ~50 registered queries
 # only (round-1 lesson: module order left ASOF/funnel/LLM/streaming/
-# table-model families outside the window). This list pins the window:
-# one representative of every SURVEY §2 family, ordered so the window
-# spans scans, joins (hash/asof/nestloop), agg library, windows,
-# funnel/retention/sessionize, the full LLM-pipeline suite, streaming,
-# table models, MV, dialect, and scalar families. Everything not listed
-# follows in module order (and stays covered by the local pytest oracle
-# mirror). Keep this list at ~50 entries; when adding a new operator
-# family, swap a redundant entry out rather than appending past 50.
+# table-model families outside the window). This list pins the window
+# and ROTATES each round (round-2 verdict ask #4): slots proven green in
+# a prior driver round and unchanged since are swapped out for queries
+# that have never had a driver row (they stay covered by the local
+# pytest oracle mirror, which runs ALL queries). Rotation policy:
+# (1) any query whose engine code or oracle changed this round stays in;
+# (2) formerly-red rows stay in until driver-green;
+# (3) freed slots go to never-driver-checked queries, oldest families
+#     first. Keep the list at ~50 entries.
+#
+# r4 window: the 4 r2-red rows (lang_id, MV refresh, the two HUGEINT
+# oracles), everything the r3/r4 code changes touched (simhash/minhash
+# caps, events.ts vintage normalization, partitioned-upsert dynamic
+# overwrite), then 35+ first-time slots.
 _PRIORITY = [
-    # fixed round-1 driver failures first (proof of the oracle-typing fix)
-    "tpch_q12_shipmode_priority",
-    "json_extract_props",
-    # external connector scan (DSv2 Python DataSource over DuckDB)
-    "connector_duckdb_scan",
-    # core scan/agg + join anchor (q1 itself is covered by the entry()
-    # smoke check, so q12+q21 carry the TPC-H family here)
-    "tpch_q21_suppliers_kept_waiting",
-    # specialty joins
-    "asof_purchase_view",
-    "join_nonequi_range",
-    "point_lookup_pk",
-    "skew_salted_join",
-    "agg_pushdown_nation_revenue",
-    # events / behavioral analytics
-    "funnel_counts",
-    "funnel_modes",
-    "retention_weekly",
-    "sessionize_stats",
-    "tumbling_hourly",
-    # LLM-data-pipeline suite (graded first-class; all 12)
-    "text_quality_stats",
+    # formerly-red rows — must re-prove green
     "lang_id_confusion",
-    "token_count_stats",
-    "fingerprint_common_fragments",
-    "dedup_exact_clusters",
+    "mv_incremental_refresh",
+    "agg_state_merge",
+    "stream_stateful_profiles",
+    # changed this round: capped/widened LSH dedup + de-vacuoused fixtures
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_ngram_jaccard",
+    "dedup_exact_clusters",
     "embedding_cosine_dups",
-    "ann_brute_force",
-    "ann_lsh_bucketed",
-    "multimodal_decode_meta",
-    # streaming
-    "stream_stateful_profiles",
-    "stream_tumbling_revenue",
-    "stream_upsert_latest",
-    # table models + MV + sketch-state columns
-    "table_agg_keys_hll",
-    "table_agg_keys_rollup",
+    # changed this round: per-writer dynamic partition overwrite
     "table_primary_upsert_delete",
-    "table_merge_into_customers",
-    "table_merge_conditional",
-    "table_range_partition_prune",
-    "mv_incremental_refresh",
-    # aggregate library
-    "agg_group_concat",
-    "agg_percentile_exact",
-    "agg_percentile_sketch",
-    "agg_approx_distinct_bounds",
-    "agg_histogram_equiwidth",
-    "agg_bitmap_algebra",
-    "agg_state_merge",
-    # bitmap value functions
-    "func_bitmap_value_ops",
-    # scalar function families
-    "func_math_family",
-    "func_array_higher_order",
-    "func_variant_type",
-    "func_bit_ops",
-    # dialect / recursion
-    "dialect_date_format_mysql",
-    "recursive_cte_months",
+    # changed this round: events.ts vintage normalization (sentinels for
+    # the events-reading families; the rest are local-mirror covered)
+    "asof_inner_tolerance",
+    "funnel_modes",
+    "tumbling_hourly",
+    # --- first-time driver slots below ---
+    # file / schema / meta scans
+    "files_csv_roundtrip",
+    "files_json_roundtrip",
+    "files_orc_partitioned_export",
+    "schema_scan_columns",
+    "meta_scan_minmax",
+    # set operations (ALL variants never checked)
+    "setop_except_all",
+    "setop_intersect_all",
+    # window frames
+    "window_range_frame",
+    "window_nth_value",
+    # aggregate library breadth
+    "agg_min_max_by",
+    "agg_min_max_n",
+    "agg_map_agg",
+    "agg_mann_whitney",
+    "agg_array_agg_distinct",
+    "agg_stats_fixed",
+    "agg_bool_sum_map",
+    "agg_any_value_mode",
+    # scalar families never checked
+    "func_map_family",
+    "func_struct_family",
+    "func_array_family2",
+    "func_hash_family",
+    "func_conditional_family",
+    "func_inet_aton_ntoa",
+    "func_string_advanced",
+    "func_json_construct",
+    "func_ngram_search",
+    # streaming variants never checked
+    "stream_sliding_counts",
+    "stream_session_stats",
+    "stream_dedup_distinct",
+    "session_window_agg",
+    "time_slice_quarter_hour",
+    # unnest / bitmap / json table functions
+    "unnest_bitmap_users",
+    "unnest_multi_outer",
+    "json_each_props",
+    # rewrites + skew agg
+    "large_in_list_join",
+    "skew_salted_agg",
+    # dialect + connector sink
+    "dialect_str_to_date_roundtrip",
+    "connector_duckdb_sink",
 ]
 
 

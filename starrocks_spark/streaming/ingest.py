@@ -38,6 +38,20 @@ from pyspark.sql import functions as F
 _STAGE_DIRS: dict[str, str] = {}
 
 
+def _ts_to_timestamp(stream: DataFrame) -> DataFrame:
+    """Normalize events.ts: NANOS-vintage files surface it as a raw
+    long (nanosAsLong) needing ÷1000 → micros; MICROS-vintage files
+    read as TIMESTAMP_NTZ and are cast to instant-semantics
+    TimestampType (same normalization as catalog.load_table)."""
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
+        return stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "timestamp_ntz":
+        return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
+
+
 def _staged_dir(parquet_file: str) -> str:
     stage = _STAGE_DIRS.get(parquet_file)
     if stage is None or not os.path.isdir(stage):
@@ -51,9 +65,10 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
                        files_per_trigger: int = 1) -> DataFrame:
     """File-source stream over the events table (one file ≈ one batch
     of Kafka offsets). Schema is pinned up front, as required for any
-    production stream. events.ts is parquet TIMESTAMP(NANOS), readable
-    only as a raw long (nanosAsLong) — convert to a microsecond
-    timestamp, same as the batch scan in catalog.load_table."""
+    production stream. events.ts has shipped both as TIMESTAMP(NANOS)
+    (readable only as a raw long via nanosAsLong) and as plain
+    TIMESTAMP(MICROS) — normalize on the read-back type, same as the
+    batch scan in catalog.load_table."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
@@ -61,7 +76,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
         .option("maxFilesPerTrigger", files_per_trigger)
         .parquet(_staged_dir(f"{sf_dir}/events.parquet"))
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return _ts_to_timestamp(stream)
 
 
 _SPLIT_DIRS: dict[tuple[str, int], str] = {}
@@ -87,7 +102,7 @@ def read_events_stream_split(spark: SparkSession, sf_dir: str,
         .option("maxFilesPerTrigger", 1)
         .parquet(split_dir)
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return _ts_to_timestamp(stream)
 
 
 def run_stream_to_memory(stream_df: DataFrame, output_mode: str = "complete",

@@ -119,6 +119,9 @@ class MaterializedView:
             return 0
         # recompute ONLY changed partitions: the source filter prunes
         # the scan; dynamic overwrite rewrites only those directories.
+        # partitionOverwriteMode is set per-writer, NOT assumed from the
+        # session: under the default ``static`` mode this overwrite
+        # would delete every untouched partition directory.
         pruned = source.filter(
             F.expr(self.source_partition_expr).isin(changed)
         )
@@ -126,6 +129,7 @@ class MaterializedView:
             F.col(self.partition_col).isin(changed)
         )
         result.write.mode("overwrite") \
+            .option("partitionOverwriteMode", "dynamic") \
             .partitionBy(self.partition_col).parquet(self.path)
         self._write_meta(source)
         return len(changed)

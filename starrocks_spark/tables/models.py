@@ -246,8 +246,11 @@ class ManagedTable:
                      batch.select(self.partition_by).distinct().collect()]
             current = self._current().filter(F.col(self.partition_by).isin(parts))
             merged = self._latest_per_key(current.unionByName(batch))
-            merged.write.mode("overwrite").partitionBy(self.partition_by) \
-                .parquet(self.path)  # dynamic mode keeps untouched partitions
+            merged.write.mode("overwrite") \
+                .option("partitionOverwriteMode", "dynamic") \
+                .partitionBy(self.partition_by) \
+                .parquet(self.path)  # per-writer option: correct even when
+            # the session default is static overwrite
         else:
             merged = self._latest_per_key(self._current().unionByName(batch))
             self._rewrite(merged)
