@@ -64,6 +64,18 @@ HEADLINE = [
 ]
 
 
+# SSB flat benchmark (reference's primary published numbers:
+# docs/en/benchmarking/SSB_Benchmarking.md). Timed AFTER a warm-up build
+# of the materialized lineorder_flat table, mirroring the reference
+# methodology (flat table is loaded once; queries are scan+agg).
+SSB = [
+    "ssb_q1_1", "ssb_q1_2", "ssb_q1_3",
+    "ssb_q2_1", "ssb_q2_2", "ssb_q2_3",
+    "ssb_q3_1", "ssb_q3_2", "ssb_q3_3", "ssb_q3_4",
+    "ssb_q4_1", "ssb_q4_2", "ssb_q4_3",
+]
+
+
 def _sf_from_dir(d: str) -> float:
     base = os.path.basename(d.rstrip("/"))
     try:
@@ -86,6 +98,17 @@ def main() -> None:
         queries[name](spark, SF_DIR).collect()
         timings[name] = round(time.perf_counter() - t0, 4)
 
+    # SSB section: build lineorder_flat outside the timed region (the
+    # reference's published numbers likewise exclude load time).
+    ssb_names = [n for n in SSB if n in queries]
+    ssb_timings: dict[str, float] = {}
+    if ssb_names:
+        queries[ssb_names[0]](spark, SF_DIR).collect()  # warm flat build
+        for name in ssb_names:
+            t0 = time.perf_counter()
+            queries[name](spark, SF_DIR).collect()
+            ssb_timings[name] = round(time.perf_counter() - t0, 4)
+
     print(
         json.dumps(
             {
@@ -93,6 +116,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
+                "ssb": ssb_timings,
+                "ssb_total": round(sum(ssb_timings.values()), 4),
                 "sf": _sf_from_dir(SF_DIR),
             }
         )

@@ -28,6 +28,7 @@ from starrocks_spark.queries import (
     sketch_queries,
     skew_queries,
     sources_queries,
+    ssb,
     streaming_queries,
     table_funcs,
     table_model_queries,
@@ -59,6 +60,7 @@ _MODULES = [
     bitmap_queries,
     sketch_queries,
     connector_queries,
+    ssb,
 ]
 
 # The driver's correctness gate checks the FIRST ~50 registered queries
@@ -110,7 +112,6 @@ _PRIORITY = [
     "window_nth_value",
     # aggregate library breadth
     "agg_min_max_by",
-    "agg_min_max_n",
     "agg_map_agg",
     "agg_mann_whitney",
     "agg_array_agg_distinct",
@@ -125,7 +126,6 @@ _PRIORITY = [
     "func_conditional_family",
     "func_inet_aton_ntoa",
     "func_string_advanced",
-    "func_json_construct",
     "func_ngram_search",
     # streaming variants never checked
     "stream_sliding_counts",
@@ -143,6 +143,10 @@ _PRIORITY = [
     # dialect + connector sink
     "dialect_str_to_date_roundtrip",
     "connector_duckdb_sink",
+    # SSB flat benchmark queries (new this round — bench headline surface;
+    # two driver sentinels here, all 13 in the local mirror + bench)
+    "ssb_q2_1",
+    "ssb_q4_3",
 ]
 
 

@@ -145,3 +145,17 @@ def test_agg_pushdown_partial_agg_below_join(spark, sf_dir):
     before_first_join = p.split("BroadcastHashJoin")[-1]
     assert "lineitem" in before_first_join
     assert "HashAggregate" in before_first_join
+
+
+def test_ssb_flat_scan_prunes_year_partitions(spark, sf_dir):
+    """SSB q1.1 must hit the materialized flat table with a d_year
+    PARTITION filter (directory pruning — the 100 TB contract: a
+    one-year query reads one year) and push the row filters to
+    parquet."""
+    from starrocks_spark.queries import ssb
+
+    p = plan_str(ssb.q1_1(spark, sf_dir))
+    part = p.split("PartitionFilters")[1].splitlines()[0]
+    assert "d_year" in part and "1993" in part
+    pushed = p.split("PushedFilters")[1].splitlines()[0]
+    assert "lo_discount" in pushed and "lo_quantity" in pushed
