@@ -34,8 +34,8 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
-    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -204,31 +204,50 @@ class _Staged(WriterCommitMessage):
     rows: int = 0
 
 
-class DuckDBWriter(DataSourceWriter):
-    """External-table sink: tasks stage Arrow→parquet, the driver-side
-    commit() INSERTs every staged file in one transaction (DuckDB is
-    single-writer, so the commit is the only writer — the same shape
-    as the reference's external sink commit)."""
+class DuckDBWriter(DataSourceArrowWriter):
+    """External-table sink: tasks stream Arrow RecordBatches straight
+    into a staged parquet file (no per-row Python — the batches come
+    off the JVM over Arrow and go to the parquet encoder untouched);
+    the driver-side commit() INSERTs every staged file in one
+    transaction (DuckDB is single-writer, so the commit is the only
+    writer — the same shape as the reference's external sink commit).
+
+    Staging location: ``staging_dir`` option, defaulting to the local
+    tempdir. Single-node that is always visible to commit(); on a
+    multi-node cluster pass a shared filesystem path (the same
+    requirement as any JDBC-ish staged commit protocol).
+    """
 
     def __init__(self, options, schema: StructType, overwrite: bool):
         self.path = options["path"]
         self.table = options["table"]
         self.overwrite = overwrite
         self.stage_dir = os.path.join(
-            tempfile.gettempdir(), f"duck_sink_{uuid.uuid4().hex[:12]}"
+            options.get("staging_dir") or tempfile.gettempdir(),
+            f"duck_sink_{uuid.uuid4().hex[:12]}",
         )
         os.makedirs(self.stage_dir, exist_ok=True)
 
-    def write(self, rows):
-        import pyarrow as pa
+    def write(self, batches):
         import pyarrow.parquet as pq
 
-        data = [r.asDict() for r in rows]
-        if not data:
-            return _Staged("", 0)
         out = os.path.join(self.stage_dir, f"{uuid.uuid4().hex}.parquet")
-        pq.write_table(pa.Table.from_pylist(data), out)
-        return _Staged(out, len(data))
+        writer = None
+        rows = 0
+        try:
+            for batch in batches:
+                if writer is None:
+                    writer = pq.ParquetWriter(out, batch.schema)
+                writer.write_batch(batch)
+                rows += batch.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
+        if rows == 0:
+            if writer is not None:
+                os.unlink(out)
+            return _Staged("", 0)
+        return _Staged(out, rows)
 
     def commit(self, messages):
         import duckdb
