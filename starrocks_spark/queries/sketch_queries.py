@@ -24,6 +24,7 @@ from starrocks_spark.operators import sketches
 from starrocks_spark.tables.models import ManagedTable, TableModel
 
 _W = 2000.0   # percentile bucket width for l_extendedprice
+_K = 256      # theta sketch size
 _B = 64       # bucket count
 
 
@@ -116,12 +117,100 @@ ORDER BY l_returnflag
 """
 
 
+def agg_theta_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta(KMV)-sketch distinct counting with partial→final merge:
+    per-(priority, order year) partial states over o_custkey, merged
+    across years to priority level, then estimated. K=256 < the
+    per-priority distinct count, so this exercises the ESTIMATOR path
+    (not the exact-below-K fallback); the md5-based hash makes the
+    estimate itself reproducible in the oracle. Reference:
+    be/src/exprs/agg/ds_theta_count_distinct.h (ds_theta union)."""
+    orders = load_table(spark, sf_dir, "orders")
+    partial = sketches.theta_state(
+        orders.withColumn("o_year", F.year("o_orderdate")),
+        ["o_orderpriority", "o_year"], F.col("o_custkey"), k=_K,
+    )
+    merged = partial.groupBy("o_orderpriority").agg(
+        sketches.theta_merge("theta_state", k=_K).alias("state")
+    )
+    return merged.select(
+        "o_orderpriority",
+        F.size("state").alias("state_size"),
+        F.round(sketches.theta_estimate(F.col("state"), k=_K), 4)
+        .alias("approx_custkeys"),
+    ).orderBy("o_orderpriority")
+
+
+# The KMV merge is lossless (global K smallest = K smallest of the
+# per-year K-smallest union), so the oracle builds the global state
+# directly and applies the identical estimator.
+_THETA_SQL = f"""
+WITH st AS (
+  SELECT o_orderpriority,
+         {sketches.sql_theta_state('o_custkey', 256)} AS state
+  FROM (SELECT DISTINCT o_orderpriority, o_custkey FROM orders)
+  GROUP BY o_orderpriority
+)
+SELECT o_orderpriority,
+       CAST(len(state) AS INT) AS state_size,
+       ROUND({sketches.sql_theta_estimate('state', 256)}, 4)
+         AS approx_custkeys
+FROM st
+ORDER BY o_orderpriority
+"""
+
+
+def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_top_k state algebra: per-(returnflag, order shard)
+    frequent-brand states (capacity 64), merged across shards, top-5
+    read-out. Capacity exceeds the 25 distinct brands so the result is
+    exact — the same exact-within-counter-budget contract as the
+    reference sketch (be/src/exprs/agg/approx_top_k.h); the capped
+    path is pinned by tests/test_sketches.py. Brand dimension joins
+    broadcast; everything else is groupBy-sum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    df = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    states = sketches.topk_state(
+        df.withColumn("_shard", F.col("l_orderkey") % 8),
+        ["l_returnflag", "_shard"], F.col("p_brand"), capacity=64,
+    )
+    return (
+        sketches.topk_merge_read(states, ["l_returnflag"], k=5,
+                                 capacity=64)
+        .select("l_returnflag", F.col("item").alias("p_brand"),
+                F.col("cnt").alias("n_items"), "rank")
+        .orderBy("l_returnflag", "rank")
+    )
+
+
+_TOPK_SQL = """
+WITH counted AS (
+  SELECT l_returnflag, p_brand, COUNT(*) AS n_items
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT l_returnflag, p_brand, n_items,
+         CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag
+              ORDER BY n_items DESC, p_brand ASC) AS INT) AS rank
+  FROM counted
+)
+SELECT l_returnflag, p_brand, n_items, rank
+FROM ranked WHERE rank <= 5
+ORDER BY l_returnflag, rank
+"""
+
+
 QUERIES = {
     "table_agg_keys_hll": table_agg_keys_hll,
     "agg_percentile_sketch": agg_percentile_sketch,
+    "agg_theta_distinct": agg_theta_distinct,
+    "agg_approx_top_k": agg_approx_top_k,
 }
 
 ORACLE = {
     "table_agg_keys_hll": _HLL_SQL,
     "agg_percentile_sketch": _PCT_SQL,
+    "agg_theta_distinct": _THETA_SQL,
+    "agg_approx_top_k": _TOPK_SQL,
 }

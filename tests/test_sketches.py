@@ -109,3 +109,91 @@ def test_agg_keys_hll_multi_rowset_exact(spark):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, exact.collect())
     )
+
+
+def test_theta_state_merge_lossless_and_order_independent(spark):
+    """KMV theta: merging per-shard partial states yields EXACTLY the
+    global state (the lossless-merge property the estimator relies
+    on), under any sharding."""
+    df = spark.range(0, 4000).select(
+        "id", (F.col("id") % 2).alias("g"), (F.col("id") * 7).alias("v")
+    )
+    direct = {
+        r["g"]: r["theta_state"]
+        for r in sketches.theta_state(df, ["g"], F.col("v"), k=64).collect()
+    }
+    for shard_mod in (3, 11):
+        partial = sketches.theta_state(
+            df.withColumn("s", F.col("id") % shard_mod),
+            ["g", "s"], F.col("v"), k=64,
+        )
+        merged = {
+            r["g"]: r["state"]
+            for r in partial.groupBy("g")
+            .agg(sketches.theta_merge("theta_state", k=64).alias("state"))
+            .collect()
+        }
+        assert merged == direct, f"shard_mod={shard_mod}"
+
+
+def test_theta_estimate_accuracy_and_exact_below_k(spark):
+    """Below K the sketch is exact; above K the KMV estimate lands
+    within the standard ~1/sqrt(K) error band."""
+    small = spark.range(0, 40).select(F.lit(0).alias("g"), F.col("id").alias("v"))
+    st = sketches.theta_state(small, ["g"], F.col("v"), k=64)
+    est = st.select(sketches.theta_estimate(F.col("theta_state"), k=64)
+                    .alias("e")).collect()[0]["e"]
+    assert est == 40.0
+
+    big = spark.range(0, 20000).select(
+        F.lit(0).alias("g"), F.col("id").alias("v"))
+    st = sketches.theta_state(big, ["g"], F.col("v"), k=256)
+    est = st.select(sketches.theta_estimate(F.col("theta_state"), k=256)
+                    .alias("e")).collect()[0]["e"]
+    assert abs(est - 20000) / 20000 < 0.20  # 3σ ≈ 3/sqrt(256) ≈ 0.19
+
+
+def test_theta_intersect_estimate(spark):
+    """|A ∩ B| estimate from two states: exact when both sets fit
+    below K; within the error band when they don't."""
+    a = spark.range(0, 3000).select(F.lit(0).alias("g"), F.col("id").alias("v"))
+    b = spark.range(1500, 4500).select(F.lit(0).alias("g"), F.col("id").alias("v"))
+    sa = sketches.theta_state(a, ["g"], F.col("v"), k=256) \
+        .withColumnRenamed("theta_state", "sa")
+    sb = sketches.theta_state(b, ["g"], F.col("v"), k=256) \
+        .withColumnRenamed("theta_state", "sb")
+    est = sa.join(sb, "g").select(
+        sketches.theta_intersect_estimate(F.col("sa"), F.col("sb"), k=256)
+        .alias("e")
+    ).collect()[0]["e"]
+    assert abs(est - 1500) / 1500 < 0.30  # intersection noise ~2x union's
+
+
+def test_topk_state_capped_merge_deterministic(spark):
+    """Capped states (capacity < distinct items) merge
+    deterministically: dropped tails under-count, ranks stay stable,
+    and with capacity ≥ distinct the merged read-out is exact."""
+    df = spark.range(0, 10000).select(
+        "id",
+        (F.col("id") % 4).alias("s"),
+        # zipf-ish: item j appears ~10000/2^j times
+        F.floor(F.log2(F.col("id") % 1000 + 1)).cast("string").alias("item"),
+    )
+    # exact: capacity 32 ≥ 10 distinct items
+    states = sketches.topk_state(df, ["s"], F.col("item"), capacity=32)
+    got = sketches.topk_merge_read(states, [], k=3, capacity=32) \
+        .orderBy("rank").collect()
+    exact = (
+        df.groupBy("item").count()
+        .orderBy(F.col("count").desc(), F.col("item"))
+        .limit(3).collect()
+    )
+    assert [(r["item"], r["cnt"]) for r in got] == \
+        [(r["item"], r["count"]) for r in exact]
+
+    # capped: capacity 2 < distinct — top-1 must still be the true
+    # heavy hitter (it dominates every shard), counts exact for it
+    capped = sketches.topk_state(df, ["s"], F.col("item"), capacity=2)
+    top1 = sketches.topk_merge_read(capped, [], k=1, capacity=2).collect()[0]
+    assert top1["item"] == exact[0]["item"]
+    assert top1["cnt"] == exact[0]["count"]
