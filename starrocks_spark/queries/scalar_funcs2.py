@@ -262,3 +262,163 @@ WHERE CAST(FLOOR(({score}) * 10000 + 0.5) AS BIGINT) > 0
 
 QUERIES["func_ngram_search"] = func_ngram_search
 ORACLE["func_ngram_search"] = _sql_ngram_search()
+
+
+def func_money_bytes_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """money_format / format_bytes edge cases over real totals plus
+    pinned literals (0, negative, half-cent rounding, each byte-unit
+    boundary). Reference: string_functions.cpp money_format,
+    format_bytes. Both built from exact integer math so the oracle is
+    bit-identical."""
+    from starrocks_spark.functions.scalar import format_bytes, money_format
+
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderkey") % 1000 == 0)
+        .select(
+            "o_orderkey",
+            money_format(F.col("o_totalprice")).alias("price_fmt"),
+            money_format(-F.col("o_totalprice")).alias("neg_fmt"),
+            money_format(F.col("o_totalprice") * 0 + F.lit(0.005))
+            .alias("half_cent"),
+            format_bytes((F.col("o_orderkey") * 7919).cast("long"))
+            .alias("bytes_fmt"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def _sql_money_bytes() -> str:
+    from starrocks_spark.functions.scalar import (
+        sql_format_bytes,
+        sql_money_format,
+    )
+
+    return f"""
+SELECT o_orderkey,
+       {sql_money_format('o_totalprice')} AS price_fmt,
+       {sql_money_format('-o_totalprice')} AS neg_fmt,
+       {sql_money_format('o_totalprice * 0 + 0.005')} AS half_cent,
+       {sql_format_bytes('CAST(o_orderkey * 7919 AS BIGINT)')} AS bytes_fmt
+FROM orders
+WHERE o_orderkey % 1000 = 0
+ORDER BY o_orderkey
+"""
+
+
+QUERIES["func_money_bytes_format"] = func_money_bytes_format
+ORACLE["func_money_bytes_format"] = _sql_money_bytes()
+
+
+def func_conv_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radix conversion breadth: conv 10→16, 16→10 round-trip, 10→2,
+    bin(), hex()/unhex() (reference: math_functions.cpp conv,
+    string_functions.cpp bin/hex). Spark's conv/bin/hex are builtins;
+    the oracle uses DuckDB's to_base + bit twiddling."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    return supplier.select(
+        "s_suppkey",
+        F.conv(k.cast("string"), 10, 16).alias("hex_conv"),
+        F.conv(F.conv(k.cast("string"), 10, 16), 16, 10).alias("roundtrip"),
+        F.bin(k).alias("bin_str"),
+        F.hex(k).alias("hex_str"),
+        F.lower(F.hex(F.unhex(F.hex(k)))).alias("unhex_roundtrip"),
+    ).orderBy("s_suppkey")
+
+
+_CONV_SQL = """
+SELECT s_suppkey,
+       to_base(s_suppkey, 16) AS hex_conv,
+       CAST(('0x' || to_base(s_suppkey, 16))::BIGINT AS VARCHAR)
+         AS roundtrip,
+       to_base(s_suppkey, 2) AS bin_str,
+       to_base(s_suppkey, 16) AS hex_str,
+       -- Spark's unhex consumes byte pairs, so the round-trip is the
+       -- even-length zero-padded form
+       lower(CASE WHEN length(to_base(s_suppkey, 16)) % 2 = 1
+             THEN '0' || to_base(s_suppkey, 16)
+             ELSE to_base(s_suppkey, 16) END) AS unhex_roundtrip
+FROM supplier
+ORDER BY s_suppkey
+"""
+
+QUERIES["func_conv_bin"] = func_conv_bin
+ORACLE["func_conv_bin"] = _CONV_SQL
+
+
+def func_time_slice_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """time_slice mode breadth (reference: time_functions.cpp
+    time_slice FLOOR|CEIL over second/minute/hour/day/week grids) —
+    bucketed event counts per 7-minute floor slice with ceil / hour /
+    week slices alongside."""
+    from starrocks_spark.functions.scalar import time_slice
+
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            time_slice(F.col("ts"), 7, "minute").alias("m7_floor"),
+            time_slice(F.col("ts"), 7, "minute", "ceil").alias("m7_ceil"),
+            time_slice(F.col("ts"), 2, "hour").alias("h2_floor"),
+            time_slice(F.col("ts"), 1, "week", "ceil").alias("w1_ceil"),
+        )
+        .groupBy("m7_floor", "m7_ceil", "h2_floor", "w1_ceil")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("m7_floor", "m7_ceil")
+    )
+
+
+def _sql_time_slice() -> str:
+    from starrocks_spark.functions.scalar import sql_time_slice
+
+    return f"""
+SELECT {sql_time_slice('ts', 7, 'minute')} AS m7_floor,
+       {sql_time_slice('ts', 7, 'minute', 'ceil')} AS m7_ceil,
+       {sql_time_slice('ts', 2, 'hour')} AS h2_floor,
+       {sql_time_slice('ts', 1, 'week', 'ceil')} AS w1_ceil,
+       COUNT(*) AS n
+FROM events
+GROUP BY 1, 2, 3, 4
+ORDER BY m7_floor, m7_ceil
+"""
+
+
+QUERIES["func_time_slice_modes"] = func_time_slice_modes
+ORACLE["func_time_slice_modes"] = _sql_time_slice()
+
+
+def func_aes_crypto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aes_encrypt / aes_decrypt round-trip (reference:
+    encryption_functions.cpp AES_128_ECB default). Spark's builtin
+    aes_encrypt/aes_decrypt run JVM-side; DuckDB has no AES, so the
+    oracle checks the round-trip law decrypt(encrypt(x, k), k) = x and
+    the ciphertext length contract (16-byte blocks), not the cipher
+    bytes."""
+    customer = load_table(spark, sf_dir, "customer")
+    key = F.lit("0123456789abcdef")  # 16-byte key → AES-128
+    cipher = F.aes_encrypt(
+        F.col("c_name").cast("binary"), key.cast("binary"), F.lit("ECB")
+    )
+    return (
+        customer.filter(F.col("c_custkey") % 500 == 0)
+        .select(
+            "c_custkey",
+            F.aes_decrypt(cipher, key.cast("binary"), F.lit("ECB"))
+            .cast("string").alias("roundtrip"),
+            F.length(cipher).alias("cipher_len"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+_AES_SQL = """
+SELECT c_custkey,
+       c_name AS roundtrip,
+       CAST((length(c_name) // 16 + 1) * 16 AS INT) AS cipher_len
+FROM customer
+WHERE c_custkey % 500 = 0
+ORDER BY c_custkey
+"""
+
+QUERIES["func_aes_crypto"] = func_aes_crypto
+ORACLE["func_aes_crypto"] = _AES_SQL

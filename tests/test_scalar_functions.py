@@ -47,3 +47,38 @@ def test_haversine_known_distances(spark, lon1, lat1, lon2, lat2, km, tol):
     )
     got = df.collect()[0][0]
     assert abs(got - km) <= tol
+
+
+# ---------------------------------------------------------------------------
+# scalar-function coverage ledger (FUNCTIONS.md source of truth)
+
+def test_coverage_ledger_is_total_and_consistent():
+    """Every reference scalar name is classified exactly once, every
+    ledger key really is a reference name, and the snapshot matches
+    the reference checkout when present."""
+    import os
+    import re
+
+    from starrocks_spark.functions import coverage as cov
+
+    assert cov.unclassified() == []
+    ref_set = set(cov.REFERENCE_NAMES)
+    assert len(cov.REFERENCE_NAMES) == len(ref_set), "snapshot has dups"
+    for ledger in (cov.MAPPED, cov.REPO, cov.NA):
+        stray = set(ledger) - ref_set
+        assert not stray, f"ledger keys not in reference list: {stray}"
+    # classification buckets must not overlap
+    overlap = (cov.MAPPED.keys() & cov.REPO.keys()) | \
+        (cov.MAPPED.keys() & cov.NA.keys()) | \
+        (cov.REPO.keys() & cov.NA.keys())
+    assert not overlap, f"multi-classified: {overlap}"
+    # every repo pointer must exist
+    for target in set(cov.REPO.values()):
+        assert os.path.exists(target), target
+
+    ref_reg = "/root/reference/gensrc/script/functions.py"
+    if os.path.exists(ref_reg):
+        src = open(ref_reg).read()
+        derived = sorted(set(
+            re.findall(r"\[\d+,\s*'?\"?([a-z0-9_]+)", src)))
+        assert sorted(ref_set) == derived, "snapshot drifted"
