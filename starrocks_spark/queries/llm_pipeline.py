@@ -531,3 +531,41 @@ ORACLE = {
     "ann_lsh_multiprobe": _sql_ann_lsh_multiprobe(),
     "multimodal_decode_meta": _MULTIMODAL_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# fulltext MATCH (inverted-index analog; operators/fulltext.py)
+
+_MATCH_TERMS = ["vector", "hash", "scan"]
+
+
+def fulltext_match_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH-ALL ('vector AND hash AND scan') over the documents
+    corpus via the posting-table inverted index, ranked by
+    deterministic tf·ln(N/df). Reference: gin_functions.cpp MATCH +
+    inverted index storage — here an explicit posting table, the
+    Spark-native index shape."""
+    from starrocks_spark.operators import fulltext
+
+    docs = load_table(spark, sf_dir, "documents")
+    return fulltext.match_rank(docs, _MATCH_TERMS, mode="all", k=20)
+
+
+def fulltext_match_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH-ANY (OR semantics) with the same ranking; top-30."""
+    from starrocks_spark.operators import fulltext
+
+    docs = load_table(spark, sf_dir, "documents")
+    return fulltext.match_rank(docs, _MATCH_TERMS, mode="any", k=30)
+
+
+def _sql_fulltext(mode: str, k: int) -> str:
+    from starrocks_spark.operators import fulltext
+
+    return fulltext.sql_match_rank(_MATCH_TERMS, mode=mode, k=k)
+
+
+QUERIES["fulltext_match_all"] = fulltext_match_all
+QUERIES["fulltext_match_any"] = fulltext_match_any
+ORACLE["fulltext_match_all"] = _sql_fulltext("all", 20)
+ORACLE["fulltext_match_any"] = _sql_fulltext("any", 30)

@@ -336,3 +336,58 @@ ORACLE = {
     "table_merge_into_customers": _MERGE_SQL,
     "table_dup_keys_batches": _DUP_SQL,
 }
+
+
+def table_lakehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-log table format (tables/lakehouse.py — the analog of
+    the reference's Iceberg/Delta external-table path,
+    be/src/data_sink/external/iceberg_table_sink.cpp): overwrite →
+    append → overwrite, then read EVERY version (time travel) and
+    aggregate each snapshot. The commit log's file list — not a
+    directory listing — drives each read."""
+    import tempfile
+
+    from starrocks_spark.tables.lakehouse import SnapshotTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate"
+    )
+    t = SnapshotTable(
+        spark, tempfile.mkdtemp(prefix="lh_tt_", dir="/tmp")
+    )
+    t.overwrite(orders.filter(F.col("o_orderdate") < "1996-01-01"))
+    t.append(orders.filter(F.col("o_orderdate") >= "1996-01-01"))
+    t.overwrite(orders.filter(F.col("o_orderpriority") == "1-URGENT"))
+
+    out = None
+    for v in (0, 1, 2):
+        snap = (
+            t.read(v)
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(fixed(F.col("o_totalprice"))).cast("decimal(38,0)")
+                .alias("total_fixed"),
+            )
+            .select(F.lit(v).alias("version"), "n_orders", "total_fixed")
+        )
+        out = snap if out is None else out.unionByName(snap)
+    return out.orderBy("version")
+
+
+_LAKEHOUSE_SQL = f"""
+SELECT 0 AS version, COUNT(*) AS n_orders,
+       CAST(SUM({sql_fixed('o_totalprice')}) AS DECIMAL(38,0)) AS total_fixed
+FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+UNION ALL
+SELECT 1, COUNT(*),
+       CAST(SUM({sql_fixed('o_totalprice')}) AS DECIMAL(38,0))
+FROM orders
+UNION ALL
+SELECT 2, COUNT(*),
+       CAST(SUM({sql_fixed('o_totalprice')}) AS DECIMAL(38,0))
+FROM orders WHERE o_orderpriority = '1-URGENT'
+ORDER BY version
+"""
+
+QUERIES["table_lakehouse_time_travel"] = table_lakehouse_time_travel
+ORACLE["table_lakehouse_time_travel"] = _LAKEHOUSE_SQL

@@ -1,0 +1,166 @@
+"""Snapshot-log ("lakehouse-format") managed table: versioned parquet
+with an atomic commit log and time travel.
+
+Reference surface: the external lakehouse sinks/scans
+(be/src/data_sink/external/iceberg_table_sink.cpp, hudi/paimon
+readers, fe IcebergTable.java) — tables whose source of truth is a
+*file list in a commit log*, not a directory listing. Delta/Iceberg
+jars are not in this container, so the format here is a minimal but
+honest implementation of the same contract:
+
+- ``<path>/_log/<8-digit-version>.json`` — one immutable JSON entry
+  per commit: the complete data-file list for that snapshot, the
+  operation, and row/byte stats. Readers NEVER list data directories.
+- Data files are immutable parquet written to a per-commit directory;
+  an overwrite commit just publishes a log entry that references only
+  the new files (the old snapshot stays readable — time travel).
+- Commits are atomic + optimistically concurrent: the log entry is
+  staged then published with ``os.link`` (fails if the version
+  already exists → loser re-reads and retries with the next number).
+  This is exactly Delta's protocol shape, scaled down: on a cluster
+  the log would live on the shared store and the link/rename be the
+  store's atomic-put-if-absent.
+
+At 100 TB this layout is what makes O(1)-metadata reads possible: a
+snapshot read opens one JSON file and hands Spark an explicit file
+list — no S3 LIST storms, no eventual-consistency hazards — while
+compaction/vacuum work on superseded files without blocking readers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Snapshot:
+    version: int
+    operation: str
+    files: list[str]
+    n_rows: int
+
+
+class SnapshotTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.log_dir = os.path.join(path, "_log")
+
+    # ------------------------------------------------------------ log I/O
+
+    def _entry_path(self, version: int) -> str:
+        return os.path.join(self.log_dir, f"{version:08d}.json")
+
+    def _versions(self) -> list[int]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        return sorted(
+            int(f[:-5]) for f in os.listdir(self.log_dir)
+            if f.endswith(".json")
+        )
+
+    def snapshot(self, version: int | None = None) -> Snapshot | None:
+        versions = self._versions()
+        if not versions:
+            return None
+        v = versions[-1] if version is None else version
+        with open(self._entry_path(v)) as f:
+            e = json.load(f)
+        return Snapshot(e["version"], e["operation"], e["files"],
+                        e["n_rows"])
+
+    def history(self) -> list[Snapshot]:
+        return [self.snapshot(v) for v in self._versions()]
+
+    def _publish(self, operation: str, build_entry) -> int:
+        """Atomic optimistic commit. ``build_entry(current_snapshot)``
+        returns (files, n_rows) and is re-evaluated on every attempt
+        so a retry merges against the snapshot that beat it (no lost
+        updates — the Delta/Iceberg conflict-resolution shape). The
+        entry is staged then published with link() = put-if-absent."""
+        os.makedirs(self.log_dir, exist_ok=True)
+        while True:
+            cur = self.snapshot()
+            version = (cur.version + 1) if cur else 0
+            files, n_rows = build_entry(cur)
+            entry = {"version": version, "operation": operation,
+                     "files": files, "n_rows": n_rows}
+            fd, staged = tempfile.mkstemp(dir=self.log_dir, suffix=".tmp")
+            with os.fdopen(fd, "w") as f:
+                json.dump(entry, f)
+            try:
+                os.link(staged, self._entry_path(version))
+                return version
+            except FileExistsError:
+                continue  # concurrent writer won this version; re-merge
+            finally:
+                os.unlink(staged)
+
+    # ------------------------------------------------------------- writes
+
+    def _write_files(self, df: DataFrame) -> tuple[list[str], int]:
+        commit_dir = os.path.join(self.path, f"data_{uuid.uuid4().hex[:12]}")
+        df.write.mode("overwrite").parquet(commit_dir)
+        files = sorted(
+            os.path.join(commit_dir, f) for f in os.listdir(commit_dir)
+            if f.endswith(".parquet")
+        )
+        n_rows = self.spark.read.parquet(*files).count() if files else 0
+        return files, n_rows
+
+    def append(self, df: DataFrame) -> int:
+        files, n = self._write_files(df)
+        return self._publish(
+            "append",
+            lambda cur: ((cur.files if cur else []) + files,
+                         (cur.n_rows if cur else 0) + n),
+        )
+
+    def overwrite(self, df: DataFrame) -> int:
+        files, n = self._write_files(df)
+        return self._publish("overwrite", lambda cur: (files, n))
+
+    # -------------------------------------------------------------- reads
+
+    def read(self, version: int | None = None) -> DataFrame:
+        snap = self.snapshot(version)
+        if snap is None or not snap.files:
+            raise ValueError(f"no snapshot at version {version}")
+        return self.spark.read.parquet(*snap.files)
+
+    # -------------------------------------------------------- maintenance
+
+    def expire_versions(self, keep_last: int = 1) -> list[int]:
+        """Drop log entries older than the last ``keep_last`` (the
+        retention step that makes vacuum() reclaim their files)."""
+        versions = self._versions()
+        expired = versions[:-keep_last] if keep_last else versions
+        for v in expired:
+            os.unlink(self._entry_path(v))
+        return expired
+
+    def vacuum(self) -> int:
+        """Delete data files no snapshot references (after retention,
+        history rewrite, etc.). Returns the number removed."""
+        live: set[str] = set()
+        for s in self.history():
+            live.update(s.files)
+        removed = 0
+        for d in os.listdir(self.path):
+            full = os.path.join(self.path, d)
+            if d.startswith("data_") and os.path.isdir(full):
+                for f in os.listdir(full):
+                    p = os.path.join(full, f)
+                    if f.endswith(".parquet") and p not in live:
+                        os.unlink(p)
+                        removed += 1
+                if not any(x.endswith(".parquet") for x in os.listdir(full)):
+                    shutil.rmtree(full, ignore_errors=True)
+        return removed
