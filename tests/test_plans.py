@@ -156,6 +156,6 @@ def test_ssb_flat_scan_prunes_year_partitions(spark, sf_dir):
 
     p = plan_str(ssb.q1_1(spark, sf_dir))
     part = p.split("PartitionFilters")[1].splitlines()[0]
-    assert "d_year" in part and "1993" in part
+    assert "d_year" in part and "1996" in part
     pushed = p.split("PushedFilters")[1].splitlines()[0]
     assert "lo_discount" in pushed and "lo_quantity" in pushed
