@@ -266,3 +266,63 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Cluster near-dup pairs into components: (id, cluster_id) with
+    cluster_id = MIN member id. The step that turns pairwise dedup
+    output into droppable groups (keep cluster min, drop the rest) —
+    the reference reaches the same end state via its group-by on
+    fingerprint clusters; for NEAR-dup graphs it needs real CC.
+
+    Min-label propagation: each iteration every node takes the min of
+    its own label and its neighbors' labels; converges in O(component
+    diameter) iterations — near-dup clusters are dense and shallow, so
+    typically 2-4. Each iteration is one groupBy shuffle on node id
+    (edges stay partitioned); `max_iters` bounds pathological chains,
+    and convergence is detected by a count of changed labels (a cheap
+    aggregate, not a collect of data rows)."""
+    edges = _persist(
+        pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .unionByName(
+            pairs.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+        )
+        .distinct()
+    )
+    labels = _persist(
+        edges.select(F.col("s").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.s == labels.id)
+            .groupBy(F.col("d").alias("id"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = _persist(
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("nmin"), F.col("label")),
+                ).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("id", F.col("label").alias("cluster_id"))

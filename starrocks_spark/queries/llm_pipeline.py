@@ -569,3 +569,77 @@ QUERIES["fulltext_match_all"] = fulltext_match_all
 QUERIES["fulltext_match_any"] = fulltext_match_any
 ORACLE["fulltext_match_all"] = _sql_fulltext("all", 20)
 ORACLE["fulltext_match_any"] = _sql_fulltext("any", 30)
+
+
+def dedup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup REMOVAL decision: bigram-Jaccard pairs (with
+    planted exact copies so clusters exist) → connected components →
+    one row per multi-doc cluster with its keeper (min id) and size —
+    exactly the drop-list a training-data pipeline consumes."""
+    docs = _augmented_docs(load_table(spark, sf_dir, "documents"),
+                           plant_dups=True)
+    pairs = dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.6,
+                                      block_cap=1000)
+    cc = dedup.connected_components(pairs)
+    return (
+        cc.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min("id").alias("keeper_id"),
+            F.sort_array(F.collect_list("id")).alias("members"),
+        )
+        .filter(F.col("cluster_size") >= 2)
+        .orderBy("cluster_id")
+    )
+
+
+def _sql_dedup_cluster_keepers() -> str:
+    sh = T.sql_shingles(_WORDS, 2)
+    sig = T.sql_minhash_signature("sh", 16)
+    bands = T.sql_lsh_bands("sig", 4, 4)
+    jac = (
+        "len(list_intersect(sa.sh, sb.sh))::DOUBLE"
+        " / (len(sa.sh) + len(sb.sh)"
+        " - len(list_intersect(sa.sh, sb.sh)))::DOUBLE"
+    )
+    return f"""
+WITH RECURSIVE documents_aug AS ({_sql_docs_aug(plant_dups=True)}),
+base AS (SELECT doc_id, {sh} AS sh FROM documents_aug),
+sigs AS (SELECT doc_id, sh, {sig} AS sig FROM base),
+banded AS (SELECT doc_id, unnest({bands}) AS band FROM sigs),
+ok AS (SELECT band FROM banded GROUP BY band HAVING COUNT(*) <= 1000),
+capped AS (SELECT banded.* FROM banded JOIN ok USING (band)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM capped a JOIN capped b ON a.band = b.band
+  WHERE a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b FROM cand
+  JOIN base sa ON sa.doc_id = id_a
+  JOIN base sb ON sb.doc_id = id_b
+  WHERE {jac} >= 0.6
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(id, label) AS (
+  SELECT DISTINCT s, s FROM edges
+  UNION
+  SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.id
+),
+cc AS (SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id)
+SELECT cluster_id,
+       COUNT(*) AS cluster_size,
+       MIN(id) AS keeper_id,
+       list_sort(list(id)) AS members
+FROM cc
+GROUP BY cluster_id
+HAVING COUNT(*) >= 2
+ORDER BY cluster_id
+"""
+
+
+QUERIES["dedup_cluster_keepers"] = dedup_cluster_keepers
+ORACLE["dedup_cluster_keepers"] = _sql_dedup_cluster_keepers()

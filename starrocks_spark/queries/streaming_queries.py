@@ -210,3 +210,65 @@ ORACLE = {
     "stream_dedup_distinct": _DEDUP_SQL,
     "stream_upsert_latest": _UPSERT_SQL,
 }
+
+
+def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (view→purchase attribution): each
+    purchase joins the same user's views from the preceding hour.
+    Both sides carry watermarks so Spark bounds the join state buffer
+    — the production contract for unbounded streams (state is evicted
+    once the watermark passes view_ts + 1h). Append mode; settled
+    output aggregated per user for a stable oracle shape."""
+    views = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    )
+    pairs = run_stream_to_memory(joined, output_mode="append")
+    return (
+        pairs.groupBy(F.col("p_user").alias("user_id"))
+        .agg(
+            F.countDistinct("purchase_id").alias("n_attributed"),
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.max("view_id").alias("max_view_id"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_STREAM_STREAM_SQL = """
+SELECT p.user_id AS user_id,
+       COUNT(DISTINCT p.event_id) AS n_attributed,
+       COUNT(*) AS n_pairs,
+       MAX(v.event_id) AS max_view_id
+FROM events p JOIN events v
+  ON p.user_id = v.user_id
+ AND p.event_type = 'purchase' AND v.event_type = 'view'
+ AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+GROUP BY 1
+ORDER BY 1
+"""
+
+QUERIES["stream_stream_attribution"] = stream_stream_attribution
+ORACLE["stream_stream_attribution"] = _STREAM_STREAM_SQL

@@ -133,11 +133,11 @@ _PRIORITY = [
     "stream_session_stats",
     "fulltext_match_all",
     "session_window_agg",
-    "time_slice_quarter_hour",
+    "stream_stream_attribution",
     # unnest / bitmap / json table functions
     "unnest_bitmap_users",
     "func_money_bytes_format",
-    "json_each_props",
+    "dedup_cluster_keepers",
     # rewrites + skew agg
     "large_in_list_join",
     "skew_salted_agg",

@@ -146,3 +146,21 @@ def test_quality_features_empty_text(spark):
     ).collect()}
     assert rows[1]["n_words"] == 0 and rows[1]["punct_ratio"] == 0.0
     assert rows[2]["n_words"] == 0 and rows[2]["punct_ratio"] == 1.0
+
+
+def test_connected_components_chains_and_isolates(spark):
+    """CC must merge transitive chains (a-b, b-c => one cluster) and
+    converge past the default shallow-graph fast path."""
+    from starrocks_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4-5 (diameter 4), pair 10-11, triangle 20-21-22
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11),
+         (20, 21), (21, 22), (20, 22)],
+        ["id_a", "id_b"],
+    )
+    cc = {r["id"]: r["cluster_id"]
+          for r in dedup.connected_components(pairs).collect()}
+    assert {cc[i] for i in (1, 2, 3, 4, 5)} == {1}
+    assert {cc[i] for i in (10, 11)} == {10}
+    assert {cc[i] for i in (20, 21, 22)} == {20}

@@ -159,3 +159,31 @@ def test_ssb_flat_scan_prunes_year_partitions(spark, sf_dir):
     assert "d_year" in part and "1996" in part
     pushed = p.split("PushedFilters")[1].splitlines()[0]
     assert "lo_discount" in pushed and "lo_quantity" in pushed
+
+
+def test_fulltext_match_broadcasts_term_stats(spark, sf_dir):
+    """The per-term df table is a literal handful of rows — it must
+    broadcast, and the posting build must not shuffle more than the
+    (term,doc) aggregation."""
+    from starrocks_spark.catalog import load_table
+    from starrocks_spark.operators import fulltext
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = plan_str(fulltext.match_rank(docs, ["vector", "hash"], k=5))
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+
+
+def test_theta_state_build_has_no_unbounded_collect(spark, sf_dir):
+    """theta_state must be distinct + windowed top-K (bounded rows per
+    group), never a collect_set over raw values: the plan shows a
+    window sort, and the only collect_list runs AFTER the K filter."""
+    from starrocks_spark.catalog import load_table
+    from starrocks_spark.operators import sketches
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    df = sketches.theta_state(orders, ["o_orderpriority"],
+                              F.col("o_custkey"), k=64)
+    p = plan_str(df)
+    assert "Window" in p
+    assert "collect_set" not in p
