@@ -146,3 +146,76 @@ def cosine_dup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str = "q_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: the coarse-quantizer scale path the
+    reference covers with its tenann IVF index families.
+
+    Build: centroids are a deterministic sample of the corpus (the
+    ``n_centroids`` lowest-id vectors — a cheap, reproducible
+    quantizer init; a k-means refinement would slot in here without
+    changing any downstream mechanics). Every corpus vector is
+    assigned to its nearest centroid: a broadcast of the tiny centroid
+    table + one windowed argmax — map-side at any corpus size, and the
+    resulting (cent_id → vectors) inverted lists are the IVF
+    partitions.
+
+    Search: each query ranks the SAME broadcast centroid table, keeps
+    its top ``nprobe`` lists, and scans only those — an equi-join on
+    cent_id touching ~nprobe/n_centroids of the corpus — then exact
+    cosine top-k within. Recall knob = nprobe (monotone: nprobe =
+    n_centroids degenerates to brute force)."""
+    cents = F.broadcast(
+        corpus.orderBy(corpus_id).limit(n_centroids).select(
+            F.col(corpus_id).alias("cent_id"),
+            F.col(vec_col).alias("_cent_v"),
+        )
+    )
+
+    c = corpus.select(F.col(corpus_id), F.col(vec_col).alias("_cv"))
+    w_assign = Window.partitionBy(corpus_id).orderBy(
+        F.desc("_sim"), F.col("cent_id")
+    )
+    lists = (
+        c.crossJoin(cents)
+        .withColumn("_sim", V.cosine(F.col("_cv"), F.col("_cent_v")))
+        .withColumn("_rn", F.row_number().over(w_assign))
+        .filter(F.col("_rn") == 1)
+        .select("cent_id", corpus_id, "_cv")
+    )
+
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("_qv"))
+    w_probe = Window.partitionBy(query_id).orderBy(
+        F.desc("_sim"), F.col("cent_id")
+    )
+    probed = (
+        q.crossJoin(cents)
+        .withColumn("_sim", V.cosine(F.col("_qv"), F.col("_cent_v")))
+        .withColumn("_rn", F.row_number().over(w_probe))
+        .filter(F.col("_rn") <= nprobe)
+        .select(query_id, "_qv", "cent_id")
+    )
+
+    scored = probed.join(lists, "cent_id").select(
+        query_id,
+        corpus_id,
+        V.cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+    )
+    w_rank = Window.partitionBy(query_id).orderBy(
+        F.desc("cos_sim"), F.col(corpus_id)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "rank", corpus_id, "cos_sim")
+    )

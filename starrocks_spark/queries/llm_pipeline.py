@@ -643,3 +643,65 @@ ORDER BY cluster_id
 
 QUERIES["dedup_cluster_keepers"] = dedup_cluster_keepers
 ORACLE["dedup_cluster_keepers"] = _sql_dedup_cluster_keepers()
+
+
+def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN (operators/similarity.py ivf_topk):
+    16 deterministic centroids, nprobe=4 → each query scans ~1/4 of
+    the corpus through the inverted lists. Reference: tenann IVF
+    index families (be/src/storage/index/vector/)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    c = emb.filter(F.col("vec_id") >= 20)
+    out = similarity.ivf_topk(q, c, k=5, n_centroids=16, nprobe=4)
+    return out.select(
+        "q_id", F.col("rank").alias("rnk"), "vec_id", "cos_sim"
+    ).orderBy("q_id", "rnk")
+
+
+def _sql_ann_ivf() -> str:
+    cos_qc = V.sql_cosine("qv", "cent_v")
+    cos_cc = V.sql_cosine("cv", "cent_v")
+    cos_qv = V.sql_cosine("qv", "cv")
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS cent_v FROM embeddings
+  WHERE vec_id >= 20 ORDER BY vec_id LIMIT 16
+),
+c AS (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id >= 20),
+assigned AS (
+  SELECT cent_id, vec_id, cv FROM (
+    SELECT cents.cent_id, c.vec_id, c.cv,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {cos_cc} DESC, cents.cent_id) AS rn
+    FROM c CROSS JOIN cents
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+probed AS (
+  SELECT q_id, qv, cent_id FROM (
+    SELECT q.q_id, q.qv, cents.cent_id,
+           row_number() OVER (PARTITION BY q.q_id
+                              ORDER BY {cos_qc} DESC, cents.cent_id) AS rn
+    FROM q CROSS JOIN cents
+  ) WHERE rn <= 4
+),
+scored AS (
+  SELECT q_id, a.vec_id, {cos_qv} AS cos_sim
+  FROM probed p JOIN assigned a ON p.cent_id = a.cent_id
+),
+ranked AS (
+  SELECT q_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos_sim DESC, vec_id) AS rnk
+  FROM scored
+)
+SELECT q_id, rnk, vec_id, cos_sim FROM ranked WHERE rnk <= 5
+ORDER BY q_id, rnk
+"""
+
+
+QUERIES["ann_ivf_probe"] = ann_ivf_probe
+ORACLE["ann_ivf_probe"] = _sql_ann_ivf()

@@ -135,7 +135,7 @@ _PRIORITY = [
     "session_window_agg",
     "stream_stream_attribution",
     # unnest / bitmap / json table functions
-    "unnest_bitmap_users",
+    "ann_ivf_probe",
     "func_money_bytes_format",
     "dedup_cluster_keepers",
     # rewrites + skew agg

@@ -164,3 +164,33 @@ def test_connected_components_chains_and_isolates(spark):
     assert {cc[i] for i in (1, 2, 3, 4, 5)} == {1}
     assert {cc[i] for i in (10, 11)} == {10}
     assert {cc[i] for i in (20, 21, 22)} == {20}
+
+
+def test_ivf_recall_monotone_in_nprobe(spark, sf_dir):
+    """IVF: recall@5 vs brute force must be monotone in nprobe and
+    reach 1.0 when every list is probed (degenerates to brute force)."""
+    from starrocks_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    c = emb.filter(F.col("vec_id") >= 20)
+    truth = {
+        (r["q_id"], r["vec_id"])
+        for r in similarity.brute_force_topk(q, c, k=5).collect()
+    }
+
+    def recall(nprobe):
+        got = {
+            (r["q_id"], r["vec_id"])
+            for r in similarity.ivf_topk(
+                q, c, k=5, n_centroids=16, nprobe=nprobe
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r1, r4, r16 = recall(1), recall(4), recall(16)
+    assert r1 <= r4 <= r16
+    assert r16 == 1.0
+    assert r4 > 0.3  # probing 1/4 of the lists recovers a real share

@@ -1,0 +1,98 @@
+"""Property-based tests (hypothesis) for the determinism-critical
+algebra: the fixed-point float policy (queries/_util.py) must agree
+bit-for-bit with DuckDB under ANY inputs and ANY partitioning, and the
+sketch states must merge associatively under ANY sharding. These are
+the invariants every oracle comparison rests on — pinned here against
+adversarial inputs rather than fixture luck.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# reasonable OLAP-ish doubles: not inf/nan, bounded exponent so the
+# *1e4 fixed-point step cannot overflow DECIMAL(38,0)
+_doubles = st.floats(
+    min_value=-1e12, max_value=1e12,
+    allow_nan=False, allow_infinity=False, width=64,
+)
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(_doubles, min_size=1, max_size=50))
+def test_dsum_bit_identical_spark_vs_duckdb(spark, xs):
+    """dsum(xs) computed by Spark (any partitioning) and DuckDB must
+    produce the IDENTICAL double."""
+    from starrocks_spark.queries._util import dsum, sql_dsum
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(x,) for x in xs], ["x"]).repartition(7)
+    got = df.agg(dsum(F.col("x")).alias("s")).collect()[0]["s"]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(x,) for x in xs])
+    want = con.execute(f"SELECT {sql_dsum('x')} FROM t").fetchone()[0]
+    con.close()
+    assert got == want, (got, want, xs)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**9),
+             min_size=1, max_size=300),
+    st.sampled_from([2, 3, 5]),
+)
+def test_theta_state_merge_equals_direct_build(spark, values, shards):
+    """For ANY value multiset and ANY sharding, merging per-shard
+    theta states equals the directly-built global state."""
+    import pyspark.sql.functions as F
+    from starrocks_spark.operators import sketches
+
+    rows = [(i, v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, ["i", "v"]).withColumn(
+        "g", F.lit(0)
+    )
+    direct = sketches.theta_state(df, ["g"], F.col("v"), k=32) \
+        .collect()[0]["theta_state"]
+    partial = sketches.theta_state(
+        df.withColumn("s", F.col("i") % shards), ["g", "s"],
+        F.col("v"), k=32,
+    )
+    merged = partial.groupBy("g").agg(
+        sketches.theta_merge("theta_state", k=32).alias("st")
+    ).collect()[0]["st"]
+    assert merged == direct
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=200),
+    st.sampled_from([2, 4]),
+)
+def test_topk_uncapped_merge_exact(spark, items, shards):
+    """With capacity ≥ distinct items, merged per-shard top-k states
+    read out the exact global counts under any sharding."""
+    import pyspark.sql.functions as F
+    from collections import Counter
+    from starrocks_spark.operators import sketches
+
+    rows = [(i, it) for i, it in enumerate(items)]
+    df = spark.createDataFrame(rows, ["i", "item"])
+    states = sketches.topk_state(
+        df.withColumn("s", F.col("i") % shards), ["s"],
+        F.col("item"), capacity=16,
+    )
+    got = sketches.topk_merge_read(states, [], k=8, capacity=16).collect()
+    want = Counter(items)
+    for r in got:
+        assert want[r["item"]] == r["cnt"]
+    # ranks must follow (count desc, item asc) deterministically
+    keys = [(-r["cnt"], r["item"]) for r in got]
+    assert keys == sorted(keys)
