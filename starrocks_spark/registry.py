@@ -78,7 +78,9 @@ _MODULES = [
 # r4 window: the 4 r2-red rows (lang_id, MV refresh, the two HUGEINT
 # oracles), everything the r3/r4 code changes touched (simhash/minhash
 # caps, events.ts vintage normalization, partitioned-upsert dynamic
-# overwrite), then 35+ first-time slots.
+# overwrite), the r4 new-feature sentinels (SSB, theta/top-k sketches,
+# fulltext MATCH, lakehouse time travel, IVF ANN, CC dedup clusters,
+# stream-stream join, scalar-gap families), and first-time slots.
 _PRIORITY = [
     # formerly-red rows — must re-prove green
     "lang_id_confusion",
