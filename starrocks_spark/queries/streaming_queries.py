@@ -272,3 +272,64 @@ ORDER BY 1
 
 QUERIES["stream_stream_attribution"] = stream_stream_attribution
 ORACLE["stream_stream_attribution"] = _STREAM_STREAM_SQL
+
+
+def stream_lakehouse_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest INTO the snapshot-log lakehouse table:
+    foreachBatch appends each micro-batch as an atomic commit (one log
+    version per batch — restart-safe because commits are atomic
+    and the checkpoint replays only unfinished batches), then compact
+    folds the small per-batch files into one and time travel still
+    sees every ingest step. Output: per-version row counts + final
+    per-type totals, oracle-checked against the batch equivalent."""
+    import tempfile
+
+    from starrocks_spark.streaming.ingest import read_events_stream
+    from starrocks_spark.tables.lakehouse import SnapshotTable
+
+    t = SnapshotTable(
+        spark, tempfile.mkdtemp(prefix="lh_stream_", dir="/tmp")
+    )
+    stream = read_events_stream(spark, sf_dir, files_per_trigger=1)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        t.append(batch_df.select("event_id", "event_type", "value"))
+
+    import shutil as _shutil
+    ckpt = tempfile.mkdtemp(prefix="sr_spark_ckpt_lh_")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        _shutil.rmtree(ckpt, ignore_errors=True)
+    t.compact()
+
+    return (
+        t.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 10000 + 0.5).cast("long"))
+            .cast("long").alias("value_f"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_LH_SINK_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_f
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+QUERIES["stream_lakehouse_sink"] = stream_lakehouse_sink
+ORACLE["stream_lakehouse_sink"] = _LH_SINK_SQL

@@ -137,6 +137,17 @@ class SnapshotTable:
 
     # -------------------------------------------------------- maintenance
 
+    def compact(self, target_files: int = 1) -> int:
+        """Rewrite the CURRENT snapshot's data into ``target_files``
+        files and publish it as a new version — the small-file
+        compaction every log-structured table needs under streaming
+        ingest (reference: compaction of rowsets / Iceberg rewrite).
+        Readers of older versions are untouched; vacuum after
+        retention reclaims the superseded files."""
+        df = self.read().coalesce(target_files)
+        files, n = self._write_files(df)
+        return self._publish("compact", lambda cur: (files, n))
+
     def expire_versions(self, keep_last: int = 1) -> list[int]:
         """Drop log entries older than the last ``keep_last`` (the
         retention step that makes vacuum() reclaim their files)."""

@@ -76,3 +76,15 @@ def test_expire_and_vacuum_reclaims_only_dead_files(spark):
     assert t.expire_versions(keep_last=1) == [0]
     assert t.vacuum() > 0
     assert t.read().count() == 20                  # latest intact
+
+
+def test_compact_preserves_data_and_versions(spark):
+    t = _table(spark)
+    for lo in (0, 30, 60):
+        t.append(spark.range(lo, lo + 30).select("id"))
+    n_files_before = len(t.snapshot().files)
+    v = t.compact(target_files=1)
+    assert t.snapshot().operation == "compact"
+    assert len(t.snapshot().files) == 1 <= n_files_before
+    assert t.read().count() == 90
+    assert t.read(v - 1).count() == 90  # pre-compaction snapshot intact
