@@ -705,3 +705,57 @@ ORDER BY q_id, rnk
 
 QUERIES["ann_ivf_probe"] = ann_ivf_probe
 ORACLE["ann_ivf_probe"] = _sql_ann_ivf()
+
+
+# ---------------------------------------------------------------------------
+# AI function surface (operators/ai.py — batched ai_query / ai_embed)
+
+def ai_query_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ai_query over the corpus (reference: ai_functions.cpp) through
+    the batched mapInPandas plumbing with the deterministic fake
+    backend, so the oracle reproduces completions exactly: one backend
+    call per Arrow micro-batch, never per row."""
+    from starrocks_spark.operators import ai
+
+    docs = load_table(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") % 7 == 0)
+    return ai.ai_query(
+        docs, "Summarize: {text}"
+    ).orderBy("doc_id")
+
+
+_AI_QUERY_SQL = r"""
+SELECT doc_id,
+       array_to_string(
+         list_slice(
+           string_split_regex(trim('Summarize: ' || text), '\s+'),
+           1, 5),
+         ' ') AS completion
+FROM documents
+WHERE doc_id % 7 = 0
+ORDER BY doc_id
+"""
+
+
+def ai_embed_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ai_embed (deterministic fake embedder, real Arrow plumbing) →
+    brute-force cosine self-similarity top-3. No SQL oracle: the
+    float32 embedder is not SQL-expressible; properties (unit norm,
+    determinism, plumbing) are pinned in tests/test_llm_ops.py."""
+    from starrocks_spark.operators import ai
+
+    docs = load_table(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") < 40)
+    emb = ai.ai_embed(docs, dim=8)
+    q = emb.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("q_id"), "embedding"
+    )
+    c = emb.filter(F.col("doc_id") >= 5).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    return similarity.brute_force_topk(q, c, k=3).orderBy("q_id", "rank")
+
+
+QUERIES["ai_query_enrich"] = ai_query_enrich
+QUERIES["ai_embed_similarity"] = ai_embed_similarity
+ORACLE["ai_query_enrich"] = _AI_QUERY_SQL

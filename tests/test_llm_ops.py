@@ -194,3 +194,45 @@ def test_ivf_recall_monotone_in_nprobe(spark, sf_dir):
     assert r1 <= r4 <= r16
     assert r16 == 1.0
     assert r4 > 0.3  # probing 1/4 of the lists recovers a real share
+
+
+def test_ai_embed_deterministic_unit_norm(spark, sf_dir):
+    """The fake embedder must be deterministic across runs and emit
+    L2-normalized float32 vectors of the requested dim (the contract a
+    real sentence-transformer swap-in must also satisfy)."""
+    import math
+
+    from starrocks_spark.catalog import load_table
+    from starrocks_spark.operators import ai
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 10
+    )
+    a = {r["doc_id"]: r["embedding"]
+         for r in ai.ai_embed(docs, dim=8).collect()}
+    b = {r["doc_id"]: r["embedding"]
+         for r in ai.ai_embed(docs, dim=8).collect()}
+    assert a == b
+    for v in a.values():
+        assert len(v) == 8
+        assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-3
+
+
+def test_ai_query_backend_called_per_batch_not_per_row(spark, sf_dir):
+    """The backend must receive batched prompt lists (the entire point
+    of the mapInPandas shape) — never one-element calls per row."""
+    from starrocks_spark.catalog import load_table
+    from starrocks_spark.operators import ai
+
+    docs = load_table(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") < 64).coalesce(1)
+
+    def counting_backend(prompts):
+        # runs on executors; assert INSIDE the task and surface via result
+        assert len(prompts) > 1, "backend called row-at-a-time"
+        return [f"n={len(prompts)}" for _ in prompts]
+
+    out = ai.ai_query(docs, "{text}", backend=counting_backend,
+                      batch_size=256).collect()
+    sizes = {r["completion"] for r in out}
+    assert all(int(s[2:]) > 1 for s in sizes)
