@@ -10,7 +10,7 @@ are bit-identical — including every hash, signature, and cosine.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from starrocks_spark.catalog import load_table
@@ -759,3 +759,129 @@ def ai_embed_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["ai_query_enrich"] = ai_query_enrich
 QUERIES["ai_embed_similarity"] = ai_embed_similarity
 ORACLE["ai_query_enrich"] = _AI_QUERY_SQL
+
+
+# ---------------------------------------------------------------------------
+# end-to-end corpus curation (composition of the suite's stages)
+
+def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data curation pipeline in ONE plan: quality
+    gate (word count + stopword ratio) → language allowlist → exact
+    dedup (keep fingerprint keeper) → near-dup cluster drop (keep
+    cluster keeper) → per-language accounting of what survived. Each
+    stage is the already-verified operator; this query pins their
+    COMPOSITION (the thing a real pipeline actually runs). Every stage
+    is a DataFrame transform — one job, no driver-side data movement."""
+    docs = _augmented_docs(load_table(spark, sf_dir, "documents"),
+                           plant_dups=True)
+    qf = T.quality_features(F.col("text"))
+    scored = docs.select(
+        "doc_id", "lang", "text",
+        qf["n_words"].alias("n_words"),
+        qf["stopword_ratio"].alias("stopword_ratio"),
+    )
+    kept = scored.filter(
+        (F.col("n_words") >= 20)
+        & (F.col("stopword_ratio") >= 0.05)
+        & F.col("lang").isin("en", "de", "es", "fr")
+    )
+    # exact dedup: keep min doc_id per fingerprint
+    fp = T.hash60(F.concat_ws(" ", T.norm_words(F.col("text"))))
+    deduped = (
+        kept.withColumn("_fp", fp)
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("_fp").orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_fp", "_rn")
+    )
+    # near-dup clusters over the exact-deduped survivors: drop non-keepers
+    pairs = dedup.ngram_jaccard_pairs(deduped, n=2, threshold=0.6,
+                                      block_cap=1000)
+    cc = dedup.connected_components(pairs)
+    drop = cc.filter(F.col("id") != F.col("cluster_id")) \
+        .select(F.col("id").alias("doc_id"))
+    survivors = deduped.join(drop, "doc_id", "left_anti")
+    return (
+        survivors.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _sql_pipeline_curate() -> str:
+    qs = T.sql_quality_features("text")
+    fp = T.sql_hash60(f"array_to_string(({T.sql_norm_words('text')}), ' ')")
+    sh = T.sql_shingles(_WORDS, 2)
+    sig = T.sql_minhash_signature("sh", 16)
+    bands = T.sql_lsh_bands("sig", 4, 4)
+    jac = (
+        "len(list_intersect(sa.sh, sb.sh))::DOUBLE"
+        " / (len(sa.sh) + len(sb.sh)"
+        " - len(list_intersect(sa.sh, sb.sh)))::DOUBLE"
+    )
+    return f"""
+WITH RECURSIVE documents_aug AS ({_sql_docs_aug(plant_dups=True)}),
+scored AS (
+  SELECT doc_id, lang, text, {qs['n_words']} AS n_words,
+         {qs['stopword_ratio']} AS stopword_ratio
+  FROM documents_aug
+),
+kept AS (
+  SELECT * FROM scored
+  WHERE n_words >= 20 AND stopword_ratio >= 0.05
+    AND lang IN ('en', 'de', 'es', 'fr')
+),
+deduped AS (
+  SELECT doc_id, lang, text, n_words FROM (
+    SELECT *, row_number() OVER (PARTITION BY {fp} ORDER BY doc_id) AS rn
+    FROM kept
+  ) WHERE rn = 1
+),
+base AS (SELECT doc_id, {sh} AS sh FROM deduped),
+sigs AS (SELECT doc_id, sh, {sig} AS sig FROM base),
+banded AS (SELECT doc_id, unnest({bands}) AS band FROM sigs),
+ok AS (SELECT band FROM banded GROUP BY band HAVING COUNT(*) <= 1000),
+capped AS (SELECT banded.* FROM banded JOIN ok USING (band)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM capped a JOIN capped b ON a.band = b.band
+  WHERE a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b FROM cand
+  JOIN base sa ON sa.doc_id = id_a
+  JOIN base sb ON sb.doc_id = id_b
+  WHERE {jac} >= 0.6
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(id, label) AS (
+  SELECT DISTINCT s, s FROM edges
+  UNION
+  SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.id
+),
+cc AS (SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id),
+survivors AS (
+  SELECT d.* FROM deduped d
+  LEFT JOIN (SELECT id FROM cc WHERE id <> cluster_id) x
+    ON d.doc_id = x.id
+  WHERE x.id IS NULL
+)
+SELECT lang, COUNT(*) AS n_docs, SUM(n_words) AS total_words
+FROM survivors
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+QUERIES["pipeline_curate_corpus"] = pipeline_curate_corpus
+ORACLE["pipeline_curate_corpus"] = _sql_pipeline_curate()

@@ -123,7 +123,7 @@ _PRIORITY = [
     "agg_approx_top_k",
     # scalar families never checked
     "func_map_family",
-    "func_struct_family",
+    "pipeline_curate_corpus",
     "func_array_family2",
     "func_hash_family",
     "func_time_slice_modes",
