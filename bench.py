@@ -76,6 +76,20 @@ SSB = [
 ]
 
 
+# Round-4 operator families, timed separately so round-over-round
+# HEADLINE comparability is preserved.
+EXTRAS = [
+    "pipeline_curate_corpus",
+    "dedup_cluster_keepers",
+    "fulltext_match_any",
+    "agg_theta_distinct",
+    "agg_approx_top_k",
+    "ann_ivf_probe",
+    "table_lakehouse_time_travel",
+    "stream_stream_attribution",
+]
+
+
 def _sf_from_dir(d: str) -> float:
     base = os.path.basename(d.rstrip("/"))
     try:
@@ -109,6 +123,12 @@ def main() -> None:
             queries[name](spark, SF_DIR).collect()
             ssb_timings[name] = round(time.perf_counter() - t0, 4)
 
+    extra_timings: dict[str, float] = {}
+    for name in (n for n in EXTRAS if n in queries):
+        t0 = time.perf_counter()
+        queries[name](spark, SF_DIR).collect()
+        extra_timings[name] = round(time.perf_counter() - t0, 4)
+
     print(
         json.dumps(
             {
@@ -118,6 +138,7 @@ def main() -> None:
                 "queries": timings,
                 "ssb": ssb_timings,
                 "ssb_total": round(sum(ssb_timings.values()), 4),
+                "extras": extra_timings,
                 "sf": _sf_from_dir(SF_DIR),
             }
         )

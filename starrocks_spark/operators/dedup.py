@@ -304,24 +304,23 @@ def connected_components(
             .groupBy(F.col("d").alias("id"))
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = _persist(
+        # carry (old, new) in one frame: a single count() action both
+        # materializes the persisted new state and answers convergence
+        # — no second join/job per iteration
+        stepped = _persist(
             labels.join(neighbor_min, "id", "left")
             .select(
                 "id",
+                F.col("label").alias("_old"),
                 F.least(
                     F.col("label"),
                     F.coalesce(F.col("nmin"), F.col("label")),
                 ).alias("label"),
             )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        changed = stepped.filter(F.col("label") != F.col("_old")).count()
         labels.unpersist()
-        labels = new_labels
+        labels = stepped.drop("_old")
         if changed == 0:
             break
     edges.unpersist()
