@@ -48,8 +48,30 @@ def sql_fixed(expr: str, scale: int = 4) -> str:
     return f"CAST(FLOOR(({expr}) * {float(10 ** scale)!r} + 0.5) AS DECIMAL(38,0))"
 
 
+def sql_dec2dbl(expr: str) -> str:
+    """Correctly-rounded DECIMAL(38,0)→DOUBLE for DuckDB.
+
+    DuckDB's own cast mis-rounds integers beyond 2^53 (hypothesis
+    found it: -9007199254748750, exactly representable, casts to
+    ...748), while Spark's (Java BigDecimal) rounds correctly — a
+    silent oracle-divergence class at large aggregate magnitudes.
+    Decompose into hi·2^32 + lo: hi keeps ≤53 significant bits for
+    |v| < 2^85 (trailing zeros are free), lo < 2^32 is exact, so the
+    one final add is the only rounding step — IEEE-identical to a
+    correctly-rounded direct conversion. 2^85 ≈ 3.9e25 comfortably
+    covers any real corpus (100 TB of lineitem ≈ 2e20 scaled units).
+    """
+    h = f"CAST({expr} AS HUGEINT)"
+    r = f"({h} % 4294967296)"
+    q = f"(({h} - {r}) / 4294967296)"
+    return f"(CAST({q} AS DOUBLE) * 4294967296.0 + CAST({r} AS DOUBLE))"
+
+
 def sql_dsum(expr: str, scale: int = 4) -> str:
-    return f"CAST(SUM({sql_fixed(expr, scale)}) AS DOUBLE) / {float(10 ** scale)!r}"
+    return (
+        f"{sql_dec2dbl(f'SUM({sql_fixed(expr, scale)})')}"
+        f" / {float(10 ** scale)!r}"
+    )
 
 
 def sql_davg(expr: str, scale: int = 4) -> str:

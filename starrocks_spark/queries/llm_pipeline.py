@@ -876,7 +876,8 @@ survivors AS (
     ON d.doc_id = x.id
   WHERE x.id IS NULL
 )
-SELECT lang, COUNT(*) AS n_docs, SUM(n_words) AS total_words
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS total_words
 FROM survivors
 GROUP BY lang
 ORDER BY lang

@@ -56,10 +56,14 @@ def assert_no_hugeint(duck_con, oracle_sql, name=""):
     identical. Guard: every oracle output column must be a type Spark can
     emit — flag HUGEINT so the fix (CAST(... AS BIGINT)) happens locally,
     before the driver sees it."""
+    # NOTE: cursor.description blurs every numeric to 'NUMBER' — only
+    # rel.types exposes HUGEINT (this gap let a SUM(int) oracle reach
+    # the full-suite audit before being caught)
+    rel = duck_con.sql(f"SELECT * FROM ({oracle_sql}) q LIMIT 0")
     bad = [
-        (c[0], str(c[1]))
-        for c in duck_con.execute(f"SELECT * FROM ({oracle_sql}) LIMIT 0").description
-        if "HUGEINT" in str(c[1]).upper()
+        (col, str(dtype))
+        for col, dtype in zip(rel.columns, rel.types)
+        if "HUGEINT" in str(dtype).upper() or "INT128" in str(dtype).upper()
     ]
     assert not bad, (
         f"{name}: oracle emits HUGEINT column(s) {bad} — wrap in "
