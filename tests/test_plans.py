@@ -187,3 +187,19 @@ def test_theta_state_build_has_no_unbounded_collect(spark, sf_dir):
     p = plan_str(df)
     assert "Window" in p
     assert "collect_set" not in p
+
+
+def test_query_profile_surfaces_runtime_metrics(spark, sf_dir):
+    """profile() must report executed-plan SQLMetrics (the reference's
+    query-profile analog): the scan's actual row count and a positive
+    aggregate peak memory, off the AQE-final tree."""
+    from starrocks_spark.plans.profile import profile_summary
+
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+    rows = {r["operator"]: r for r in profile_summary(df).collect()}
+    scan = next(r for op, r in rows.items() if op.startswith("Scan"))
+    assert scan["output_rows"] == li.count()
+    agg = [r for op, r in rows.items() if op == "HashAggregate"]
+    assert agg and any(r["peak_memory"] and r["peak_memory"] > 0
+                       for r in agg)
