@@ -120,4 +120,7 @@ def sql_time_slice(expr: str, n: int, unit: str,
             f"(CASE WHEN {epoch} % {width} = 0 THEN {base} "
             f"ELSE {base} + {width} END)"
         )
-    return f"to_timestamp({base})"
+    # make_timestamp(micros) yields plain TIMESTAMP; to_timestamp()
+    # yields TIMESTAMPTZ, which the driver's schema check rejects
+    # against Spark's (ntz-rendered) TimestampType.
+    return f"make_timestamp({base} * 1000000)"

@@ -355,10 +355,46 @@ ORDER BY id_a, id_b
 """
 
 
+def _augmented_embeddings(emb: DataFrame) -> DataFrame:
+    """The synthetic vectors are i.i.d. — no near-duplicates exist, so
+    a 0-row answer both engines agree on proves nothing (VERDICT r2
+    "What's wrong" #6). Plant deterministic dups derived from the base
+    table: an exact copy and a 2×-scaled copy (exactly representable in
+    float32, and cosine is scale-invariant — so BOTH must score ≈1.0
+    and land in the same sign-hash LSH bucket)."""
+    seed = emb.filter(F.col("vec_id") % 41 == 0)
+    return (
+        emb.unionByName(seed.select(
+            (F.col("vec_id") + 10_000_000).alias("vec_id"),
+            "embedding", "label",
+        ))
+        .unionByName(seed.select(
+            (F.col("vec_id") + 20_000_000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: (x * F.lit(2.0)).cast("float")
+            ).alias("embedding"),
+            "label",
+        ))
+    )
+
+
+_SQL_EMB_AUG = """
+SELECT vec_id, embedding, label FROM embeddings
+UNION ALL
+SELECT vec_id + 10000000, embedding, label FROM embeddings
+WHERE vec_id % 41 = 0
+UNION ALL
+SELECT vec_id + 20000000,
+       list_transform(embedding, x -> CAST(x * 2 AS REAL)), label
+FROM embeddings WHERE vec_id % 41 = 0
+"""
+
+
 def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine near-dup pairs blocked by hyperplane LSH bucket + cap
-    (scale-safe successor of label blocking)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    (scale-safe successor of label blocking), over the planted-dup
+    augmented view so the check is non-vacuous."""
+    emb = _augmented_embeddings(load_table(spark, sf_dir, "embeddings"))
     return similarity.cosine_dup_pairs(
         emb, threshold=0.9, planes=8, dim=64, block_cap=2000
     ).orderBy("id_a", "id_b")
@@ -368,8 +404,9 @@ def _sql_embedding_cosine_dups() -> str:
     cos = V.sql_cosine("a.emb", "b.emb")
     bkt = V.sql_lsh_bucket("embedding", 8, 64)
     return f"""
-WITH base AS (
-  SELECT vec_id, embedding AS emb, {bkt} AS blk FROM embeddings
+WITH embeddings_aug AS ({_SQL_EMB_AUG}),
+base AS (
+  SELECT vec_id, embedding AS emb, {bkt} AS blk FROM embeddings_aug
 ), ok AS (
   SELECT blk FROM base GROUP BY blk HAVING COUNT(*) <= 2000
 ), capped AS (SELECT base.* FROM base JOIN ok USING (blk))
@@ -586,7 +623,10 @@ def dedup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("cluster_size"),
             F.min("id").alias("keeper_id"),
-            F.sort_array(F.collect_list("id")).alias("members"),
+            # string, not array<long>: the driver's canonicalizer
+            # sorts rows via pandas, which cannot factorize list cells
+            F.array_join(F.sort_array(F.collect_list("id")), ",")
+            .alias("members"),
         )
         .filter(F.col("cluster_size") >= 2)
         .orderBy("cluster_id")
@@ -633,7 +673,7 @@ cc AS (SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id)
 SELECT cluster_id,
        COUNT(*) AS cluster_size,
        MIN(id) AS keeper_id,
-       list_sort(list(id)) AS members
+       array_to_string(list_sort(list(id)), ',') AS members
 FROM cc
 GROUP BY cluster_id
 HAVING COUNT(*) >= 2

@@ -108,9 +108,12 @@ WITH b AS (
   FROM b
 )
 SELECT l_returnflag,
-       MIN(CASE WHEN cum >= CEIL(0.5 * total) THEN bkt END) * {_W!r} AS q50,
-       MIN(CASE WHEN cum >= CEIL(0.9 * total) THEN bkt END) * {_W!r} AS q90,
-       MIN(CASE WHEN cum >= CEIL(0.99 * total) THEN bkt END) * {_W!r} AS q99
+       CAST(MIN(CASE WHEN cum >= CEIL(0.5 * total) THEN bkt END) * {_W!r}
+            AS DOUBLE) AS q50,
+       CAST(MIN(CASE WHEN cum >= CEIL(0.9 * total) THEN bkt END) * {_W!r}
+            AS DOUBLE) AS q90,
+       CAST(MIN(CASE WHEN cum >= CEIL(0.99 * total) THEN bkt END) * {_W!r}
+            AS DOUBLE) AS q99
 FROM t
 GROUP BY l_returnflag
 ORDER BY l_returnflag

@@ -365,7 +365,10 @@ def table_lakehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             t.read(v)
             .agg(
                 F.count(F.lit(1)).alias("n_orders"),
-                F.sum(fixed(F.col("o_totalprice"))).cast("decimal(38,0)")
+                # BIGINT, not DECIMAL(38,0): DuckDB's pandas export
+                # turns wide decimals into float64, which the driver's
+                # type-sensitive hash rejects against Spark's Decimal
+                F.sum(fixed(F.col("o_totalprice"))).cast("long")
                 .alias("total_fixed"),
             )
             .select(F.lit(v).alias("version"), "n_orders", "total_fixed")
@@ -376,15 +379,15 @@ def table_lakehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LAKEHOUSE_SQL = f"""
 SELECT 0 AS version, COUNT(*) AS n_orders,
-       CAST(SUM({sql_fixed('o_totalprice')}) AS DECIMAL(38,0)) AS total_fixed
+       CAST(SUM({sql_fixed('o_totalprice')}) AS BIGINT) AS total_fixed
 FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
 UNION ALL
 SELECT 1, COUNT(*),
-       CAST(SUM({sql_fixed('o_totalprice')}) AS DECIMAL(38,0))
+       CAST(SUM({sql_fixed('o_totalprice')}) AS BIGINT)
 FROM orders
 UNION ALL
 SELECT 2, COUNT(*),
-       CAST(SUM({sql_fixed('o_totalprice')}) AS DECIMAL(38,0))
+       CAST(SUM({sql_fixed('o_totalprice')}) AS BIGINT)
 FROM orders WHERE o_orderpriority = '1-URGENT'
 ORDER BY version
 """

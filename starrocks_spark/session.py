@@ -72,6 +72,16 @@ def get_spark(
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` for tests/bench;
     pass an explicit cluster master in production.
     """
+    # Python workers resolve pickled-by-reference classes (DuckDB
+    # DataSource, pandas-UDF closures) via PYTHONPATH, not the driver's
+    # sys.path — an external driver launching from another cwd would
+    # otherwise hit PYTHON_DATA_SOURCE_ERROR on the connector scans.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if repo_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + pp if pp else "")
+        )
     builder = SparkSession.builder.appName(app_name).master(
         master or f"local[{_DEFAULT_CPUS}]"
     )
