@@ -85,27 +85,64 @@ def sql_shingles(words: str, n: int = 3) -> str:
 # MinHash signature + LSH bands
 
 def minhash_signature(shingle_col: Column, k: int = 16) -> Column:
-    """k-minhash signature: for each salt i, min over shingles of
-    hash60(i || ':' || shingle). Returns array<long> of length k.
-    Row-local → no shuffle; the LSH banding join is the only exchange
-    in the dedup pipeline."""
+    """k-minhash signature via Kirsch–Mitzenmacher double hashing: ONE
+    md5 per shingle yields two independent halves (h1: 60 bits, h2: 56
+    bits), and salt i's hash is h1 + i*h2 — the standard trick that
+    gives k hash functions for the price of one (Kirsch & Mitzenmacher
+    2006, "Less Hashing, Same Performance"). Earlier revision hashed
+    md5(i || ':' || s) per salt — k full md5 evaluations per shingle,
+    the dominant cost of the whole dedup pipeline at scale.
+
+    h2 is truncated to 56 bits so h1 + 15*h2 < 2^61 — no 64-bit
+    overflow, so the expression is ANSI-mode-safe and bit-identical in
+    DuckDB. Returns array<long> of length k; row-local → no shuffle.
+    """
+    return minhash_signature_from_pairs(minhash_pairs(shingle_col), k)
+
+
+def minhash_pairs(shingle_col: Column) -> Column:
+    """The expensive half of the signature: one md5 per shingle split
+    into the (h1, h2) halves. Hot-path callers MATERIALIZE this column
+    (e.g. in a persisted shingle table) before fanning out to k salts —
+    a higher-order lambda re-evaluates its body per sequence element,
+    so computing md5 inside the per-salt loop would undo the saving."""
     return F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                shingle_col,
-                lambda s: hash60(F.concat(i.cast("string"), F.lit(":"), s)),
-            )
+        F.transform(shingle_col, lambda s: F.md5(s)),
+        lambda m: F.struct(
+            F.conv(F.substring(m, 1, 15), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(m, 16, 14), 16, 10).cast("long").alias("h2"),
         ),
     )
 
 
-def sql_minhash_signature(shingle_expr: str, k: int = 16) -> str:
-    h = sql_hash60(f"(i::VARCHAR || ':' || s)")
-    return (
-        f"[list_min(list_transform({shingle_expr}, s -> {h})) "
-        f"FOR i IN generate_series(0, {k - 1})]"
+def minhash_signature_from_pairs(pairs_col: Column, k: int = 16) -> Column:
+    """The cheap half: per salt i, min over shingles of h1 + i*h2 —
+    pure integer arithmetic over the materialized pairs array."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.array_min(
+            F.transform(pairs_col, lambda p: p["h1"] + i * p["h2"])
+        ),
     )
+
+
+def sql_minhash_pairs(shingle_expr: str) -> str:
+    return (
+        f"list_transform(list_transform({shingle_expr}, s -> md5(s)), "
+        f"m -> {{'h1': ('0x' || substr(m, 1, 15))::BIGINT, "
+        f"'h2': ('0x' || substr(m, 16, 14))::BIGINT}})"
+    )
+
+
+def sql_minhash_from_pairs(pairs_expr: str, k: int = 16) -> str:
+    return (
+        f"[list_min(list_transform({pairs_expr}, "
+        f"p -> p.h1 + i * p.h2)) FOR i IN generate_series(0, {k - 1})]"
+    )
+
+
+def sql_minhash_signature(shingle_expr: str, k: int = 16) -> str:
+    return sql_minhash_from_pairs(sql_minhash_pairs(shingle_expr), k)
 
 
 def lsh_bands(sig: Column, bands: int = 4, rows: int = 4) -> Column:

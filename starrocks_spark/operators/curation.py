@@ -1,0 +1,299 @@
+"""Training-corpus curation operators: sequence packing, deterministic
+splits, repetition-based quality filtering, and PII redaction.
+
+These are the post-dedup stages of a large-scale LLM data pipeline —
+the reference covers the storage/query side (SURVEY.md §2); these
+extend it with the shard-preparation operators a 100 TB corpus needs
+before tokenization. All are built-in-expression plans (no Python row
+UDFs); each has a DuckDB SQL twin for the oracle gate.
+
+Scale design notes
+------------------
+* ``pack_sequences`` needs a GLOBAL running token offset per stream
+  (source). A naive ``SUM() OVER (PARTITION BY source ORDER BY doc_id
+  ROWS UNBOUNDED PRECEDING)`` puts one source's entire corpus through a
+  single window partition — the classic single-reducer bottleneck at
+  100 TB. Instead we compute a **distributed prefix sum**: local
+  running sums inside (source, range-bucket) window partitions, a
+  tiny per-bucket totals aggregate (one row per bucket), a cumulative
+  offset over that small table, and a broadcast join back. Wall-clock
+  is two narrow shuffles + one broadcast; no partition ever holds more
+  than one bucket's rows.
+* ``hash_split`` is embarrassingly parallel (row-local md5 bucket).
+* ``gopher_repetition`` explodes word n-grams but aggregates them
+  per-document — the shuffle key is (doc_id), so cardinality grows
+  linearly with the corpus and skew is bounded by document length.
+* ``pii_redact`` is row-local regexp work that stays in codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from starrocks_spark.functions import text as T
+
+# ---------------------------------------------------------------------------
+# deterministic hash split (train/val/test)
+
+#: split-name → percent of the 100-bucket hash space, in label order.
+DEFAULT_SPLITS: dict[str, int] = {"train": 96, "val": 2, "test": 2}
+
+
+def split_label(key: Column, splits: dict[str, int] | None = None) -> Column:
+    """Stable train/val/test label from a 60-bit md5 bucket of ``key``.
+
+    Documents keep their split across reruns and cluster sizes — the
+    property that prevents eval-set contamination when the corpus is
+    regenerated. (Reference analog: EXCEPT/hash-bucket sampling idioms;
+    the md5 bucketing matches functions/text.py hash60.)
+    """
+    splits = splits or DEFAULT_SPLITS
+    assert sum(splits.values()) == 100, "split percents must total 100"
+    bucket = T.hash60(key.cast("string")) % 100
+    expr = None
+    lo = 0
+    for name, pct in splits.items():
+        cond = (bucket >= lo) & (bucket < lo + pct)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo += pct
+    return expr
+
+
+def sql_split_label(key: str, splits: dict[str, int] | None = None) -> str:
+    splits = splits or DEFAULT_SPLITS
+    bucket = f"({T.sql_hash60(f'CAST({key} AS VARCHAR)')} % 100)"
+    parts = []
+    lo = 0
+    for name, pct in splits.items():
+        parts.append(
+            f"WHEN {bucket} >= {lo} AND {bucket} < {lo + pct} "
+            f"THEN '{name}'"
+        )
+        lo += pct
+    return "CASE " + " ".join(parts) + " END"
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (concat-stream sharding)
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 2048,
+    stream_col: str = "source",
+    order_col: str = "doc_id",
+    bucket_width: int = 4096,
+) -> DataFrame:
+    """Assign each document a (shard_id, offset) in the concatenated
+    token stream of its ``stream_col``, cut into ``budget``-token
+    shards — the standard pack-then-slice layout for pretraining data.
+
+    Distributed prefix sum (see module docstring): the running offset
+    is exact and deterministic, but no window partition ever exceeds
+    one (stream, bucket) range of ``bucket_width`` ids.
+
+    Returns one row per document: stream, doc_id, n_tok, start,
+    shard_id, offset.
+    """
+    ws, bpe = T.token_counts(F.col("text"))
+    base = docs.select(
+        F.col(stream_col).alias("stream"),
+        F.col(order_col).alias("oid"),
+        bpe.cast("long").alias("n_tok"),
+        F.floor(F.col(order_col) / bucket_width).alias("_bkt"),
+    )
+    local_w = (
+        Window.partitionBy("stream", "_bkt")
+        .orderBy("oid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = base.withColumn(
+        "_local_end", F.sum("n_tok").over(local_w)
+    )
+    # one row per (stream, bucket): total tokens — metadata-scale
+    totals = base.groupBy("stream", "_bkt").agg(
+        F.sum("n_tok").alias("_bkt_tok")
+    )
+    off_w = (
+        Window.partitionBy("stream")
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "_bkt_off", F.coalesce(F.sum("_bkt_tok").over(off_w), F.lit(0))
+    ).select("stream", "_bkt", "_bkt_off")
+    packed = (
+        local.join(F.broadcast(offsets), ["stream", "_bkt"])
+        .select(
+            "stream",
+            F.col("oid").alias(order_col),
+            "n_tok",
+            (F.col("_bkt_off") + F.col("_local_end") - F.col("n_tok"))
+            .alias("start"),
+        )
+        .withColumn("shard_id", F.floor(F.col("start") / budget))
+        .withColumn("offset", F.col("start") % budget)
+    )
+    return packed
+
+
+def sql_pack_sequences(budget: int = 2048, stream_col: str = "source",
+                       order_col: str = "doc_id",
+                       table: str = "documents") -> str:
+    """Oracle twin: the straightforward single-window cumsum — which
+    cross-checks the distributed prefix sum EXACTLY, not just
+    statistically."""
+    _, bpe = T.sql_token_counts("text")
+    return f"""
+SELECT {stream_col} AS stream, {order_col},
+       CAST({bpe} AS BIGINT) AS n_tok,
+       CAST(SUM({bpe}) OVER (PARTITION BY {stream_col} ORDER BY {order_col}
+            ROWS UNBOUNDED PRECEDING) - {bpe} AS BIGINT) AS start,
+       CAST(FLOOR((SUM({bpe}) OVER (PARTITION BY {stream_col}
+            ORDER BY {order_col} ROWS UNBOUNDED PRECEDING) - {bpe})
+            / {budget}) AS BIGINT) AS shard_id,
+       CAST((SUM({bpe}) OVER (PARTITION BY {stream_col} ORDER BY {order_col}
+            ROWS UNBOUNDED PRECEDING) - {bpe}) % {budget} AS BIGINT)
+         AS offset
+FROM {table}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition metrics
+
+def _word_grams(words: Column, n: int) -> Column:
+    """ALL word n-grams, duplicates preserved (text.shingles dedupes,
+    which is right for MinHash but would zero out repetition counts).
+    Docs shorter than n words yield no grams."""
+    # guard: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty
+    # (DuckDB's generate_series(1, 0) IS empty) — so short docs must
+    # be handled explicitly for the two engines to agree
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _sql_word_grams(words: str, n: int) -> str:
+    return (
+        f"[array_to_string(list_slice({words}, i, i + {n - 1}), ' ') "
+        f"FOR i IN generate_series(1, greatest(len({words}) - {n - 1}, 0))]"
+    )
+
+
+def gopher_repetition(docs: DataFrame, n: int = 2,
+                      top_frac_max: float = 0.20,
+                      min_words: int = 50) -> DataFrame:
+    """Per-document repetition metrics à la Gopher rules: the fraction
+    of the document occupied by its single most-frequent word n-gram,
+    plus word count — and the keep/drop decision.
+
+    Per-doc n-gram aggregation shuffles on (doc_id, gram): linear in
+    corpus size, bounded per-key by document length.
+
+    Returns doc_id, n_words, n_grams, top_gram_count, top_gram_frac,
+    keep.
+    """
+    words = docs.select(
+        "doc_id", T.norm_words(F.col("text")).alias("w")
+    )
+    grams = words.select(
+        "doc_id",
+        F.size("w").alias("n_words"),
+        F.explode(_word_grams(F.col("w"), n)).alias("gram"),
+    )
+    per_gram = grams.groupBy("doc_id", "n_words", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_doc = per_gram.groupBy("doc_id", "n_words").agg(
+        F.sum("c").alias("n_grams"), F.max("c").alias("top_gram_count")
+    )
+    frac = F.col("top_gram_count").cast("double") / F.col("n_grams").cast(
+        "double"
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("top_gram_count").cast("long").alias("top_gram_count"),
+        frac.alias("top_gram_frac"),
+        (
+            (F.col("n_words") >= min_words) & (frac <= F.lit(top_frac_max))
+        ).alias("keep"),
+    )
+
+
+def sql_gopher_repetition(n: int = 2, top_frac_max: float = 0.20,
+                          min_words: int = 50,
+                          table: str = "documents") -> str:
+    words = T.sql_norm_words("text")
+    grams = _sql_word_grams("w", n)
+    return f"""
+WITH w AS (SELECT doc_id, {words} AS w FROM {table}),
+g AS (
+  SELECT doc_id, len(w) AS n_words, unnest({grams}) AS gram FROM w
+),
+pg AS (
+  SELECT doc_id, n_words, gram, COUNT(*) AS c
+  FROM g GROUP BY doc_id, n_words, gram
+),
+pd AS (
+  SELECT doc_id, n_words, CAST(SUM(c) AS BIGINT) AS n_grams,
+         CAST(MAX(c) AS BIGINT) AS top_gram_count
+  FROM pg GROUP BY doc_id, n_words
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, n_grams,
+       top_gram_count,
+       top_gram_count::DOUBLE / n_grams::DOUBLE AS top_gram_frac,
+       (n_words >= {min_words} AND
+        top_gram_count::DOUBLE / n_grams::DOUBLE <= {top_frac_max})
+         AS keep
+FROM pd
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+
+#: RE2- and Java-regex-compatible patterns (no lookaround, no
+#: backreferences) so Spark and the DuckDB oracle match byte-for-byte.
+PII_PATTERNS: dict[str, str] = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phone": "[0-9]{3}-[0-9]{3}-[0-9]{4}",
+    "ip": "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}",
+}
+
+
+def pii_redact(text: Column) -> dict[str, Column]:
+    """Redact emails/phones/IPs to typed placeholders; also return the
+    per-kind match counts. Row-local regexp work — whole-stage codegen,
+    no shuffle. (Order matters: IP before phone would also match the
+    dotted quad; we count each kind on the ORIGINAL text, then apply
+    replacements email → phone → ip.)"""
+    out: dict[str, Column] = {}
+    clean = text
+    for kind, pat in PII_PATTERNS.items():
+        out[f"n_{kind}"] = F.size(
+            F.regexp_extract_all(text, F.lit(pat), 0)
+        ).cast("long")
+        clean = F.regexp_replace(clean, pat, f"<{kind.upper()}>")
+    out["clean"] = clean
+    return out
+
+
+def sql_pii_redact(text: str) -> dict[str, str]:
+    out: dict[str, str] = {}
+    clean = text
+    for kind, pat in PII_PATTERNS.items():
+        out[f"n_{kind}"] = (
+            f"CAST(len(regexp_extract_all({text}, '{pat}')) AS BIGINT)"
+        )
+        clean = (
+            f"regexp_replace({clean}, '{pat}', '<{kind.upper()}>', 'g')"
+        )
+    out["clean"] = clean
+    return out

@@ -101,13 +101,20 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
     sh_tbl = shingle_table(df, id_col, text_col)
+    # materialize the md5 pairs ONCE per shingle (Kirsch–Mitzenmacher);
+    # without this barrier the per-salt lambda would re-evaluate the
+    # digest list k times (and the per-band slice 4× more on top)
+    mh_tbl = _persist(
+        sh_tbl.select("_id", T.minhash_pairs(F.col("_sh")).alias("_mh"))
+    )
     banded = _persist(
         capped_blocks(
-            sh_tbl.select(
+            mh_tbl.select(
                 "_id",
                 F.explode(
-                    T.lsh_bands(T.minhash_signature(F.col("_sh"), k),
-                                bands, rows)
+                    T.lsh_bands(
+                        T.minhash_signature_from_pairs(F.col("_mh"), k),
+                        bands, rows)
                 ).alias("_band"),
             ),
             "_band",
@@ -232,13 +239,17 @@ def ngram_jaccard_pairs(
     with the metric being thresholded, block sizes are bounded by
     ``capped_blocks``, and the self-join shuffles only (id, band)."""
     base = shingle_table(df, id_col, text_col, n)
+    mh_tbl = _persist(
+        base.select("_id", T.minhash_pairs(F.col("_sh")).alias("_mh"))
+    )
     banded = _persist(
         capped_blocks(
-            base.select(
+            mh_tbl.select(
                 "_id",
                 F.explode(
-                    T.lsh_bands(T.minhash_signature(F.col("_sh"), k),
-                                bands, rows)
+                    T.lsh_bands(
+                        T.minhash_signature_from_pairs(F.col("_mh"), k),
+                        bands, rows)
                 ).alias("_band"),
             ),
             "_band",
@@ -287,16 +298,25 @@ def connected_components(
     (edges stay partitioned); `max_iters` bounds pathological chains,
     and convergence is detected by a count of changed labels (a cheap
     aggregate, not a collect of data rows)."""
-    edges = _persist(
+    # localCheckpoint, not persist: persist caches the DATA but keeps
+    # the LOGICAL PLAN, so each iteration nests the full upstream
+    # pipeline (LSH dedup, here) one level deeper and Catalyst re-
+    # analyzes the whole growing tree per action — measured ~6 s/iter
+    # of pure driver-side planning at a 400-edge graph. Checkpointing
+    # truncates lineage to a leaf; iterations are then O(graph), not
+    # O(plan history). (On a cluster swap for reliable checkpoint().)
+    edges = (
         pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .unionByName(
             pairs.select(F.col(dst).alias("s"), F.col(src).alias("d"))
         )
         .distinct()
+        .localCheckpoint()
     )
-    labels = _persist(
+    labels = (
         edges.select(F.col("s").alias("id")).distinct()
         .withColumn("label", F.col("id"))
+        .localCheckpoint()
     )
     for _ in range(max_iters):
         neighbor_min = (
@@ -304,10 +324,9 @@ def connected_components(
             .groupBy(F.col("d").alias("id"))
             .agg(F.min("label").alias("nmin"))
         )
-        # carry (old, new) in one frame: a single count() action both
-        # materializes the persisted new state and answers convergence
-        # — no second join/job per iteration
-        stepped = _persist(
+        # carry (old, new) in one frame: the checkpoint materializes
+        # the new state and the count answers convergence
+        stepped = (
             labels.join(neighbor_min, "id", "left")
             .select(
                 "id",
@@ -317,11 +336,10 @@ def connected_components(
                     F.coalesce(F.col("nmin"), F.col("label")),
                 ).alias("label"),
             )
+            .localCheckpoint()
         )
         changed = stepped.filter(F.col("label") != F.col("_old")).count()
-        labels.unpersist()
         labels = stepped.drop("_old")
         if changed == 0:
             break
-    edges.unpersist()
     return labels.select("id", F.col("label").alias("cluster_id"))

@@ -1,0 +1,207 @@
+"""Corpus-curation queries: sequence packing, deterministic splits,
+repetition quality filters, PII redaction (operators/curation.py).
+
+These extend the reference's query surface with the shard-preparation
+stages of an LLM training-data pipeline (the north-star extensions in
+SURVEY.md) — each with a DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from starrocks_spark.catalog import load_table
+from starrocks_spark.operators import curation
+
+QUERIES = {}
+ORACLE = {}
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+
+def pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-stream packing of every document into 2048-token shards
+    per source, via the distributed prefix sum (no single-reducer
+    window). The oracle recomputes the SAME offsets with a plain
+    global window cumsum — an exact cross-check of the two-phase
+    prefix-sum against the semantic definition."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.pack_sequences(
+        docs, budget=2048, stream_col="source", order_col="doc_id"
+    ).orderBy("stream", "doc_id")
+
+
+ORACLE["pack_token_shards"] = (
+    curation.sql_pack_sequences(budget=2048, stream_col="source",
+                                order_col="doc_id")
+    + " ORDER BY stream, doc_id"
+)
+QUERIES["pack_token_shards"] = pack_token_shards
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified split
+
+def split_stratified_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-stable train/val/test split (96/2/2 on an md5 bucket of
+    doc_id), audited per language: document counts and the id range.
+    Re-running on a regrown corpus keeps every old doc in its old
+    split — the anti-contamination property."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            curation.split_label(F.col("doc_id")).alias("split"),
+            "doc_id",
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+ORACLE["split_stratified_counts"] = f"""
+SELECT lang, {curation.sql_split_label('doc_id')} AS split,
+       COUNT(*) AS n_docs, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM documents
+GROUP BY 1, 2
+ORDER BY lang, split
+"""
+QUERIES["split_stratified_counts"] = split_stratified_counts
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition filter
+
+def quality_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-bigram repetition fraction + keep/drop decision
+    (Gopher rules analog), for every document with ≥2 words."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.gopher_repetition(
+        docs, n=2, top_frac_max=0.20, min_words=50
+    ).orderBy("doc_id")
+
+
+ORACLE["quality_gopher_repetition"] = (
+    curation.sql_gopher_repetition(n=2, top_frac_max=0.20, min_words=50)
+    + " ORDER BY doc_id"
+)
+QUERIES["quality_gopher_repetition"] = quality_gopher_repetition
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+
+# The synthetic corpus contains no PII, so redaction over raw documents
+# would be a vacuous 0=0 check — both engines derive the SAME planted
+# rows (emails / phone numbers / IPs keyed off doc_id) and the query
+# verifies non-trivial counts and the redacted lengths.
+_PII_AUG_SPARK_SUFFIX = {
+    17: " contact me at user{}@example.com thanks",
+    23: " call 555-123-4567 today",
+    29: " served from 10.42.0.7 edge",
+}
+
+
+def _augmented_pii_docs(docs: DataFrame) -> DataFrame:
+    out = docs.select("doc_id", "text", "source")
+    for mod, tmpl in sorted(_PII_AUG_SPARK_SUFFIX.items()):
+        pre, _, post = tmpl.partition("{}")
+        suffix = (
+            F.concat(F.lit(pre), F.col("doc_id").cast("string"),
+                     F.lit(post))
+            if "{}" in tmpl
+            else F.lit(tmpl)
+        )
+        out = out.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % mod == 0,
+                F.concat(F.col("text"), suffix),
+            ).otherwise(F.col("text")),
+        )
+    return out
+
+
+def _sql_pii_docs() -> str:
+    cases = []
+    for mod, tmpl in sorted(_PII_AUG_SPARK_SUFFIX.items()):
+        pre, _, post = tmpl.partition("{}")
+        if "{}" in tmpl:
+            sfx = f"'{pre}' || doc_id::VARCHAR || '{post}'"
+        else:
+            sfx = f"'{tmpl}'"
+        cases.append(
+            f"CASE WHEN doc_id % {mod} = 0 THEN {sfx} ELSE '' END"
+        )
+    return (
+        "SELECT doc_id, text || " + " || ".join(cases) + " AS text, "
+        "source FROM documents"
+    )
+
+
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact emails/phones/IPs to typed placeholders; report per-source
+    document counts, per-kind totals, and the chars removed — the audit
+    a privacy pass over a 100 TB corpus emits."""
+    docs = _augmented_pii_docs(load_table(spark, sf_dir, "documents"))
+    red = curation.pii_redact(F.col("text"))
+    per_doc = docs.select(
+        "source",
+        red["n_email"].alias("n_email"),
+        red["n_phone"].alias("n_phone"),
+        red["n_ip"].alias("n_ip"),
+        (F.length("text") - F.length(red["clean"])).cast("long")
+        .alias("chars_delta"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                ((F.col("n_email") + F.col("n_phone") + F.col("n_ip")) > 0)
+                .cast("long")
+            ).alias("docs_with_pii"),
+            F.sum("n_email").alias("emails"),
+            F.sum("n_phone").alias("phones"),
+            F.sum("n_ip").alias("ips"),
+            F.sum("chars_delta").alias("chars_removed"),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_pii_stats() -> str:
+    red = curation.sql_pii_redact("text")
+    return f"""
+WITH aug AS ({_sql_pii_docs()}),
+per_doc AS (
+  SELECT source,
+         {red['n_email']} AS n_email,
+         {red['n_phone']} AS n_phone,
+         {red['n_ip']} AS n_ip,
+         CAST(length(text) - length({red['clean']}) AS BIGINT)
+           AS chars_delta
+  FROM aug
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN n_email + n_phone + n_ip > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS docs_with_pii,
+       CAST(SUM(n_email) AS BIGINT) AS emails,
+       CAST(SUM(n_phone) AS BIGINT) AS phones,
+       CAST(SUM(n_ip) AS BIGINT) AS ips,
+       CAST(SUM(chars_delta) AS BIGINT) AS chars_removed
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
+ORACLE["pii_redaction_stats"] = _sql_pii_stats()
+QUERIES["pii_redaction_stats"] = pii_redaction_stats

@@ -18,6 +18,7 @@ from starrocks_spark.queries import (
     bitmap_queries,
     complex_types,
     connector_queries,
+    curation_queries,
     dialect_queries,
     events_analytics,
     joins_misc,
@@ -60,6 +61,7 @@ _MODULES = [
     bitmap_queries,
     sketch_queries,
     connector_queries,
+    curation_queries,
     ssb,
 ]
 
@@ -75,81 +77,79 @@ _MODULES = [
 # (3) freed slots go to never-driver-checked queries, oldest families
 #     first. Keep the list at ~50 entries.
 #
-# r4 window: the 4 r2-red rows (lang_id, MV refresh, the two HUGEINT
-# oracles), everything the r3/r4 code changes touched (simhash/minhash
-# caps, events.ts vintage normalization, partitioned-upsert dynamic
-# overwrite), the r4 new-feature sentinels (SSB, theta/top-k sketches,
-# fulltext MATCH, lakehouse time travel, IVF ANN, CC dedup clusters,
-# stream-stream join, scalar-gap families), and first-time slots.
+# r5 window: the 3 r4-red rows (driver-hostile oracle types, all fixed)
+# plus everything whose code or oracle changed this round (embedding
+# dedup planting, percentile-sketch oracle, PYTHONPATH-sensitive
+# connector scan), the four NEW curation queries, and then every
+# remaining never-driver-checked query — after this window the entire
+# registry except a handful of rotating sentinels has a hard driver row
+# in some round.
 _PRIORITY = [
-    # formerly-red rows — must re-prove green
-    "lang_id_confusion",
-    "mv_incremental_refresh",
-    "agg_state_merge",
-    "stream_stateful_profiles",
-    # changed this round: capped/widened LSH dedup + de-vacuoused fixtures
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_exact_clusters",
-    "embedding_cosine_dups",
-    # changed this round: per-writer dynamic partition overwrite
-    "table_primary_upsert_delete",
-    # changed this round: events.ts vintage normalization (sentinels for
-    # the events-reading families; the rest are local-mirror covered)
-    "asof_inner_tolerance",
-    "funnel_modes",
-    "tumbling_hourly",
-    # --- first-time driver slots below ---
-    # file / schema / meta scans
-    "files_csv_roundtrip",
-    "files_json_roundtrip",
-    "files_orc_partitioned_export",
-    "schema_scan_columns",
-    "meta_scan_minmax",
-    # set operations (ALL variants never checked)
-    "setop_except_all",
-    "setop_intersect_all",
-    # window frames
-    "window_range_frame",
-    "window_nth_value",
-    # aggregate library breadth
-    "agg_min_max_by",
-    "agg_map_agg",
-    "agg_mann_whitney",
-    "agg_array_agg_distinct",
+    # r4-red rows — must re-prove green
     "table_lakehouse_time_travel",
-    # new sketch states this round (verdict r2 ask #9)
-    "agg_theta_distinct",
-    "agg_approx_top_k",
-    # scalar families never checked
-    "func_map_family",
-    "pipeline_curate_corpus",
-    "func_array_family2",
-    "func_hash_family",
     "func_time_slice_modes",
-    "func_inet_aton_ntoa",
-    "func_string_advanced",
-    "func_ngram_search",
-    # streaming variants never checked
-    "stream_sliding_counts",
-    "stream_session_stats",
-    "fulltext_match_all",
-    "session_window_agg",
-    "stream_stream_attribution",
-    # unnest / bitmap / json table functions
-    "ann_ivf_probe",
-    "func_money_bytes_format",
     "dedup_cluster_keepers",
-    # rewrites + skew agg
-    "large_in_list_join",
-    "skew_salted_agg",
-    # dialect + connector sink
-    "dialect_str_to_date_roundtrip",
-    "connector_duckdb_sink",
-    # SSB flat benchmark queries (new this round — bench headline surface;
-    # two driver sentinels here, all 13 in the local mirror + bench)
-    "ssb_q2_1",
-    "ssb_q4_3",
+    # changed this round: planted embedding dups / DOUBLE quantile oracle
+    "embedding_cosine_dups",
+    "agg_percentile_sketch",
+    # changed this round: worker PYTHONPATH export (pickled-class paths)
+    "connector_duckdb_scan",
+    # new this round: corpus-curation operators
+    "pack_token_shards",
+    "split_stratified_counts",
+    "quality_gopher_repetition",
+    "pii_redaction_stats",
+    # --- first-time driver slots below (the full remaining backlog) ---
+    # scalar/date families
+    "func_date_family",
+    "time_slice_quarter_hour",
+    "func_conditional_family",
+    "func_json_construct",
+    "func_geo_haversine",
+    "func_conv_bin",
+    "func_aes_crypto",
+    "func_struct_family",
+    # aggregate breadth
+    "agg_min_max_n",
+    "agg_stats_fixed",
+    "agg_bool_sum_map",
+    "agg_any_value_mode",
+    # table functions / unnest
+    "json_each_props",
+    "unnest_multi_outer",
+    "unnest_bitmap_users",
+    # ANN / fulltext / AI surfaces
+    "ann_lsh_multiprobe",
+    "fulltext_match_any",
+    "ai_query_enrich",
+    "ai_embed_similarity",
+    # streaming variants
+    "stream_dedup_distinct",
+    "stream_lakehouse_sink",
+    # dialect breadth
+    "dialect_interval_arith",
+    "dialect_alias_functions",
+    "dialect_qualify_topn",
+    # table models
+    "table_dup_keys_batches",
+    # SSB flat benchmark — the remaining 11 (q2_1/q4_3 proved in r4)
+    "ssb_q1_1",
+    "ssb_q1_2",
+    "ssb_q1_3",
+    "ssb_q2_2",
+    "ssb_q2_3",
+    "ssb_q3_1",
+    "ssb_q3_2",
+    "ssb_q3_3",
+    "ssb_q3_4",
+    "ssb_q4_1",
+    "ssb_q4_2",
+    # rotating regression sentinels (proven before; keep one per major
+    # family riding along each round)
+    "tpch_q1_pricing_summary",
+    "tpch_q21_suppliers_kept_waiting",
+    "mv_incremental_refresh",
+    "stream_stateful_profiles",
 ]
 
 

@@ -1,0 +1,104 @@
+"""Unit tests for operators/curation.py — the shard-prep pipeline ops.
+
+The registry parity test already checks the four curation queries
+against DuckDB end-to-end; these cover the edge cases the fixtures
+can't force (short docs, exact prefix-sum equivalence, split-label
+totality, PII pattern boundaries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from starrocks_spark.operators import curation
+
+
+def test_pack_matches_single_window_prefix_sum(spark, sf_dir):
+    """The distributed (bucketed) prefix sum must equal the naive
+    single-window cumsum EXACTLY — same start/shard/offset per doc."""
+    from starrocks_spark.catalog import load_table
+    from starrocks_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = curation.pack_sequences(docs, budget=512, bucket_width=64)
+
+    _, bpe = T.token_counts(F.col("text"))
+    w = (
+        Window.partitionBy("stream")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    naive = (
+        docs.select(
+            F.col("source").alias("stream"), "doc_id",
+            bpe.cast("long").alias("n_tok"),
+        )
+        .withColumn("start", F.sum("n_tok").over(w) - F.col("n_tok"))
+        .withColumn("shard_id", F.floor(F.col("start") / 512))
+        .withColumn("offset", F.col("start") % 512)
+    )
+    diff = packed.exceptAll(naive)
+    assert diff.count() == 0
+    assert packed.count() == naive.count()
+    # multiple shards must actually exist (non-vacuous)
+    assert packed.agg(F.max("shard_id")).first()[0] > 0
+
+
+def test_split_label_total_and_stable(spark):
+    df = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    labeled = df.select(
+        "doc_id", curation.split_label(F.col("doc_id")).alias("split")
+    )
+    counts = dict(
+        (r["split"], r["n"])
+        for r in labeled.groupBy("split").agg(F.count("*").alias("n")).collect()
+    )
+    assert counts.keys() == {"train", "val", "test"}  # all buckets hit
+    assert sum(counts.values()) == 2000  # no NULL labels
+    assert counts["train"] > counts["val"] + counts["test"]
+    # determinism: recompute equals itself
+    again = df.select(
+        "doc_id", curation.split_label(F.col("doc_id")).alias("split")
+    )
+    assert labeled.exceptAll(again).count() == 0
+
+
+def test_gopher_short_and_repetitive_docs(spark):
+    rows = [
+        (1, "one"),                       # 1 word → no bigrams → no row
+        (2, "spam spam spam spam spam"),  # all bigrams identical
+        (3, "a b c d e f g h"),           # all bigrams distinct
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in curation.gopher_repetition(df, n=2, min_words=3).collect()
+    }
+    assert 1 not in out
+    assert out[2]["top_gram_frac"] == 1.0 and not out[2]["keep"]
+    assert out[3]["top_gram_frac"] < 0.2 and out[3]["keep"]
+
+
+def test_pii_redact_counts_and_placeholders(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@site.org or x@y.io, call 555-123-4567"),
+            (2, "server 192.168.0.1 clean text"),
+            (3, "no pii here"),
+        ],
+        ["doc_id", "text"],
+    )
+    red = curation.pii_redact(F.col("text"))
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", red["n_email"].alias("e"), red["n_phone"].alias("p"),
+            red["n_ip"].alias("i"), red["clean"].alias("clean")
+        ).collect()
+    }
+    assert (got[1]["e"], got[1]["p"], got[1]["i"]) == (2, 1, 0)
+    assert "<EMAIL>" in got[1]["clean"] and "<PHONE>" in got[1]["clean"]
+    assert "@" not in got[1]["clean"]
+    assert got[2]["i"] == 1 and "<IP>" in got[2]["clean"]
+    assert got[3]["clean"] == "no pii here"
