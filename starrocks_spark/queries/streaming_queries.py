@@ -43,7 +43,8 @@ def stream_tumbling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming tumbling-window revenue (complete mode), settled."""
     stream = read_events_stream(spark, sf_dir)
     agg = tumbling_window_revenue(stream, width="1 hour")
-    return run_stream_to_memory(agg, output_mode="complete")
+    return run_stream_to_memory(agg, output_mode="complete",
+                                state_partitions=8)
 
 
 _TUMBLING_SQL = f"""
@@ -61,7 +62,8 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     lands in 2 overlapping windows."""
     stream = read_events_stream(spark, sf_dir)
     agg = sliding_window_counts(stream, width="1 hour", slide="30 minutes")
-    return run_stream_to_memory(agg, output_mode="complete")
+    return run_stream_to_memory(agg, output_mode="complete",
+                                state_partitions=8)
 
 
 # Spark hop windows are epoch-aligned multiples of the slide; an event
@@ -81,7 +83,8 @@ def stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming session windows (30-minute gap) per user, settled."""
     stream = read_events_stream(spark, sf_dir)
     agg = session_window_stats(stream, gap="30 minutes")
-    return run_stream_to_memory(agg, output_mode="complete")
+    return run_stream_to_memory(agg, output_mode="complete",
+                                state_partitions=8)
 
 
 # F.session_window merges events strictly less than the gap apart, so
@@ -117,7 +120,8 @@ def stream_dedup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, ["user_id", "event_type"], watermark="3650 days"
     )
     settled = run_stream_to_memory(
-        deduped.select("user_id", "event_type"), output_mode="append"
+        deduped.select("user_id", "event_type"), output_mode="append",
+        state_partitions=8,
     )
     return settled
 
@@ -170,7 +174,8 @@ def stream_stateful_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("value_f"),
     )
     updates = run_stream_to_memory(
-        stateful_user_profiles(stream), output_mode="update"
+        stateful_user_profiles(stream), output_mode="update",
+        state_partitions=8,
     )
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (
@@ -245,7 +250,11 @@ def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("v_ts") <= F.col("p_ts"))
         & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
     )
-    pairs = run_stream_to_memory(joined, output_mode="append")
+    # 8 state partitions: the hour of join state at this rate fits a
+    # handful of stores; 32 would be 4x the fixed snapshot/delta I/O
+    # for zero extra useful parallelism (see run_stream_to_memory)
+    pairs = run_stream_to_memory(joined, output_mode="append",
+                                 state_partitions=8)
     return (
         pairs.groupBy(F.col("p_user").alias("user_id"))
         .agg(
