@@ -81,6 +81,31 @@ def shingle_table(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def pairs_table(df: DataFrame, id_col: str, text_col: str,
+                n: int = 3) -> DataFrame:
+    """Materialized (id, minhash-digest-pairs) table: ONE md5 per
+    shingle, split into (h1, h2) halves (Kirsch–Mitzenmacher). This is
+    the only expensive signature computation; everything downstream —
+    the k-salt minhash, LSH bands, the simhash feature hashes, and the
+    exact Jaccard verification (on distinct-h1 sets) — is integer
+    arithmetic over this one persisted column. The shingle STRINGS are
+    never stored: hashed sets verify the same Jaccard (60-bit h1, no
+    collisions at any realistic block size) at a fraction of the
+    memory/serialization cost."""
+    return _persist(
+        words_table(df, id_col, text_col)
+        .select(
+            "_id",
+            T.minhash_pairs(T.shingles(F.col("_words"), n)).alias("_mh"),
+        )
+    )
+
+
+def h1_set(pairs_col):
+    """Distinct h1-hash set for exact Jaccard verification."""
+    return F.array_distinct(F.transform(pairs_col, lambda p: p["h1"]))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -100,13 +125,7 @@ def minhash_lsh_pairs(
     Jaccard via joins back to the shingle table → threshold filter.
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
-    sh_tbl = shingle_table(df, id_col, text_col)
-    # materialize the md5 pairs ONCE per shingle (Kirsch–Mitzenmacher);
-    # without this barrier the per-salt lambda would re-evaluate the
-    # digest list k times (and the per-band slice 4× more on top)
-    mh_tbl = _persist(
-        sh_tbl.select("_id", T.minhash_pairs(F.col("_sh")).alias("_mh"))
-    )
+    mh_tbl = pairs_table(df, id_col, text_col)
     banded = _persist(
         capped_blocks(
             mh_tbl.select(
@@ -129,13 +148,13 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     verified = (
-        pairs.join(sh_tbl.select(F.col("_id").alias("id_a"),
-                                 F.col("_sh").alias("_sh_a")), "id_a")
-        .join(sh_tbl.select(F.col("_id").alias("id_b"),
-                            F.col("_sh").alias("_sh_b")), "id_b")
+        pairs.join(mh_tbl.select(F.col("_id").alias("id_a"),
+                                 h1_set(F.col("_mh")).alias("_hs_a")), "id_a")
+        .join(mh_tbl.select(F.col("_id").alias("id_b"),
+                            h1_set(F.col("_mh")).alias("_hs_b")), "id_b")
     )
-    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
-    union = (F.size("_sh_a") + F.size("_sh_b") - inter).cast("double")
+    inter = F.size(F.array_intersect("_hs_a", "_hs_b"))
+    union = (F.size("_hs_a") + F.size("_hs_b") - inter).cast("double")
     return (
         verified.select(
             "id_a", "id_b", (inter.cast("double") / union).alias("jaccard")
@@ -167,12 +186,16 @@ def simhash_pairs(
     vocabulary every doc has nearly the same distinct word *set*, which
     makes unigram SimHash degenerate (everything within hamming 3);
     bigrams encode local word order and discriminate."""
-    bigram_tbl = shingle_table(df, id_col, text_col, n=2)
-    wh_tbl = _persist(
-        bigram_tbl.select("_id", T.word_hashes(F.col("_sh")).alias("_wh"))
-    )
+    # the h1 halves of the shared digest-pairs table ARE the feature
+    # hashes (hash60 of each distinct bigram) — no separate md5 pass
+    mh_tbl = pairs_table(df, id_col, text_col, n=2)
     sigs = _persist(
-        wh_tbl.select("_id", T.simhash60(F.col("_wh")).alias("_sim"))
+        mh_tbl.select(
+            "_id",
+            T.simhash60(
+                F.transform(F.col("_mh"), lambda p: p["h1"])
+            ).alias("_sim"),
+        )
     )
     cb = T.SIMHASH_CHUNK_BITS
     chunked = capped_blocks(
@@ -238,10 +261,7 @@ def ngram_jaccard_pairs(
     shingle sets the verification uses, so block membership correlates
     with the metric being thresholded, block sizes are bounded by
     ``capped_blocks``, and the self-join shuffles only (id, band)."""
-    base = shingle_table(df, id_col, text_col, n)
-    mh_tbl = _persist(
-        base.select("_id", T.minhash_pairs(F.col("_sh")).alias("_mh"))
-    )
+    mh_tbl = pairs_table(df, id_col, text_col, n)
     banded = _persist(
         capped_blocks(
             mh_tbl.select(
@@ -264,13 +284,13 @@ def ngram_jaccard_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     verified = (
-        pairs.join(base.select(F.col("_id").alias("id_a"),
-                               F.col("_sh").alias("_sh_a")), "id_a")
-        .join(base.select(F.col("_id").alias("id_b"),
-                          F.col("_sh").alias("_sh_b")), "id_b")
+        pairs.join(mh_tbl.select(F.col("_id").alias("id_a"),
+                                 h1_set(F.col("_mh")).alias("_hs_a")), "id_a")
+        .join(mh_tbl.select(F.col("_id").alias("id_b"),
+                            h1_set(F.col("_mh")).alias("_hs_b")), "id_b")
     )
-    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
-    union = (F.size("_sh_a") + F.size("_sh_b") - inter).cast("double")
+    inter = F.size(F.array_intersect("_hs_a", "_hs_b"))
+    union = (F.size("_hs_a") + F.size("_hs_b") - inter).cast("double")
     return (
         verified.select(
             "id_a", "id_b", (inter.cast("double") / union).alias("jaccard")

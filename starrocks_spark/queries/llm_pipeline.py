@@ -255,30 +255,48 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_dedup_minhash() -> str:
-    sh = T.sql_shingles(_WORDS, 3)
-    sig = T.sql_minhash_signature("sh", 16)
+
+def _sql_mh_block(src: str, n: int, cap: int = 1000) -> str:
+    """Shared oracle CTE block mirroring operators/dedup.py's hashed
+    pipeline: digest pairs (one md5/shingle) → KM minhash → LSH bands →
+    capped blocks → candidate pairs → exact Jaccard on distinct-h1
+    sets. Ends with a ``jscored(id_a, id_b, jaccard)`` CTE."""
+    sh = T.sql_shingles(_WORDS, n)
+    mh = T.sql_minhash_pairs(sh)
+    sig = T.sql_minhash_from_pairs("mh", 16)
     bands = T.sql_lsh_bands("sig", 4, 4)
-    return f"""
-WITH base AS (SELECT doc_id, {sh} AS sh FROM documents),
-sigs AS (SELECT doc_id, sh, {sig} AS sig FROM base),
+    jac = (
+        "len(list_intersect(sa.hs, sb.hs))::DOUBLE"
+        " / (len(sa.hs) + len(sb.hs)"
+        " - len(list_intersect(sa.hs, sb.hs)))::DOUBLE"
+    )
+    return f"""base AS (SELECT doc_id, {mh} AS mh FROM {src}),
+sigs AS (SELECT doc_id, {sig} AS sig FROM base),
 banded AS (SELECT doc_id, unnest({bands}) AS band FROM sigs),
-ok AS (SELECT band FROM banded GROUP BY band HAVING COUNT(*) <= 1000),
+ok AS (SELECT band FROM banded GROUP BY band HAVING COUNT(*) <= {cap}),
 capped AS (SELECT banded.* FROM banded JOIN ok USING (band)),
-pairs AS (
+cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM capped a JOIN capped b ON a.band = b.band
   WHERE a.doc_id < b.doc_id
-)
-SELECT id_a, id_b,
-       len(list_intersect(sa.sh, sb.sh))::DOUBLE
-         / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::DOUBLE
-         AS jaccard
-FROM pairs
-JOIN base sa ON sa.doc_id = id_a
-JOIN base sb ON sb.doc_id = id_b
-WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
-        / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::DOUBLE >= 0.5
+),
+hsets AS (
+  SELECT doc_id, list_distinct(list_transform(mh, p -> p.h1)) AS hs
+  FROM base
+),
+jscored AS (
+  SELECT id_a, id_b, {jac} AS jaccard
+  FROM cand
+  JOIN hsets sa ON sa.doc_id = id_a
+  JOIN hsets sb ON sb.doc_id = id_b
+)"""
+
+
+def _sql_dedup_minhash() -> str:
+    return f"""
+WITH {_sql_mh_block('documents', 3, 1000)}
+SELECT id_a, id_b, jaccard FROM jscored
+WHERE jaccard >= 0.5
 ORDER BY id_a, id_b
 """
 
@@ -327,30 +345,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_dedup_ngram_jaccard() -> str:
-    sh = T.sql_shingles(_WORDS, 2)
-    sig = T.sql_minhash_signature("sh", 16)
-    bands = T.sql_lsh_bands("sig", 4, 4)
-    jac = (
-        "len(list_intersect(sa.sh, sb.sh))::DOUBLE"
-        " / (len(sa.sh) + len(sb.sh)"
-        " - len(list_intersect(sa.sh, sb.sh)))::DOUBLE"
-    )
     return f"""
-WITH base AS (SELECT doc_id, {sh} AS sh FROM documents),
-sigs AS (SELECT doc_id, sh, {sig} AS sig FROM base),
-banded AS (SELECT doc_id, unnest({bands}) AS band FROM sigs),
-ok AS (SELECT band FROM banded GROUP BY band HAVING COUNT(*) <= 1000),
-capped AS (SELECT banded.* FROM banded JOIN ok USING (band)),
-pairs AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM capped a JOIN capped b ON a.band = b.band
-  WHERE a.doc_id < b.doc_id
-)
-SELECT id_a, id_b, {jac} AS jaccard
-FROM pairs
-JOIN base sa ON sa.doc_id = id_a
-JOIN base sb ON sb.doc_id = id_b
-WHERE {jac} >= 0.6
+WITH {_sql_mh_block('documents', 2, 1000)}
+SELECT id_a, id_b, jaccard FROM jscored
+WHERE jaccard >= 0.6
 ORDER BY id_a, id_b
 """
 
@@ -634,32 +632,10 @@ def dedup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_dedup_cluster_keepers() -> str:
-    sh = T.sql_shingles(_WORDS, 2)
-    sig = T.sql_minhash_signature("sh", 16)
-    bands = T.sql_lsh_bands("sig", 4, 4)
-    jac = (
-        "len(list_intersect(sa.sh, sb.sh))::DOUBLE"
-        " / (len(sa.sh) + len(sb.sh)"
-        " - len(list_intersect(sa.sh, sb.sh)))::DOUBLE"
-    )
     return f"""
 WITH RECURSIVE documents_aug AS ({_sql_docs_aug(plant_dups=True)}),
-base AS (SELECT doc_id, {sh} AS sh FROM documents_aug),
-sigs AS (SELECT doc_id, sh, {sig} AS sig FROM base),
-banded AS (SELECT doc_id, unnest({bands}) AS band FROM sigs),
-ok AS (SELECT band FROM banded GROUP BY band HAVING COUNT(*) <= 1000),
-capped AS (SELECT banded.* FROM banded JOIN ok USING (band)),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM capped a JOIN capped b ON a.band = b.band
-  WHERE a.doc_id < b.doc_id
-),
-pairs AS (
-  SELECT id_a, id_b FROM cand
-  JOIN base sa ON sa.doc_id = id_a
-  JOIN base sb ON sb.doc_id = id_b
-  WHERE {jac} >= 0.6
-),
+{_sql_mh_block('documents_aug', 2, 1000)},
+pairs AS (SELECT id_a, id_b FROM jscored WHERE jaccard >= 0.6),
 edges AS (
   SELECT id_a AS s, id_b AS d FROM pairs
   UNION SELECT id_b, id_a FROM pairs
@@ -858,14 +834,6 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_pipeline_curate() -> str:
     qs = T.sql_quality_features("text")
     fp = T.sql_hash60(f"array_to_string(({T.sql_norm_words('text')}), ' ')")
-    sh = T.sql_shingles(_WORDS, 2)
-    sig = T.sql_minhash_signature("sh", 16)
-    bands = T.sql_lsh_bands("sig", 4, 4)
-    jac = (
-        "len(list_intersect(sa.sh, sb.sh))::DOUBLE"
-        " / (len(sa.sh) + len(sb.sh)"
-        " - len(list_intersect(sa.sh, sb.sh)))::DOUBLE"
-    )
     return f"""
 WITH RECURSIVE documents_aug AS ({_sql_docs_aug(plant_dups=True)}),
 scored AS (
@@ -884,22 +852,8 @@ deduped AS (
     FROM kept
   ) WHERE rn = 1
 ),
-base AS (SELECT doc_id, {sh} AS sh FROM deduped),
-sigs AS (SELECT doc_id, sh, {sig} AS sig FROM base),
-banded AS (SELECT doc_id, unnest({bands}) AS band FROM sigs),
-ok AS (SELECT band FROM banded GROUP BY band HAVING COUNT(*) <= 1000),
-capped AS (SELECT banded.* FROM banded JOIN ok USING (band)),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM capped a JOIN capped b ON a.band = b.band
-  WHERE a.doc_id < b.doc_id
-),
-pairs AS (
-  SELECT id_a, id_b FROM cand
-  JOIN base sa ON sa.doc_id = id_a
-  JOIN base sb ON sb.doc_id = id_b
-  WHERE {jac} >= 0.6
-),
+{_sql_mh_block('deduped', 2, 1000)},
+pairs AS (SELECT id_a, id_b FROM jscored WHERE jaccard >= 0.6),
 edges AS (
   SELECT id_a AS s, id_b AS d FROM pairs
   UNION SELECT id_b, id_a FROM pairs
