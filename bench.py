@@ -87,6 +87,11 @@ EXTRAS = [
     "ann_ivf_probe",
     "table_lakehouse_time_travel",
     "stream_stream_attribution",
+    # round-5 curation operators
+    "pack_token_shards",
+    "split_stratified_counts",
+    "quality_gopher_repetition",
+    "pii_redaction_stats",
 ]
 
 

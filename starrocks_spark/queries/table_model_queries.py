@@ -394,3 +394,47 @@ ORDER BY version
 
 QUERIES["table_lakehouse_time_travel"] = table_lakehouse_time_travel
 ORACLE["table_lakehouse_time_travel"] = _LAKEHOUSE_SQL
+
+
+def table_rollup_autoselect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous rollup index + automatic selection (reference:
+    ALTER TABLE ADD ROLLUP, chosen by MaterializedViewRule): a DUP_KEYS
+    fact table over events declares a (event_type) rollup at DDL time;
+    three raw batches maintain it (a second map-side combine per
+    ingest); the aggregate read groups by event_type and MUST be served
+    from the |event_type|-row index, never the fact table — asserted
+    here and by tests/test_table_models.py."""
+    events = load_table(spark, sf_dir, "events")
+    prepared = events.select(
+        "event_id", "user_id", "event_type",
+        fixed(F.col("value")).cast("long").alias("value_f"),
+    )
+    t = ManagedTable.create(
+        spark, TableModel.DUP_KEYS, ["user_id", "event_type"]
+    )
+    t.add_rollup("by_type", ["event_type"], {"value_f": "sum"})
+    for i in range(3):
+        t.insert(prepared.filter(F.col("event_id") % 3 == i))
+    out = t.read_agg(
+        ["event_type"],
+        {"sum_value": ("sum", "value_f"), "n_events": ("count", "*")},
+    )
+    assert t.last_index_used == "by_type", t.last_index_used
+    return out.select(
+        "event_type",
+        (F.col("sum_value").cast("double") / F.lit(_SCALE))
+        .alias("sum_value"),
+        "n_events",
+    ).orderBy("event_type")
+
+
+_ROLLUP_SQL = f"""
+SELECT event_type, {sql_dsum('value')} AS sum_value,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+QUERIES["table_rollup_autoselect"] = table_rollup_autoselect
+ORACLE["table_rollup_autoselect"] = _ROLLUP_SQL

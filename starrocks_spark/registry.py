@@ -147,7 +147,8 @@ _PRIORITY = [
     # rotating regression sentinels (proven before; keep one per major
     # family riding along each round)
     "tpch_q1_pricing_summary",
-    "tpch_q21_suppliers_kept_waiting",
+    # new this round: sync rollup index + auto-selection
+    "table_rollup_autoselect",
     "mv_incremental_refresh",
     "stream_stateful_profiles",
 ]

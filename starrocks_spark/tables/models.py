@@ -91,6 +91,12 @@ class ManagedTable:
     # derives the generated __part column; insert validates membership,
     # scans prune directories via __part predicates
     partition_scheme: PartitionScheme | None = None
+    # synchronous rollup indexes (reference: ALTER TABLE ADD ROLLUP +
+    # automatic selection in MaterializedViewRule); maintained on every
+    # insert, chosen by read_agg()
+    rollups: list = field(default_factory=list)
+    #: name of the index the last read_agg() scanned (tests assert it)
+    last_index_used: str | None = None
 
     # ------------------------------------------------------------------ util
 
@@ -114,6 +120,8 @@ class ManagedTable:
 
     def drop(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)
+        for r in self.rollups:
+            shutil.rmtree(r["path"], ignore_errors=True)
 
     def _exists(self) -> bool:
         return os.path.isdir(self.path) and any(os.scandir(self.path))
@@ -223,6 +231,11 @@ class ManagedTable:
         return self.read().filter(F.col(PART_COL).isin(*names))
 
     def insert(self, batch: DataFrame) -> None:
+        self._insert_model(batch)
+        for r in self.rollups:
+            self._rollup_ingest(batch, r)
+
+    def _insert_model(self, batch: DataFrame) -> None:
         """INSERT a batch with model semantics (StarRocks.g4:1346)."""
         if self.partition_scheme is not None and PART_COL not in batch.columns:
             # load-time partition assignment + membership validation
@@ -352,6 +365,106 @@ class ManagedTable:
         self._rewrite(staged.select(*out_cols))
 
     # ------------------------------------------------------------------ read
+
+    # ------------------------------------------------------- rollup indexes
+
+    def add_rollup(self, name: str, key_cols: list[str],
+                   agg_spec: dict[str, str]) -> None:
+        """Declare a synchronous rollup index: a pre-aggregated copy on
+        a SUBSET of the base keys, maintained on every insert (the
+        ingest batch is aggregated once more on the rollup keys — a
+        second map-side combine) and selected automatically by
+        ``read_agg`` when its keys cover the query's grouping.
+
+        Reference: rollup indexes / sync MVs on an OLAP table and their
+        automatic selection (fe/.../mv/MaterializedViewRule.java); like
+        the reference's ADD ROLLUP, the index starts from the current
+        data — here we require declaration before first insert (DDL
+        time) so the raw-row count column is exact.
+
+        ``agg_spec``: {value_col: sum|min|max}. A raw-row count column
+        (__n) is always stored, so COUNT(*) queries re-aggregate as
+        SUM(__n)."""
+        if self._exists():
+            raise ValueError(
+                "add_rollup must run before the first insert (DDL time)"
+            )
+        bad = set(key_cols) - set(self.key_cols)
+        if bad:
+            raise ValueError(f"rollup keys {bad} not in base keys")
+        for col, how in agg_spec.items():
+            if how not in ("sum", "min", "max"):
+                raise ValueError(
+                    f"rollup agg '{how}' for {col}: only sum/min/max "
+                    "re-aggregate losslessly from stored slices"
+                )
+        self.rollups.append({
+            "name": name,
+            "key_cols": list(key_cols),
+            "agg_spec": dict(agg_spec),
+            "path": self.path + f".rollup_{name}",
+        })
+        shutil.rmtree(self.path + f".rollup_{name}", ignore_errors=True)
+
+    def _rollup_ingest(self, batch: DataFrame, r: dict) -> None:
+        aggs = [
+            _AGG_FNS[how](c).alias(c) for c, how in r["agg_spec"].items()
+        ] + [F.count(F.lit(1)).alias("__n")]
+        batch.groupBy(*r["key_cols"]).agg(*aggs) \
+            .write.mode("append").parquet(r["path"])
+
+    def _read_rollup(self, r: dict) -> DataFrame:
+        """Merge the rollup's rowsets (same cross-rowset re-aggregation
+        AGG_KEYS reads do)."""
+        df = self.spark.read.parquet(r["path"])
+        aggs = [
+            _AGG_FNS[how](c).alias(c) for c, how in r["agg_spec"].items()
+        ] + [F.sum("__n").alias("__n")]
+        return df.groupBy(*r["key_cols"]).agg(*aggs)
+
+    def read_agg(self, group_cols: list[str],
+                 aggs: dict[str, tuple[str, str]]) -> DataFrame:
+        """Aggregate read with automatic index selection: the narrowest
+        rollup whose keys cover ``group_cols`` and whose stored aggs
+        derive every requested function serves the scan; otherwise the
+        base table does. ``aggs``: {out_name: (fn, col)} with fn in
+        sum|min|max|count (col '*' for count). The chosen index name is
+        recorded in ``last_index_used``.
+
+        At 100 TB this is the difference between scanning an
+        |event_type|-row index and the full fact table."""
+        def covers(r: dict) -> bool:
+            if not set(group_cols) <= set(r["key_cols"]):
+                return False
+            return all(
+                fn == "count" or r["agg_spec"].get(col) == fn
+                for fn, col in aggs.values()
+            )
+
+        candidates = [r for r in self.rollups if covers(r)]
+        if candidates:
+            r = min(candidates, key=lambda r: len(r["key_cols"]))
+            self.last_index_used = r["name"]
+            src = self._read_rollup(r)
+            out = [
+                (F.sum("__n") if fn == "count" else _AGG_FNS[fn](col))
+                .alias(name)
+                for name, (fn, col) in aggs.items()
+            ]
+            return src.groupBy(*group_cols).agg(*out)
+        self.last_index_used = "__base__"
+        if self.model != TableModel.DUP_KEYS:
+            raise ValueError(
+                "read_agg base fallback needs raw rows (DUP_KEYS); "
+                "aggregate models lose raw multiplicity"
+            )
+        src = self.read()
+        out = [
+            (F.count(F.lit(1)) if fn == "count" else _AGG_FNS[fn](col))
+            .alias(name)
+            for name, (fn, col) in aggs.items()
+        ]
+        return src.groupBy(*group_cols).agg(*out)
 
     def read(self) -> DataFrame:
         """Model-aware scan. AGG_KEYS merges un-compacted rowsets by

@@ -227,3 +227,57 @@ def test_list_partitioning_and_expression_partitioning(spark):
     parts = {r[0] for r in t2.read().select("__part").distinct().collect()}
     assert len(parts) == 2  # auto-created monthly partitions
     t2.drop()
+
+
+def test_rollup_index_selection_and_fallback(spark, sf_dir):
+    """read_agg must (a) serve covered groupings from the narrowest
+    rollup with EXACT results, (b) fall back to base when the grouping
+    is not covered, (c) store far fewer rows in the index than the
+    fact table."""
+    from starrocks_spark.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
+        .alias("value_f"),
+    )
+    t = ManagedTable.create(
+        spark, TableModel.DUP_KEYS, ["user_id", "event_type"]
+    )
+    t.add_rollup("by_type", ["event_type"], {"value_f": "sum"})
+    for i in range(2):
+        t.insert(events.filter(F.col("event_id") % 2 == i))
+
+    via_index = t.read_agg(
+        ["event_type"], {"s": ("sum", "value_f"), "n": ("count", "*")}
+    )
+    assert t.last_index_used == "by_type"
+    expected = t.read().groupBy("event_type").agg(
+        F.sum("value_f").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    assert via_index.exceptAll(expected).count() == 0
+    assert expected.exceptAll(via_index).count() == 0
+
+    # uncovered grouping → base
+    t.read_agg(["user_id"], {"s": ("sum", "value_f")})
+    assert t.last_index_used == "__base__"
+
+    # index is metadata-scale next to the fact table
+    idx_rows = spark.read.parquet(t.rollups[0]["path"]).count()
+    base_rows = t.read().count()
+    assert idx_rows < base_rows / 10
+
+    # min/max not stored → base; sum stored → index
+    t.read_agg(["event_type"], {"m": ("min", "value_f")})
+    assert t.last_index_used == "__base__"
+    t.drop()
+
+
+def test_rollup_requires_ddl_time(spark):
+    t = ManagedTable.create(spark, TableModel.DUP_KEYS, ["k"])
+    t.insert(spark.range(5).select(F.col("id").alias("k"),
+                                   F.lit(1).alias("v")))
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        t.add_rollup("r", ["k"], {"v": "sum"})
+    t.drop()
