@@ -880,3 +880,74 @@ ORDER BY lang
 
 QUERIES["pipeline_curate_corpus"] = pipeline_curate_corpus
 ORACLE["pipeline_curate_corpus"] = _sql_pipeline_curate()
+
+
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: a deterministic 16-bit PCM WAV is
+    built per document (mapInPandas, real RIFF bytes), then a second
+    mapInPandas pass parses the chunks with numpy and emits rate /
+    channels / depth / exact energy / RMS. The oracle recomputes the
+    metadata from the closed-form sample generator — a decoder bug
+    (endianness, header offsets, chunk walk) breaks the match."""
+    docs = load_table(spark, sf_dir, "documents")
+    wav = multimodal.with_media_payload(docs, "wav")
+    return multimodal.decode_wav_meta(wav).orderBy("doc_id")
+
+
+_WAV_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         256 + doc_id % 128 AS n,
+         CAST(8000 + (doc_id % 5) * 1000 AS INT) AS sample_rate,
+         list_sum([
+           CAST(((doc_id * 7919 + i * 104729) % 65536 - 32768)
+                * ((doc_id * 7919 + i * 104729) % 65536 - 32768) AS BIGINT)
+           FOR i IN generate_series(0, 255 + doc_id % 128)
+         ]) AS sum_sq
+  FROM documents
+)
+SELECT doc_id, sample_rate, CAST(1 AS INT) AS n_channels,
+       CAST(16 AS INT) AS bit_depth, CAST(n AS BIGINT) AS n_samples,
+       CAST(sum_sq AS BIGINT) AS sum_sq,
+       sqrt(sum_sq::DOUBLE / n) AS rms
+FROM m
+ORDER BY doc_id
+"""
+
+
+def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode: deterministic binary PPM (P6) per document →
+    numpy header parse + pixel reshape → per-channel exact sums (the
+    thumbnail/downsample path is pytest-verified against a numpy
+    reference; the oracle checks the closed-form channel sums)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ppm = multimodal.with_media_payload(docs, "ppm")
+    return (
+        multimodal.decode_ppm_meta(ppm)
+        .drop("thumb")
+        .orderBy("doc_id")
+    )
+
+
+def _ppm_channel_sum(c: int) -> str:
+    return f"""list_sum([
+      list_sum([CAST((doc_id + 3 * x + 5 * y + 7 * {c}) % 256 AS BIGINT)
+                FOR x IN generate_series(0, 7 + doc_id % 9)])
+      FOR y IN generate_series(0, 5 + doc_id % 7)])"""
+
+
+_PPM_SQL = f"""
+SELECT doc_id,
+       CAST(8 + doc_id % 9 AS INT) AS width,
+       CAST(6 + doc_id % 7 AS INT) AS height,
+       CAST({_ppm_channel_sum(0)} AS BIGINT) AS sum_r,
+       CAST({_ppm_channel_sum(1)} AS BIGINT) AS sum_g,
+       CAST({_ppm_channel_sum(2)} AS BIGINT) AS sum_b
+FROM documents
+ORDER BY doc_id
+"""
+
+QUERIES["multimodal_wav_decode"] = multimodal_wav_decode
+ORACLE["multimodal_wav_decode"] = _WAV_SQL
+QUERIES["multimodal_ppm_decode"] = multimodal_ppm_decode
+ORACLE["multimodal_ppm_decode"] = _PPM_SQL

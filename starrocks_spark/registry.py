@@ -105,7 +105,6 @@ _PRIORITY = [
     "time_slice_quarter_hour",
     "func_conditional_family",
     "func_json_construct",
-    "func_geo_haversine",
     "func_conv_bin",
     "func_aes_crypto",
     "func_struct_family",
@@ -144,9 +143,9 @@ _PRIORITY = [
     "ssb_q3_4",
     "ssb_q4_1",
     "ssb_q4_2",
-    # rotating regression sentinels (proven before; keep one per major
-    # family riding along each round)
-    "tpch_q1_pricing_summary",
+    # new this round: real WAV/PPM decode (analytic oracles)
+    "multimodal_wav_decode",
+    "multimodal_ppm_decode",
     # new this round: sync rollup index + auto-selection
     "table_rollup_autoselect",
     "mv_incremental_refresh",

@@ -236,3 +236,69 @@ def test_ai_query_backend_called_per_batch_not_per_row(spark, sf_dir):
                       batch_size=256).collect()
     sizes = {r["completion"] for r in out}
     assert all(int(s[2:]) > 1 for s in sizes)
+
+
+def test_wav_builder_decoder_roundtrip_reference():
+    """Decoder output must equal a straight numpy recomputation (no
+    Spark) — catches endianness/offset bugs independent of the oracle."""
+    import numpy as np
+
+    from starrocks_spark.operators import multimodal as mm
+
+    for doc_id in (0, 1, 17, 123):
+        b = mm.build_wav(doc_id)
+        assert b[0:4] == b"RIFF" and b[8:12] == b"WAVE"
+        n = 256 + doc_id % 128
+        samples = np.array(
+            [((doc_id * 7919 + i * 104729) % 65536) - 32768
+             for i in range(n)], dtype=np.int64)
+        # decode via the same parser the operator uses
+        import struct
+        pos = 12
+        rate = None
+        while pos + 8 <= len(b):
+            cid = b[pos:pos + 4]
+            sz = struct.unpack("<I", b[pos + 4:pos + 8])[0]
+            if cid == b"fmt ":
+                _, ch, rate, _, _, bits = struct.unpack(
+                    "<HHIIHH", b[pos + 8:pos + 24])
+            elif cid == b"data":
+                got = np.frombuffer(b[pos + 8:pos + 8 + sz], dtype="<i2")
+            pos += 8 + sz + (sz & 1)
+        assert rate == 8000 + (doc_id % 5) * 1000
+        assert (got.astype(np.int64) == samples).all()
+
+
+def test_ppm_thumbnail_matches_numpy_reference(spark):
+    import numpy as np
+
+    from starrocks_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame([(9,), (40,)], ["doc_id"])
+    out = {
+        r["doc_id"]: r
+        for r in mm.decode_ppm_meta(
+            mm.with_media_payload(df, "ppm")).collect()
+    }
+    for doc_id in (9, 40):
+        w, h = 8 + doc_id % 9, 6 + doc_id % 7
+        y, x, c = np.ogrid[0:h, 0:w, 0:3]
+        px = ((doc_id + 3 * x + 5 * y + 7 * c) % 256).astype(np.int64)
+        gray = px.sum(axis=2) // 3
+        ys = np.linspace(0, h, 3, dtype=int)
+        xs = np.linspace(0, w, 3, dtype=int)
+        cells = [int(gray[ys[i]:ys[i+1], xs[j]:xs[j+1]].mean())
+                 for i in range(2) for j in range(2)]
+        assert out[doc_id]["thumb"] == ",".join(map(str, cells))
+        assert out[doc_id]["width"] == w and out[doc_id]["height"] == h
+
+
+def test_wav_decoder_rejects_garbage(spark):
+    from py4j.protocol import Py4JJavaError
+
+    from starrocks_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame([(1, b"not a wav")], ["doc_id", "payload"])
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        mm.decode_wav_meta(df).collect()
