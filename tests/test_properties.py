@@ -96,3 +96,73 @@ def test_topk_uncapped_merge_exact(spark, items, shards):
     # ranks must follow (count desc, item asc) deterministically
     keys = [(-r["cnt"], r["item"]) for r in got]
     assert keys == sorted(keys)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**6),   # doc_id
+            st.sampled_from(["a", "b"]),                 # stream
+            st.text(alphabet="ab cd", min_size=0, max_size=40),
+        ),
+        min_size=1, max_size=60, unique_by=lambda t: t[0],
+    ),
+    st.sampled_from([8, 32, 128]),
+)
+def test_pack_sequences_invariants(spark, rows, budget):
+    """For ANY corpus and budget: within a stream (ordered by id)
+    offsets are a contiguous token stream — start(next) = start(prev)
+    + n_tok(prev) — and shard/offset are exactly start divmod budget.
+    Holds regardless of the bucket width (i.e. of how the distributed
+    prefix sum splits)."""
+    from starrocks_spark.operators import curation
+
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = curation.pack_sequences(
+        df, budget=budget, bucket_width=4
+    ).orderBy("stream", "doc_id").collect()
+    by_stream: dict[str, list] = {}
+    for r in out:
+        by_stream.setdefault(r["stream"], []).append(r)
+    assert sum(len(v) for v in by_stream.values()) == len(rows)
+    for rs in by_stream.values():
+        expect_start = 0
+        for r in rs:
+            assert r["start"] == expect_start
+            assert r["shard_id"] == r["start"] // budget
+            assert r["offset"] == r["start"] % budget
+            expect_start += r["n_tok"]
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.integers(min_value=0, max_value=10**9),
+                min_size=1, max_size=100, unique=True))
+def test_split_label_partition_of_unity(spark, ids):
+    """Every id gets exactly one non-null label, and the label is a
+    pure function of the id (stable under re-evaluation and subset)."""
+    import pyspark.sql.functions as F
+
+    from starrocks_spark.operators import curation
+
+    df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    got = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id", curation.split_label(F.col("doc_id")).alias("s")
+        ).collect()
+    }
+    assert set(got) == set(ids)
+    assert all(v in ("train", "val", "test") for v in got.values())
+    # subset stability: half the ids relabel identically
+    half = ids[: len(ids) // 2] or ids
+    df2 = spark.createDataFrame([(i,) for i in half], ["doc_id"])
+    got2 = {
+        r["doc_id"]: r["s"]
+        for r in df2.select(
+            "doc_id", curation.split_label(F.col("doc_id")).alias("s")
+        ).collect()
+    }
+    assert all(got2[i] == got[i] for i in half)
