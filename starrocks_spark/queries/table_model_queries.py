@@ -438,3 +438,60 @@ ORDER BY event_type
 
 QUERIES["table_rollup_autoselect"] = table_rollup_autoselect
 ORACLE["table_rollup_autoselect"] = _ROLLUP_SQL
+
+
+def table_lakehouse_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADD COLUMN schema evolution on the snapshot-log table: v0 holds
+    3 columns, an append commits a 4th (o_year) — the log's merged
+    schema makes old files surface it as NULL with no mergeSchema
+    inference scan — and time travel still reads v0 with its original
+    3-column schema. Returns per-version shape + evolved-column
+    accounting."""
+    import tempfile
+
+    from starrocks_spark.tables.lakehouse import SnapshotTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    evolved = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice",
+        F.year("o_orderdate").cast("int").alias("o_year"),
+    )
+    t = SnapshotTable(
+        spark, tempfile.mkdtemp(prefix="lh_se_", dir="/tmp")
+    )
+    t.overwrite(base)
+    t.append(evolved)
+
+    v0 = t.read(0).agg(
+        F.lit(0).alias("version"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(3).alias("n_cols"),
+        F.lit(0).cast("long").alias("rows_with_year"),
+    )
+    cur = t.read()
+    assert len(cur.columns) == 4, cur.columns
+    v1 = cur.agg(
+        F.lit(1).alias("version"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(len(cur.columns)).alias("n_cols"),
+        F.count("o_year").alias("rows_with_year"),
+    )
+    return v0.unionByName(v1).orderBy("version")
+
+
+_LAKEHOUSE_SE_SQL = """
+SELECT 0 AS version, COUNT(*) AS n_rows, 3 AS n_cols,
+       CAST(0 AS BIGINT) AS rows_with_year
+FROM orders WHERE o_orderkey % 2 = 0
+UNION ALL
+SELECT 1, COUNT(*), 4,
+       CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+ORDER BY version
+"""
+
+QUERIES["table_lakehouse_schema_evolution"] = table_lakehouse_schema_evolution
+ORACLE["table_lakehouse_schema_evolution"] = _LAKEHOUSE_SE_SQL

@@ -121,7 +121,8 @@ _PRIORITY = [
     "ann_lsh_multiprobe",
     "fulltext_match_any",
     "ai_query_enrich",
-    "ai_embed_similarity",
+    # new this round: lakehouse ADD COLUMN evolution
+    "table_lakehouse_schema_evolution",
     # streaming variants
     "stream_dedup_distinct",
     "stream_lakehouse_sink",

@@ -45,6 +45,9 @@ class Snapshot:
     operation: str
     files: list[str]
     n_rows: int
+    #: JSON-serialized StructType of this snapshot (None in pre-
+    #: evolution log entries)
+    schema_json: str | None = None
 
 
 class SnapshotTable:
@@ -74,7 +77,7 @@ class SnapshotTable:
         with open(self._entry_path(v)) as f:
             e = json.load(f)
         return Snapshot(e["version"], e["operation"], e["files"],
-                        e["n_rows"])
+                        e["n_rows"], e.get("schema"))
 
     def history(self) -> list[Snapshot]:
         return [self.snapshot(v) for v in self._versions()]
@@ -89,9 +92,12 @@ class SnapshotTable:
         while True:
             cur = self.snapshot()
             version = (cur.version + 1) if cur else 0
-            files, n_rows = build_entry(cur)
+            built = build_entry(cur)
+            files, n_rows = built[0], built[1]
+            schema_json = built[2] if len(built) > 2 else None
             entry = {"version": version, "operation": operation,
-                     "files": files, "n_rows": n_rows}
+                     "files": files, "n_rows": n_rows,
+                     "schema": schema_json}
             fd, staged = tempfile.mkstemp(dir=self.log_dir, suffix=".tmp")
             with os.fdopen(fd, "w") as f:
                 json.dump(entry, f)
@@ -115,17 +121,48 @@ class SnapshotTable:
         n_rows = self.spark.read.parquet(*files).count() if files else 0
         return files, n_rows
 
+    def _merged_schema(self, cur: "Snapshot | None",
+                       new_schema) -> str:
+        """Schema evolution (ADD COLUMN): the committed schema is the
+        union of the current snapshot's schema and the batch's — new
+        columns append; existing columns must keep their exact type
+        (widening/renames are a table-rewrite operation, like the
+        reference's heavyweight schema change). Readers apply the LOG
+        schema explicitly, so old files surface the new columns as
+        NULL without any mergeSchema inference scan — O(1) metadata,
+        consistent with the file-list contract."""
+        from pyspark.sql.types import StructType
+
+        if cur is None or cur.schema_json is None:
+            return new_schema.json()
+        merged = StructType.fromJson(json.loads(cur.schema_json))
+        have = {f.name: f for f in merged.fields}
+        for f in new_schema.fields:
+            if f.name in have:
+                if have[f.name].dataType != f.dataType:
+                    raise ValueError(
+                        f"schema evolution: column '{f.name}' type "
+                        f"{f.dataType} != committed {have[f.name].dataType}"
+                        " (type changes need a rewrite)"
+                    )
+            else:
+                merged = merged.add(f)
+        return merged.json()
+
     def append(self, df: DataFrame) -> int:
         files, n = self._write_files(df)
         return self._publish(
             "append",
             lambda cur: ((cur.files if cur else []) + files,
-                         (cur.n_rows if cur else 0) + n),
+                         (cur.n_rows if cur else 0) + n,
+                         self._merged_schema(cur, df.schema)),
         )
 
     def overwrite(self, df: DataFrame) -> int:
         files, n = self._write_files(df)
-        return self._publish("overwrite", lambda cur: (files, n))
+        return self._publish(
+            "overwrite", lambda cur: (files, n, df.schema.json())
+        )
 
     # -------------------------------------------------------------- reads
 
@@ -133,7 +170,14 @@ class SnapshotTable:
         snap = self.snapshot(version)
         if snap is None or not snap.files:
             raise ValueError(f"no snapshot at version {version}")
-        return self.spark.read.parquet(*snap.files)
+        reader = self.spark.read
+        if snap.schema_json:
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(
+                StructType.fromJson(json.loads(snap.schema_json))
+            )
+        return reader.parquet(*snap.files)
 
     # -------------------------------------------------------- maintenance
 
@@ -146,7 +190,9 @@ class SnapshotTable:
         retention reclaims the superseded files."""
         df = self.read().coalesce(target_files)
         files, n = self._write_files(df)
-        return self._publish("compact", lambda cur: (files, n))
+        return self._publish(
+            "compact", lambda cur: (files, n, df.schema.json())
+        )
 
     def expire_versions(self, keep_last: int = 1) -> list[int]:
         """Drop log entries older than the last ``keep_last`` (the

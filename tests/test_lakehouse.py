@@ -88,3 +88,33 @@ def test_compact_preserves_data_and_versions(spark):
     assert len(t.snapshot().files) == 1 <= n_files_before
     assert t.read().count() == 90
     assert t.read(v - 1).count() == 90  # pre-compaction snapshot intact
+
+
+def test_schema_evolution_add_column_and_type_guard(spark):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from starrocks_spark.tables.lakehouse import SnapshotTable
+
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="lh_ev_"))
+    t.overwrite(spark.range(5).select(F.col("id").alias("k"),
+                                      F.lit("x").alias("s")))
+    t.append(spark.range(5, 8).select(
+        F.col("id").alias("k"), F.lit("y").alias("s"),
+        F.lit(1).cast("int").alias("extra")))
+    cur = t.read()
+    assert set(cur.columns) == {"k", "s", "extra"}
+    # old rows surface NULL for the evolved column
+    assert cur.filter(F.col("extra").isNull()).count() == 5
+    # time travel keeps the ORIGINAL schema
+    assert set(t.read(0).columns) == {"k", "s"}
+    # type change is rejected
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        t.append(spark.range(1).select(
+            F.col("id").alias("k"), F.lit("z").alias("s"),
+            F.lit(1.5).alias("extra")))
+    # compaction preserves the evolved schema
+    t.compact()
+    assert set(t.read().columns) == {"k", "s", "extra"}
