@@ -18,9 +18,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def analyze_table(spark: SparkSession, df: DataFrame, name: str,
-                  columns: list[str] | None = None) -> dict[str, str]:
+                  columns: list[str] | None = None,
+                  histogram: bool = False) -> dict[str, str]:
     """Save ``df`` as managed table ``name``, ANALYZE it (table-level
-    + per-column NDV/min/max/nulls), and return the catalog stats."""
+    + per-column NDV/min/max/nulls; with ``histogram=True`` also
+    equi-height histograms — the reference's ANALYZE ... WITH
+    HISTOGRAM, statistic/HistogramStatisticsCollectJob.java — which
+    the CBO uses for selectivity on skewed columns), and return the
+    catalog stats."""
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     shutil.rmtree(f"{warehouse}/{name.lower()}", ignore_errors=True)
@@ -28,7 +33,19 @@ def analyze_table(spark: SparkSession, df: DataFrame, name: str,
     spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
     if columns:
         cols = ", ".join(columns)
-        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS {cols}")
+        prev = spark.conf.get("spark.sql.statistics.histogram.enabled")
+        try:
+            if histogram:
+                spark.conf.set(
+                    "spark.sql.statistics.histogram.enabled", "true"
+                )
+            spark.sql(
+                f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS {cols}"
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.statistics.histogram.enabled", prev
+            )
     rows = spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
     return {r["col_name"]: r["data_type"] for r in rows}
 

@@ -24,3 +24,18 @@ def test_analyze_populates_table_and_column_stats(spark, sf_dir):
     assert spark.conf.get("spark.sql.cbo.enabled") == "true"
     assert spark.conf.get("spark.sql.cbo.joinReorder.enabled") == "true"
     spark.sql("DROP TABLE IF EXISTS stats_nation")
+
+
+def test_histogram_statistics_collected(spark, sf_dir):
+    """ANALYZE ... WITH HISTOGRAM analog: equi-height histogram bins
+    must land in the catalog column stats (the CBO's selectivity input
+    for skewed predicates)."""
+    from starrocks_spark.catalog import load_table
+    from starrocks_spark.tables.analyze import analyze_table, column_stats
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "value")
+    analyze_table(spark, events, "ev_hist", ["user_id"], histogram=True)
+    st = column_stats(spark, "ev_hist", "user_id")
+    assert st.get("histogram") not in (None, "NULL"), st
+    assert "height" in st["histogram"]
+    spark.sql("DROP TABLE IF EXISTS ev_hist")
