@@ -227,6 +227,26 @@ def simhash_pairs(
     )
 
 
+def overcap_block_report(blocked: DataFrame, block_col: str,
+                         block_cap: int,
+                         id_col: str = "_id") -> DataFrame:
+    """The boilerplate pass that complements ``capped_blocks``: blocks
+    LARGER than the cap are near-boilerplate by construction (hundreds+
+    of docs sharing a signature band), so instead of pairwise scoring
+    they are reported as clusters directly — (block key, size, keeper =
+    min id) — the drop-list treatment production dedup applies to
+    boilerplate. One aggregation on the banded table; no self-join, so
+    the cost is linear in block size no matter how big the block."""
+    return (
+        blocked.groupBy(block_col)
+        .agg(
+            F.count(F.lit(1)).alias("block_size"),
+            F.min(id_col).alias("keeper_id"),
+        )
+        .filter(F.col("block_size") > block_cap)
+    )
+
+
 def capped_blocks(blocked: DataFrame, block_col: str,
                   block_cap: int) -> DataFrame:
     """Drop blocks larger than ``block_cap`` rows. The cap converts the

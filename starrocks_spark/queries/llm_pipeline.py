@@ -951,3 +951,53 @@ QUERIES["multimodal_wav_decode"] = multimodal_wav_decode
 ORACLE["multimodal_wav_decode"] = _WAV_SQL
 QUERIES["multimodal_ppm_decode"] = multimodal_ppm_decode
 ORACLE["multimodal_ppm_decode"] = _PPM_SQL
+
+
+def dedup_boilerplate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The over-cap ('boilerplate') side of capped LSH dedup: bands
+    whose block size exceeds the cap are reported as direct clusters
+    (size + keeper) instead of being pairwise-scored — the linear-cost
+    treatment for the mega-blocks a 100 TB corpus's boilerplate forms.
+    A deliberately low cap (3) exercises the path on real data."""
+    from starrocks_spark.operators.dedup import (
+        overcap_block_report, pairs_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    mh = pairs_table(docs, "doc_id", "text", n=2)
+    banded = mh.select(
+        "_id",
+        F.explode(
+            T.lsh_bands(T.minhash_signature_from_pairs(F.col("_mh"), 16),
+                        4, 4)
+        ).alias("_band"),
+    )
+    return (
+        overcap_block_report(banded, "_band", 3)
+        .select(
+            F.col("_band").alias("band"),
+            "block_size", "keeper_id",
+        )
+        .orderBy("band")
+    )
+
+
+def _sql_boilerplate_report() -> str:
+    sh = T.sql_shingles(_WORDS, 2)
+    mh = T.sql_minhash_pairs(sh)
+    sig = T.sql_minhash_from_pairs("mh", 16)
+    bands = T.sql_lsh_bands("sig", 4, 4)
+    return f"""
+WITH base AS (SELECT doc_id, {mh} AS mh FROM documents),
+sigs AS (SELECT doc_id, {sig} AS sig FROM base),
+banded AS (SELECT doc_id, unnest({bands}) AS band FROM sigs)
+SELECT band, COUNT(*) AS block_size, MIN(doc_id) AS keeper_id
+FROM banded
+GROUP BY band
+HAVING COUNT(*) > 3
+ORDER BY band
+"""
+
+
+QUERIES["dedup_boilerplate_report"] = dedup_boilerplate_report
+ORACLE["dedup_boilerplate_report"] = _sql_boilerplate_report()
