@@ -102,3 +102,47 @@ def test_pii_redact_counts_and_placeholders(spark):
     assert "@" not in got[1]["clean"]
     assert got[2]["i"] == 1 and "<IP>" in got[2]["clean"]
     assert got[3]["clean"] == "no pii here"
+
+
+def test_curation_ops_handle_empty_input(spark):
+    """Every curation operator must return an EMPTY result (not crash)
+    on an empty corpus — the first batch of a new pipeline is often
+    empty."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    empty = spark.createDataFrame(
+        [], StructType([
+            StructField("doc_id", LongType()),
+            StructField("source", StringType()),
+            StructField("text", StringType()),
+        ])
+    )
+    assert curation.pack_sequences(empty, budget=128).count() == 0
+    assert curation.gopher_repetition(empty).count() == 0
+    red = curation.pii_redact(F.col("text"))
+    assert empty.select(red["clean"], red["n_email"]).count() == 0
+
+
+def test_dedup_handles_empty_and_single_doc(spark):
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from starrocks_spark.operators import dedup
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ])
+    empty = spark.createDataFrame([], schema)
+    assert dedup.minhash_lsh_pairs(empty).count() == 0
+    one = spark.createDataFrame([(1, "just one document here")], schema)
+    assert dedup.minhash_lsh_pairs(one).count() == 0
+    # CC on an empty pair set
+    pairs = spark.createDataFrame(
+        [], StructType([StructField("id_a", LongType()),
+                        StructField("id_b", LongType())])
+    )
+    assert dedup.connected_components(pairs).count() == 0
