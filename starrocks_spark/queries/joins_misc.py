@@ -131,3 +131,41 @@ ORACLE = {
     "large_in_list_join": _LARGE_IN_SQL,
     "json_each_props": _JSON_EACH_SQL,
 }
+
+
+def join_or_union_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-equalities join executed as a UNION of hash-join branches
+    (operators/or_rewrite.py; reference SplitJoinORToUnionRule) — the
+    naive form would be a quadratic nested-loop join. The oracle runs
+    the disjunctive join directly; tests/test_plans.py asserts the
+    rewritten plan contains no nested loop."""
+    from starrocks_spark.operators.or_rewrite import or_split_join
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    c1 = F.col("c_custkey") == F.col("o_custkey")
+    c2 = F.col("c_custkey") == (F.col("o_orderkey") % 2000)
+    joined = or_split_join(customer, orders, [c1, c2])
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("o_orderkey").alias("sum_okey"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_OR_UNION_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_pairs,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_okey,
+       COUNT(DISTINCT c_custkey) AS n_customers
+FROM customer JOIN orders
+  ON c_custkey = o_custkey OR c_custkey = o_orderkey % 2000
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+QUERIES["join_or_union_split"] = join_or_union_split
+ORACLE["join_or_union_split"] = _OR_UNION_SQL

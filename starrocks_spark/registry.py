@@ -150,7 +150,9 @@ _PRIORITY = [
     # new this round: sync rollup index + auto-selection
     "table_rollup_autoselect",
     "mv_incremental_refresh",
-    "stream_stateful_profiles",
+    # new this round: OR->UNION join split (its state_partitions change
+    # class is covered by stream_dedup_distinct above)
+    "join_or_union_split",
 ]
 
 

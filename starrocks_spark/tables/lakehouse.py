@@ -118,7 +118,12 @@ class SnapshotTable:
             os.path.join(commit_dir, f) for f in os.listdir(commit_dir)
             if f.endswith(".parquet")
         )
-        n_rows = self.spark.read.parquet(*files).count() if files else 0
+        # row counts come from the parquet FOOTERS (driver-side pyarrow
+        # metadata reads, no Spark job) — re-scanning what was just
+        # written would double the write cost at scale
+        import pyarrow.parquet as pq
+
+        n_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
         return files, n_rows
 
     def _merged_schema(self, cur: "Snapshot | None",

@@ -244,3 +244,27 @@ def test_rollup_read_scans_index_not_base(spark, sf_dir):
     assert ".rollup_bt" in plan
     assert plan.count(t.path + "]") == 0 or t.path + ".rollup" in plan
     t.drop()
+
+
+def test_or_split_join_avoids_nested_loop(spark, sf_dir):
+    """The OR->UNION split must plan as hash/sort-merge equi-joins;
+    the naive disjunctive join is a nested loop (the thing the rewrite
+    exists to kill)."""
+    from pyspark.sql import functions as F
+
+    from starrocks_spark.catalog import load_table
+    from starrocks_spark.operators.or_rewrite import or_split_join
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    c1 = F.col("c_custkey") == F.col("o_custkey")
+    c2 = F.col("c_custkey") == (F.col("o_orderkey") % 2000)
+
+    naive = customer.join(orders, c1 | c2, "inner")
+    naive_plan = naive._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" in naive_plan  # what Spark does without the rule
+
+    split = or_split_join(customer, orders, [c1, c2])
+    plan = split._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
+    assert plan.count("Join") >= 2
