@@ -495,3 +495,45 @@ ORDER BY version
 
 QUERIES["table_lakehouse_schema_evolution"] = table_lakehouse_schema_evolution
 ORACLE["table_lakehouse_schema_evolution"] = _LAKEHOUSE_SE_SQL
+
+
+def table_lakehouse_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map file pruning on the snapshot-log table (reference:
+    zone-map segment pruning, be/src/storage/rowset/zone_map_index*):
+    orders are committed range-distributed on o_orderkey so each data
+    file covers a disjoint key range recorded in the commit log; a
+    keyed read then opens ~1/8 of the files — asserted here — with
+    results identical to the full-scan predicate."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    import tempfile
+
+    from starrocks_spark.tables.lakehouse import SnapshotTable
+
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="lh_zm_", dir="/tmp"))
+    t.overwrite(orders.repartitionByRange(8, F.col("o_orderkey")))
+    total_files = t.snapshot().files
+    lo, hi = 10_000, 20_000
+    pruned = t.read(zone_filter=("o_orderkey", lo, hi))
+    assert t.last_files_scanned < len(total_files), (
+        t.last_files_scanned, len(total_files)
+    )
+    return pruned.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.sum(fixed(F.col("o_totalprice"))).cast("long").alias("total_f"),
+    )
+
+
+_ZONEMAP_SQL = f"""
+SELECT COUNT(*) AS n_orders, MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key,
+       CAST(SUM({sql_fixed('o_totalprice')}) AS BIGINT) AS total_f
+FROM orders
+WHERE o_orderkey BETWEEN 10000 AND 20000
+"""
+
+QUERIES["table_lakehouse_zonemap_prune"] = table_lakehouse_zonemap_prune
+ORACLE["table_lakehouse_zonemap_prune"] = _ZONEMAP_SQL

@@ -121,8 +121,9 @@ _PRIORITY = [
     "ann_lsh_multiprobe",
     "fulltext_match_any",
     "ai_query_enrich",
-    # new this round: lakehouse ADD COLUMN evolution
+    # new this round: lakehouse ADD COLUMN evolution + zone-map pruning
     "table_lakehouse_schema_evolution",
+    "table_lakehouse_zonemap_prune",
     # streaming variants
     "stream_dedup_distinct",
     "stream_lakehouse_sink",
@@ -134,7 +135,6 @@ _PRIORITY = [
     "table_dup_keys_batches",
     # SSB flat benchmark — the remaining 11 (q2_1/q4_3 proved in r4)
     "ssb_q1_1",
-    "ssb_q1_2",
     "ssb_q1_3",
     "ssb_q2_2",
     "ssb_q2_3",

@@ -48,6 +48,8 @@ class Snapshot:
     #: JSON-serialized StructType of this snapshot (None in pre-
     #: evolution log entries)
     schema_json: str | None = None
+    #: per-file column min/max from parquet footers (zone maps)
+    zonemaps: dict | None = None
 
 
 class SnapshotTable:
@@ -77,7 +79,7 @@ class SnapshotTable:
         with open(self._entry_path(v)) as f:
             e = json.load(f)
         return Snapshot(e["version"], e["operation"], e["files"],
-                        e["n_rows"], e.get("schema"))
+                        e["n_rows"], e.get("schema"), e.get("zonemaps"))
 
     def history(self) -> list[Snapshot]:
         return [self.snapshot(v) for v in self._versions()]
@@ -97,7 +99,11 @@ class SnapshotTable:
             schema_json = built[2] if len(built) > 2 else None
             entry = {"version": version, "operation": operation,
                      "files": files, "n_rows": n_rows,
-                     "schema": schema_json}
+                     "schema": schema_json,
+                     "zonemaps": {
+                         f: getattr(self, "_last_zonemaps", {}).get(f, {})
+                         for f in files
+                     }}
             fd, staged = tempfile.mkstemp(dir=self.log_dir, suffix=".tmp")
             with os.fdopen(fd, "w") as f:
                 json.dump(entry, f)
@@ -118,12 +124,37 @@ class SnapshotTable:
             os.path.join(commit_dir, f) for f in os.listdir(commit_dir)
             if f.endswith(".parquet")
         )
-        # row counts come from the parquet FOOTERS (driver-side pyarrow
-        # metadata reads, no Spark job) — re-scanning what was just
-        # written would double the write cost at scale
+        # row counts AND per-file column min/max (zone maps) come from
+        # the parquet FOOTERS (driver-side pyarrow metadata reads, no
+        # Spark job) — re-scanning what was just written would double
+        # the write cost at scale
         import pyarrow.parquet as pq
 
-        n_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        n_rows = 0
+        self._last_zonemaps: dict[str, dict] = {}
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            n_rows += md.num_rows
+            zm: dict[str, list] = {}
+            for rg in range(md.num_row_groups):
+                row_group = md.row_group(rg)
+                for ci in range(row_group.num_columns):
+                    col = row_group.column(ci)
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    lo, hi = st.min, st.max
+                    if not isinstance(lo, (int, float, str)):
+                        # keep the log JSON-serializable; dates etc.
+                        # serialize via isoformat
+                        lo, hi = str(lo), str(hi)
+                    name = col.path_in_schema
+                    if name in zm:
+                        zm[name] = [min(zm[name][0], lo),
+                                    max(zm[name][1], hi)]
+                    else:
+                        zm[name] = [lo, hi]
+            self._last_zonemaps[f] = zm
         return files, n_rows
 
     def _merged_schema(self, cur: "Snapshot | None",
@@ -171,10 +202,33 @@ class SnapshotTable:
 
     # -------------------------------------------------------------- reads
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(self, version: int | None = None,
+             zone_filter: tuple | None = None) -> DataFrame:
+        """Snapshot read; ``zone_filter=(col, lo, hi)`` prunes the FILE
+        LIST with the log's zone maps before Spark ever sees it (the
+        reference's zone-map segment pruning / Delta data skipping —
+        O(files) metadata, zero data I/O for pruned files), then
+        applies the same predicate exactly for correctness."""
         snap = self.snapshot(version)
         if snap is None or not snap.files:
             raise ValueError(f"no snapshot at version {version}")
+        files = snap.files
+        self.last_files_scanned = len(files)
+        if zone_filter is not None:
+            col, lo, hi = zone_filter
+            kept = []
+            for f in files:
+                zm = (snap.zonemaps or {}).get(f, {}).get(col)
+                try:
+                    prunable = zm is not None and (zm[1] < lo or zm[0] > hi)
+                except TypeError:
+                    # stats serialized to a different type than the
+                    # filter bounds — cannot prune, keep the file
+                    prunable = False
+                if not prunable:
+                    kept.append(f)
+            files = kept
+            self.last_files_scanned = len(files)
         reader = self.spark.read
         if snap.schema_json:
             from pyspark.sql.types import StructType
@@ -182,7 +236,20 @@ class SnapshotTable:
             reader = reader.schema(
                 StructType.fromJson(json.loads(snap.schema_json))
             )
-        return reader.parquet(*snap.files)
+        if not files:
+            from pyspark.sql import functions as Fn
+
+            df = reader.parquet(*snap.files).limit(0)
+        else:
+            df = reader.parquet(*files)
+        if zone_filter is not None:
+            col, lo, hi = zone_filter
+            from pyspark.sql import functions as Fn
+
+            df = df.filter(
+                (Fn.col(col) >= Fn.lit(lo)) & (Fn.col(col) <= Fn.lit(hi))
+            )
+        return df
 
     # -------------------------------------------------------- maintenance
 

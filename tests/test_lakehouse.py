@@ -118,3 +118,38 @@ def test_schema_evolution_add_column_and_type_guard(spark):
     # compaction preserves the evolved schema
     t.compact()
     assert set(t.read().columns) == {"k", "s", "extra"}
+
+
+def test_zonemap_pruning_counts_and_edge_cases(spark):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from starrocks_spark.tables.lakehouse import SnapshotTable
+
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="lh_zm2_"))
+    t.overwrite(
+        spark.range(0, 1000).select(F.col("id").alias("k"))
+        .repartitionByRange(4, F.col("k"))
+    )
+    n_files = len(t.snapshot().files)
+    assert n_files >= 3
+    # a narrow range hits ~1 file
+    got = t.read(zone_filter=("k", 10, 20))
+    assert t.last_files_scanned <= 2
+    assert got.count() == 11
+    # out-of-range → zero files, empty result, correct schema
+    empty = t.read(zone_filter=("k", 10_000, 20_000))
+    assert t.last_files_scanned == 0
+    assert empty.count() == 0 and empty.columns == ["k"]
+    # log entries without zonemaps (pre-feature commits) → no pruning
+    snap = t.snapshot()
+    import json as _json
+    import os as _os
+    entry_path = t._entry_path(snap.version)
+    e = _json.load(open(entry_path))
+    e.pop("zonemaps")
+    _os.unlink(entry_path)
+    _json.dump(e, open(entry_path, "w"))
+    t.read(zone_filter=("k", 10, 20))
+    assert t.last_files_scanned == n_files  # correctness over pruning
