@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from starrocks_spark.catalog import load_table
-from starrocks_spark.queries._util import fixed, sql_dsum
+from starrocks_spark.queries._util import fixed, sql_dsum, sql_fixed
 from starrocks_spark.tables.materialized_view import MaterializedView
 
 
@@ -78,3 +78,54 @@ GROUP BY month, o_orderpriority
 
 QUERIES = {"mv_incremental_refresh": mv_incremental_refresh}
 ORACLE = {"mv_incremental_refresh": _MV_SQL}
+
+
+def mv_transparent_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transparent MV rewrite (tables/mv_rewrite.py; reference
+    rule/transformation/materialization/): a (month, priority) revenue
+    MV is registered in the MVCatalog; a month-grain aggregate query is
+    then answered FROM THE MV (narrower-grain re-aggregation) after a
+    PCT freshness check — asserted via the recorded route. The oracle
+    aggregates the base table directly."""
+    from starrocks_spark.tables.materialized_view import MaterializedView
+    from starrocks_spark.tables.mv_rewrite import MVCatalog
+
+    orders = load_table(spark, sf_dir, "orders")
+    src = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        "o_orderpriority",
+        fixed(F.col("o_totalprice")).cast("long").alias("o_totalprice_f"),
+    )
+
+    def defn(s: DataFrame) -> DataFrame:
+        return s.groupBy("month", "o_orderpriority").agg(
+            F.sum("o_totalprice_f").alias("rev_f"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+
+    mv = MaterializedView(spark, defn, partition_col="month",
+                          source_partition_expr="month")
+    cat = MVCatalog()
+    cat.register(mv, "orders", ["month", "o_orderpriority"],
+                 {"rev_f": ("sum", "o_totalprice_f"),
+                  "n_orders": ("count", "*")})
+    out = cat.serve_agg(
+        spark, src, "orders", ["month"],
+        {"revenue_f": ("sum", "o_totalprice_f"),
+         "n_orders": ("count", "*")},
+    )
+    assert cat.last_route and cat.last_route.startswith("mv:"),         cat.last_route
+    return out.orderBy("month")
+
+
+_MV_REWRITE_SQL = f"""
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       CAST(SUM({sql_fixed('o_totalprice')}) AS BIGINT) AS revenue_f,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY month
+ORDER BY month
+"""
+
+QUERIES["mv_transparent_rewrite"] = mv_transparent_rewrite
+ORACLE["mv_transparent_rewrite"] = _MV_REWRITE_SQL

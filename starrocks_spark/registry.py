@@ -140,7 +140,6 @@ _PRIORITY = [
     "ssb_q2_3",
     "ssb_q3_1",
     "ssb_q3_2",
-    "ssb_q3_3",
     "ssb_q3_4",
     "ssb_q4_1",
     "ssb_q4_2",
@@ -150,6 +149,8 @@ _PRIORITY = [
     # new this round: sync rollup index + auto-selection
     "table_rollup_autoselect",
     "mv_incremental_refresh",
+    # new this round: transparent MV rewrite
+    "mv_transparent_rewrite",
     # new this round: OR->UNION join split (its state_partitions change
     # class is covered by stream_dedup_distinct above)
     "join_or_union_split",

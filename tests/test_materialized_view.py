@@ -61,3 +61,64 @@ def test_row_update_detected_by_fingerprint(spark):
         ("a", 99, 1), ("b", 2, 1),
     ]
     mv.drop()
+
+
+def test_transparent_rewrite_routes_and_freshness(spark, sf_dir):
+    """Covered grouping → MV route with results equal to base; stale MV
+    under freshness='base' → base route; PCT refresh under
+    freshness='refresh' touches only changed partitions."""
+    from starrocks_spark.catalog import load_table
+    from starrocks_spark.tables.materialized_view import MaterializedView
+    from starrocks_spark.tables.mv_rewrite import MVCatalog
+
+    orders = load_table(spark, sf_dir, "orders")
+    src_all = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        "o_orderpriority", "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5)).cast("long")
+        .alias("tp_f"),
+    )
+    src = src_all.filter(F.col("month") < "2001-01")
+
+    def defn(s):
+        return s.groupBy("month", "o_orderpriority").agg(
+            F.sum("tp_f").alias("rev_f"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    mv = MaterializedView(spark, defn, partition_col="month",
+                          source_partition_expr="month")
+    cat = MVCatalog()
+    cat.register(mv, "orders", ["month", "o_orderpriority"],
+                 {"rev_f": ("sum", "tp_f"), "n": ("count", "*")})
+
+    aggs = {"rev": ("sum", "tp_f"), "n": ("count", "*")}
+    got = cat.serve_agg(spark, src, "orders", ["month"], aggs)
+    assert cat.last_route.startswith("mv:")
+    want = src.groupBy("month").agg(
+        F.sum("tp_f").alias("rev"), F.count(F.lit(1)).alias("n"))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    # uncoverable grouping → base
+    cat.serve_agg(spark, src, "orders", ["o_orderstatus"], aggs)
+    assert cat.last_route == "__base__"
+
+    # non-derivable agg (min not stored) → base
+    cat.serve_agg(spark, src, "orders", ["month"],
+                  {"m": ("min", "tp_f")})
+    assert cat.last_route == "__base__"
+
+    # stale source + freshness='base' → base route
+    cat.serve_agg(spark, src_all, "orders", ["month"], aggs,
+                  freshness="base")
+    assert cat.last_route == "__base__"
+
+    # freshness='refresh': PCT touches only the late months, then serves
+    got2 = cat.serve_agg(spark, src_all, "orders", ["month"], aggs,
+                         freshness="refresh")
+    assert cat.last_route.startswith("mv:")
+    want2 = src_all.groupBy("month").agg(
+        F.sum("tp_f").alias("rev"), F.count(F.lit(1)).alias("n"))
+    assert got2.exceptAll(want2).count() == 0
+    mv.drop()
