@@ -92,6 +92,12 @@ EXTRAS = [
     "split_stratified_counts",
     "quality_gopher_repetition",
     "pii_redaction_stats",
+    # round-5 engine features
+    "table_rollup_autoselect",
+    "mv_transparent_rewrite",
+    "join_or_union_split",
+    "table_lakehouse_zonemap_prune",
+    "multimodal_wav_decode",
 ]
 
 
