@@ -84,22 +84,6 @@ def sql_shingles(words: str, n: int = 3) -> str:
 # ---------------------------------------------------------------------------
 # MinHash signature + LSH bands
 
-def minhash_signature(shingle_col: Column, k: int = 16) -> Column:
-    """k-minhash signature via Kirsch–Mitzenmacher double hashing: ONE
-    md5 per shingle yields two independent halves (h1: 60 bits, h2: 56
-    bits), and salt i's hash is h1 + i*h2 — the standard trick that
-    gives k hash functions for the price of one (Kirsch & Mitzenmacher
-    2006, "Less Hashing, Same Performance"). Earlier revision hashed
-    md5(i || ':' || s) per salt — k full md5 evaluations per shingle,
-    the dominant cost of the whole dedup pipeline at scale.
-
-    h2 is truncated to 56 bits so h1 + 15*h2 < 2^61 — no 64-bit
-    overflow, so the expression is ANSI-mode-safe and bit-identical in
-    DuckDB. Returns array<long> of length k; row-local → no shuffle.
-    """
-    return minhash_signature_from_pairs(minhash_pairs(shingle_col), k)
-
-
 def minhash_pairs(shingle_col: Column) -> Column:
     """The expensive half of the signature: one md5 per shingle split
     into the (h1, h2) halves. Hot-path callers MATERIALIZE this column
@@ -139,10 +123,6 @@ def sql_minhash_from_pairs(pairs_expr: str, k: int = 16) -> str:
         f"[list_min(list_transform({pairs_expr}, "
         f"p -> p.h1 + i * p.h2)) FOR i IN generate_series(0, {k - 1})]"
     )
-
-
-def sql_minhash_signature(shingle_expr: str, k: int = 16) -> str:
-    return sql_minhash_from_pairs(sql_minhash_pairs(shingle_expr), k)
 
 
 def lsh_bands(sig: Column, bands: int = 4, rows: int = 4) -> Column:
@@ -218,11 +198,6 @@ def simhash60(word_hashes: Column) -> Column:
     return F.aggregate(
         F.reverse(bits), F.lit(0).cast("long"), lambda acc, b: acc * 2 + b
     )
-
-
-def word_hashes(words: Column) -> Column:
-    """Distinct-word hash array (input to simhash60)."""
-    return F.transform(F.array_distinct(words), hash60)
 
 
 def sql_word_hashes(words: str) -> str:

@@ -107,11 +107,14 @@ def pack_sequences(
         .orderBy("oid")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # persist the windowed rows: the per-bucket totals derive from the
+    # SAME pass, so the regex tokenization (the dominant scan cost at
+    # corpus scale) runs exactly once
     local = base.withColumn(
         "_local_end", F.sum("n_tok").over(local_w)
-    )
+    ).persist()
     # one row per (stream, bucket): total tokens — metadata-scale
-    totals = base.groupBy("stream", "_bkt").agg(
+    totals = local.groupBy("stream", "_bkt").agg(
         F.sum("n_tok").alias("_bkt_tok")
     )
     off_w = (

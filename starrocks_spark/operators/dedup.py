@@ -25,6 +25,8 @@ skewed keys (boilerplate) are split by AQE skew-join handling.
 
 from __future__ import annotations
 
+import gc
+
 from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -69,15 +71,6 @@ def words_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return _persist(
         _spread(df.select(F.col(id_col).alias("_id"), F.col(text_col)), "_id")
         .select("_id", T.norm_words(F.col(text_col)).alias("_words"))
-    )
-
-
-def shingle_table(df: DataFrame, id_col: str, text_col: str,
-                  n: int = 3) -> DataFrame:
-    """Materialized (id, shingle-set) signature table."""
-    return _persist(
-        words_table(df, id_col, text_col)
-        .select("_id", T.shingles(F.col("_words"), n).alias("_sh"))
     )
 
 
@@ -380,6 +373,11 @@ def connected_components(
         )
         changed = stepped.filter(F.col("label") != F.col("_old")).count()
         labels = stepped.drop("_old")
+        # drop the Python reference to the superseded checkpoint and
+        # nudge GC: the ContextCleaner reclaims a checkpointed RDD only
+        # once its JVM handle is unreachable, so without this the label
+        # table accumulates one copy per iteration until an arbitrary GC
+        gc.collect()
         if changed == 0:
             break
     return labels.select("id", F.col("label").alias("cluster_id"))

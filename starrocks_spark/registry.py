@@ -133,7 +133,9 @@ _PRIORITY = [
     "dialect_qualify_topn",
     # table models
     "table_dup_keys_batches",
-    # SSB flat benchmark — the remaining 11 (q2_1/q4_3 proved in r4)
+    # SSB flat benchmark — 9 of the remaining 11 (q2_1/q4_3 proved in
+    # r4; q1_2/q3_3 ceded their slots to zone-map prune + transparent
+    # MV and rotate in next round)
     "ssb_q1_1",
     "ssb_q1_3",
     "ssb_q2_2",

@@ -97,11 +97,17 @@ class SnapshotTable:
             built = build_entry(cur)
             files, n_rows = built[0], built[1]
             schema_json = built[2] if len(built) > 2 else None
+            # zone maps: new files come from the just-written footers;
+            # carried-over files (append) keep the PREVIOUS snapshot's
+            # stats — rebuilding only from _last_zonemaps would blank
+            # them and silently disable pruning for old files
+            prev_zm = (cur.zonemaps or {}) if cur else {}
+            new_zm = getattr(self, "_last_zonemaps", {})
             entry = {"version": version, "operation": operation,
                      "files": files, "n_rows": n_rows,
                      "schema": schema_json,
                      "zonemaps": {
-                         f: getattr(self, "_last_zonemaps", {}).get(f, {})
+                         f: new_zm.get(f, prev_zm.get(f, {}))
                          for f in files
                      }}
             fd, staged = tempfile.mkstemp(dir=self.log_dir, suffix=".tmp")

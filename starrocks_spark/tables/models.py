@@ -268,10 +268,24 @@ class ManagedTable:
             merged = self._latest_per_key(self._current().unionByName(batch))
             self._rewrite(merged)
 
+    def _rebuild_rollups(self) -> None:
+        """DML (delete/update/merge) rewrites base rows, which an
+        append-maintained rollup cannot mirror — rebuild each index
+        from the new base (DUP keeps raw rows, so the rebuild is
+        exact). The reference handles this the same way: heavyweight
+        schema/data change jobs rebuild rollups."""
+        if not self.rollups:
+            return
+        current = self._current()
+        for r in self.rollups:
+            shutil.rmtree(r["path"], ignore_errors=True)
+            self._rollup_ingest(current, r)
+
     def delete(self, predicate: str) -> None:
         """DELETE WHERE predicate (StarRocks.g4:1367) — copy-on-write
         anti-filter, the batch analog of the PK delete-vector."""
         self._rewrite(self._current().filter(f"NOT ({predicate})"))
+        self._rebuild_rollups()
 
     def update(self, assignments: dict[str, str], predicate: str) -> None:
         """UPDATE SET col=expr WHERE predicate (StarRocks.g4:1363)."""
@@ -288,6 +302,7 @@ class ManagedTable:
                 df.drop(PART_COL), self.partition_scheme
             )
         self._rewrite(df)
+        self._rebuild_rollups()
 
     def merge_into(self, source: DataFrame, *,
                    update_set: dict[str, str] | None = None,
@@ -363,6 +378,7 @@ class ManagedTable:
                 )
             out_cols.append(col_expr.alias(c))
         self._rewrite(staged.select(*out_cols))
+        self._rebuild_rollups()
 
     # ------------------------------------------------------------------ read
 
@@ -388,6 +404,12 @@ class ManagedTable:
         if self._exists():
             raise ValueError(
                 "add_rollup must run before the first insert (DDL time)"
+            )
+        if self.model != TableModel.DUP_KEYS:
+            raise ValueError(
+                "rollup indexes require DUP_KEYS: upsert/aggregate "
+                "models rewrite or fold base rows, which an append-"
+                "maintained rollup cannot mirror"
             )
         bad = set(key_cols) - set(self.key_cols)
         if bad:

@@ -19,6 +19,7 @@ slices, COUNT re-aggregates as SUM over a stored count measure.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -94,9 +95,14 @@ class MVCatalog:
                 e.mv.refresh(source)  # PCT: a no-op when already fresh
             elif freshness == "base":
                 fp = e.mv._fingerprints(source).collect()
-                if e.mv._changed_vs_snapshot(fp):
+                changed = e.mv._changed_vs_snapshot(fp)
+                # None = never refreshed (no snapshot) — that is the
+                # stalest possible state, not freshness
+                if changed is None or changed:
                     e = None  # stale → serve from base
             # "stale_ok": serve the snapshot as-is
+        if e is not None and not os.path.isdir(e.mv.path):
+            e = None  # never materialized — nothing to serve
         if e is None:
             self.last_route = "__base__"
             out = [

@@ -153,3 +153,28 @@ def test_zonemap_pruning_counts_and_edge_cases(spark):
     _json.dump(e, open(entry_path, "w"))
     t.read(zone_filter=("k", 10, 20))
     assert t.last_files_scanned == n_files  # correctness over pruning
+
+
+def test_zonemaps_survive_append(spark):
+    """Regression (code-review finding): an append must CARRY the
+    previous snapshot's zone maps for its retained files — rebuilding
+    only from the new files' footers silently blanked old stats and
+    disabled pruning for every pre-append file."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from starrocks_spark.tables.lakehouse import SnapshotTable
+
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="lh_zma_"))
+    t.overwrite(spark.range(0, 100).select(F.col("id").alias("k"))
+                .repartitionByRange(2, F.col("k")))
+    t.append(spark.range(1000, 1100).select(F.col("id").alias("k"))
+             .repartitionByRange(2, F.col("k")))
+    snap = t.snapshot()
+    # EVERY file (old and new) must have a populated zone map
+    assert all(snap.zonemaps[f].get("k") for f in snap.files), snap.zonemaps
+    # pruning works across the append boundary
+    got = t.read(zone_filter=("k", 0, 50))
+    assert t.last_files_scanned < len(snap.files)
+    assert got.count() == 51

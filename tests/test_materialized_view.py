@@ -122,3 +122,31 @@ def test_transparent_rewrite_routes_and_freshness(spark, sf_dir):
         F.sum("tp_f").alias("rev"), F.count(F.lit(1)).alias("n"))
     assert got2.exceptAll(want2).count() == 0
     mv.drop()
+
+
+def test_transparent_rewrite_unrefreshed_mv_falls_back(spark, sf_dir):
+    """Regression (code-review finding): a registered but NEVER
+    refreshed MV must not be served — freshness='base' and 'stale_ok'
+    both route to base instead of reading a nonexistent path."""
+    from starrocks_spark.catalog import load_table
+    from starrocks_spark.tables.materialized_view import MaterializedView
+    from starrocks_spark.tables.mv_rewrite import MVCatalog
+
+    src = load_table(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.lit(1).cast("long").alias("one"),
+    )
+
+    def defn(s):
+        return s.groupBy("month").agg(F.sum("one").alias("n"))
+
+    mv = MaterializedView(spark, defn, partition_col="month",
+                          source_partition_expr="month")
+    cat = MVCatalog()
+    cat.register(mv, "orders", ["month"], {"n": ("count", "*")})
+    for mode in ("base", "stale_ok"):
+        out = cat.serve_agg(spark, src, "orders", ["month"],
+                            {"n": ("count", "*")}, freshness=mode)
+        assert cat.last_route == "__base__", (mode, cat.last_route)
+        assert out.count() > 0
+    mv.drop()

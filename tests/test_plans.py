@@ -217,10 +217,14 @@ def test_pack_sequences_broadcasts_bucket_offsets(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
     # the row-level window partitions by (stream, _bkt); only the tiny
-    # per-bucket totals window partitions by stream alone
-    assert "windowspecdefinition(stream" in plan.replace("#", "").replace(
-        " ", ""
-    ) or "Window" in plan
+    # per-bucket totals window partitions by stream alone — so at least
+    # one windowspec must carry _bkt as a partitioning key
+    specs = [
+        seg.split(",")[:3] for seg in plan.split("windowspecdefinition(")[1:]
+    ]
+    assert any(
+        "_bkt" in col for spec in specs for col in spec
+    ), f"no window partitioned by _bkt in: {plan[:2000]}"
 
 
 def test_rollup_read_scans_index_not_base(spark, sf_dir):

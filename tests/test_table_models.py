@@ -281,3 +281,25 @@ def test_rollup_requires_ddl_time(spark):
     with _pytest.raises(ValueError):
         t.add_rollup("r", ["k"], {"v": "sum"})
     t.drop()
+
+
+def test_rollup_rejected_on_upsert_models_and_rebuilt_on_delete(spark):
+    """Regression (code-review finding): rollups are DUP_KEYS-only
+    (append maintenance cannot mirror upsert folding), and DML on the
+    base rebuilds the index so read_agg never serves deleted rows."""
+    import pytest as _pytest
+
+    t_pk = ManagedTable.create(spark, TableModel.PRIMARY_KEYS, ["k"])
+    with _pytest.raises(ValueError):
+        t_pk.add_rollup("r", ["k"], {"v": "sum"})
+
+    t = ManagedTable.create(spark, TableModel.DUP_KEYS, ["k", "g"])
+    t.add_rollup("by_g", ["g"], {"v": "sum"})
+    t.insert(spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30)], ["k", "g", "v"]))
+    t.delete("k = 2")
+    got = {r["g"]: r["s"] for r in t.read_agg(
+        ["g"], {"s": ("sum", "v")}).collect()}
+    assert t.last_index_used == "by_g"
+    assert got == {"a": 10, "b": 30}  # deleted row not served
+    t.drop()
