@@ -49,7 +49,10 @@ def split_label(key: Column, splits: dict[str, int] | None = None) -> Column:
     the md5 bucketing matches functions/text.py hash60.)
     """
     splits = splits or DEFAULT_SPLITS
-    assert sum(splits.values()) == 100, "split percents must total 100"
+    if sum(splits.values()) != 100:
+        # a bare assert vanishes under -O and rows outside the covered
+        # bucket range would silently get NULL labels
+        raise ValueError("split percents must total 100")
     bucket = T.hash60(key.cast("string")) % 100
     expr = None
     lo = 0
@@ -62,6 +65,8 @@ def split_label(key: Column, splits: dict[str, int] | None = None) -> Column:
 
 def sql_split_label(key: str, splits: dict[str, int] | None = None) -> str:
     splits = splits or DEFAULT_SPLITS
+    if sum(splits.values()) != 100:
+        raise ValueError("split percents must total 100")
     bucket = f"({T.sql_hash60(f'CAST({key} AS VARCHAR)')} % 100)"
     parts = []
     lo = 0
@@ -107,12 +112,16 @@ def pack_sequences(
         .orderBy("oid")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # persist the windowed rows: the per-bucket totals derive from the
-    # SAME pass, so the regex tokenization (the dominant scan cost at
-    # corpus scale) runs exactly once
+    # materialize the windowed rows once — the per-bucket totals derive
+    # from the SAME pass, so the regex tokenization (the dominant scan
+    # cost at corpus scale) never runs twice. localCheckpoint, not
+    # persist: checkpoint blocks are reclaimed by the ContextCleaner
+    # when the result DataFrame is dropped, whereas a persist() with no
+    # reachable unpersist() pins the tokenized corpus in executor
+    # storage for the application lifetime (one leak per call)
     local = base.withColumn(
         "_local_end", F.sum("n_tok").over(local_w)
-    ).persist()
+    ).localCheckpoint(eager=False)
     # one row per (stream, bucket): total tokens — metadata-scale
     totals = local.groupBy("stream", "_bkt").agg(
         F.sum("n_tok").alias("_bkt_tok")

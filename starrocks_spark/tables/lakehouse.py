@@ -142,6 +142,7 @@ class SnapshotTable:
             md = pq.ParquetFile(f).metadata
             n_rows += md.num_rows
             zm: dict[str, list] = {}
+            covered: dict[str, int] = {}
             for rg in range(md.num_row_groups):
                 row_group = md.row_group(rg)
                 for ci in range(row_group.num_columns):
@@ -155,11 +156,21 @@ class SnapshotTable:
                         # serialize via isoformat
                         lo, hi = str(lo), str(hi)
                     name = col.path_in_schema
+                    covered[name] = covered.get(name, 0) + 1
                     if name in zm:
                         zm[name] = [min(zm[name][0], lo),
                                     max(zm[name][1], hi)]
                     else:
                         zm[name] = [lo, hi]
+            # SOUNDNESS: a bound is recorded only when EVERY row group
+            # contributed stats for the column — a writer may omit
+            # stats (oversized strings, foreign writers), and a bound
+            # built from a subset could prune a file that still holds
+            # matching rows in the uncovered group
+            zm = {
+                name: bound for name, bound in zm.items()
+                if covered.get(name, 0) == md.num_row_groups
+            }
             self._last_zonemaps[f] = zm
         return files, n_rows
 

@@ -94,6 +94,30 @@ class MaterializedView:
             if cur.get(p) != prev.get(p)
         ]
 
+    def _removed_vs_snapshot(self, fp_rows: list) -> set:
+        """Partition values present in the snapshot but gone from the
+        current source — PCT must DELETE their directories: the pruned
+        recompute yields no rows for them, so dynamic overwrite alone
+        would leave the stale directory in place forever (and the meta
+        write would then mark the MV fresh while it still serves the
+        vanished partition)."""
+        if not os.path.isdir(self._meta_path):
+            return set()
+        prev = {
+            str(r["__part"])
+            for r in self.spark.read.parquet(self._meta_path).collect()
+        }
+        return prev - {str(r["__part"]) for r in fp_rows}
+
+    def _delete_partitions(self, values: set) -> None:
+        from urllib.parse import unquote
+
+        prefix = f"{self.partition_col}="
+        for d in os.listdir(self.path):
+            if d.startswith(prefix) and unquote(d[len(prefix):]) in values:
+                shutil.rmtree(os.path.join(self.path, d),
+                              ignore_errors=True)
+
     def _write_meta(self, fp_rows: list, schema) -> None:
         """Driver-side pyarrow write: the snapshot is one row per
         partition (catalog metadata, like the reference FE's MV state),
@@ -170,6 +194,9 @@ class MaterializedView:
         result.write.mode("overwrite") \
             .option("partitionOverwriteMode", "dynamic") \
             .partitionBy(self.partition_col).parquet(self.path)
+        removed = self._removed_vs_snapshot(fp_rows)
+        if removed:
+            self._delete_partitions(removed)
         self._write_meta(fp_rows, fp_schema)
         return len(changed)
 

@@ -435,15 +435,6 @@ class ManagedTable:
         batch.groupBy(*r["key_cols"]).agg(*aggs) \
             .write.mode("append").parquet(r["path"])
 
-    def _read_rollup(self, r: dict) -> DataFrame:
-        """Merge the rollup's rowsets (same cross-rowset re-aggregation
-        AGG_KEYS reads do)."""
-        df = self.spark.read.parquet(r["path"])
-        aggs = [
-            _AGG_FNS[how](c).alias(c) for c, how in r["agg_spec"].items()
-        ] + [F.sum("__n").alias("__n")]
-        return df.groupBy(*r["key_cols"]).agg(*aggs)
-
     def read_agg(self, group_cols: list[str],
                  aggs: dict[str, tuple[str, str]]) -> DataFrame:
         """Aggregate read with automatic index selection: the narrowest
@@ -467,7 +458,11 @@ class ManagedTable:
         if candidates:
             r = min(candidates, key=lambda r: len(r["key_cols"]))
             self.last_index_used = r["name"]
-            src = self._read_rollup(r)
+            # every stored agg is associative (sum/min/max; count as a
+            # __n slice), so one groupBy at the QUERY grain aggregates
+            # the raw rowset rows directly — no intermediate full-key
+            # merge shuffle
+            src = self.spark.read.parquet(r["path"])
             out = [
                 (F.sum("__n") if fn == "count" else _AGG_FNS[fn](col))
                 .alias(name)

@@ -150,3 +150,40 @@ def test_transparent_rewrite_unrefreshed_mv_falls_back(spark, sf_dir):
         assert cat.last_route == "__base__", (mode, cat.last_route)
         assert out.count() > 0
     mv.drop()
+
+
+def test_pct_refresh_deletes_vanished_partitions(spark, sf_dir):
+    """Regression (code-review finding, live-repro'd): a partition that
+    disappears from the source must be DELETED from the MV on refresh —
+    dynamic overwrite alone leaves the stale directory in place while
+    the meta write marks the MV fresh."""
+    from starrocks_spark.catalog import load_table
+    from starrocks_spark.tables.materialized_view import MaterializedView
+
+    orders = load_table(spark, sf_dir, "orders")
+    src_full = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.lit(1).cast("long").alias("one"),
+    )
+
+    def defn(s):
+        return s.groupBy("month").agg(F.sum("one").alias("n"))
+
+    mv = MaterializedView(spark, defn, partition_col="month",
+                          source_partition_expr="month")
+    mv.refresh(src_full)
+    months = [r["month"] for r in mv.read().select("month").distinct()
+              .collect()]
+    victim = max(months)
+    src_less = src_full.filter(F.col("month") != victim)
+    n = mv.refresh(src_less)
+    assert n >= 1
+    left = {r["month"] for r in mv.read().select("month").distinct()
+            .collect()}
+    assert victim not in left
+    # and the MV now exactly equals the recomputed definition
+    want = defn(src_less)
+    got = mv.read().select("month", "n")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    mv.drop()
