@@ -309,3 +309,105 @@ def sql_pii_redact(text: str) -> dict[str, str]:
         )
     out["clean"] = clean
     return out
+
+
+# ---------------------------------------------------------------------------
+# eval-set decontamination
+
+def ngram_contamination(train: DataFrame, eval_df: DataFrame,
+                        n: int = 8,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination (GPT-3/PaLM style): flag training
+    documents sharing any word n-gram with the eval set.
+
+    The eval side is tiny next to the corpus, so its distinct gram
+    hashes BROADCAST and the check is a map-side semi-join — the
+    training corpus is scanned once, no shuffle of training grams.
+    Returns (train doc id, n_hits, first overlapping gram hash).
+    """
+    def gram_hashes(df: DataFrame) -> DataFrame:
+        words = T.norm_words(F.col(text_col))
+        return df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.transform(T.shingles(words, n), T.hash60)
+            ).alias("_g"),
+        )
+
+    eval_grams = eval_df.select(
+        F.explode(
+            F.transform(T.shingles(T.norm_words(F.col(text_col)), n),
+                        T.hash60)
+        ).alias("_g")
+    ).distinct()
+    hits = gram_hashes(train).join(F.broadcast(eval_grams), "_g")
+    return (
+        hits.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.min("_g").alias("first_gram_hash"),
+        )
+        .select(F.col("_id").alias(id_col), "n_hits", "first_gram_hash")
+    )
+
+
+def sql_ngram_contamination(train_src: str, eval_src: str,
+                            n: int = 8) -> str:
+    words = T.sql_norm_words("text")
+    grams = f"list_transform({T.sql_shingles(words, n)}, s -> {T.sql_hash60('s')})"
+    return f"""
+WITH eg AS (
+  SELECT DISTINCT unnest({grams}) AS g FROM ({eval_src})
+),
+tg AS (
+  SELECT doc_id, unnest({grams}) AS g FROM ({train_src})
+)
+SELECT doc_id, COUNT(*) AS n_hits,
+       MIN(g) AS first_gram_hash
+FROM tg JOIN eg USING (g)
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic corpus mixing
+
+def mix_sample(docs: DataFrame, weights: dict[str, float],
+               source_col: str = "source",
+               id_col: str = "doc_id") -> DataFrame:
+    """Source-weighted deterministic sampling (the data-mixing step of
+    corpus assembly): keep a document when its md5 bucket (of id) falls
+    under its source's rate. Stable across reruns and cluster layouts —
+    the same property as split_label — and row-local (no shuffle; the
+    rates ride in a CASE expression)."""
+    for src, rate in weights.items():
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(f"rate for {src} must be in [0, 1]")
+    bucket = (T.hash60(F.col(id_col).cast("string")) % 10_000).cast(
+        "double"
+    ) / 10_000.0
+    rate_expr = None
+    for src, rate in weights.items():
+        cond = F.col(source_col) == src
+        rate_expr = (F.when(cond, rate) if rate_expr is None
+                     else rate_expr.when(cond, rate))
+    rate_expr = rate_expr.otherwise(F.lit(0.0))
+    return docs.filter(bucket < rate_expr)
+
+
+def sql_mix_sample(weights: dict[str, float],
+                   source_col: str = "source",
+                   id_col: str = "doc_id",
+                   table: str = "documents") -> str:
+    cases = " ".join(
+        f"WHEN {source_col} = '{s}' THEN {r!r}" for s, r in weights.items()
+    )
+    bucket = (
+        f"(({T.sql_hash60(f'CAST({id_col} AS VARCHAR)')} % 10000)::DOUBLE"
+        f" / 10000.0)"
+    )
+    return (
+        f"SELECT * FROM {table} "
+        f"WHERE {bucket} < (CASE {cases} ELSE 0.0 END)"
+    )

@@ -205,3 +205,63 @@ ORDER BY source
 
 ORACLE["pii_redaction_stats"] = _sql_pii_stats()
 QUERIES["pii_redaction_stats"] = pii_redaction_stats
+
+
+# ---------------------------------------------------------------------------
+# eval-set decontamination
+
+def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any 8-gram with
+    the eval view (here a deterministic doc_id%37 slice, so the overlap
+    is non-vacuous: each eval doc at least matches itself). The eval
+    gram set broadcasts — one map-side scan of the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 37 == 0)
+    return curation.ngram_contamination(docs, eval_df, n=8) \
+        .orderBy("doc_id")
+
+
+ORACLE["decontaminate_eval_overlap"] = (
+    curation.sql_ngram_contamination(
+        "SELECT * FROM documents",
+        "SELECT * FROM documents WHERE doc_id % 37 = 0",
+        n=8,
+    )
+    + " ORDER BY doc_id"
+)
+QUERIES["decontaminate_eval_overlap"] = decontaminate_eval_overlap
+
+
+# ---------------------------------------------------------------------------
+# corpus mixing
+
+_MIX_WEIGHTS = {
+    "src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25, "src4": 0.1,
+}
+
+
+def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-weighted deterministic mixing: per-source keep rates via
+    md5 buckets (sources absent from the weight table drop to 0).
+    Audited per source with kept counts and the id checksum — rerun-
+    stable by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = curation.mix_sample(docs, _MIX_WEIGHTS)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["corpus_mix_sample"] = f"""
+SELECT source, COUNT(*) AS n_kept,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM ({curation.sql_mix_sample(_MIX_WEIGHTS)}) q
+GROUP BY source
+ORDER BY source
+"""
+QUERIES["corpus_mix_sample"] = corpus_mix_sample

@@ -1001,3 +1001,68 @@ ORDER BY band
 
 QUERIES["dedup_boilerplate_report"] = dedup_boilerplate_report
 ORACLE["dedup_boilerplate_report"] = _sql_boilerplate_report()
+
+
+def ann_sq8_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized ANN (operators/similarity.py sq8_topk):
+    one-pass per-dimension codebook, byte codes, midpoint decode at
+    scan. The oracle recomputes the identical closed-form quantization
+    in SQL — codes, reconstruction, and ranking must all agree."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    c = emb.filter(F.col("vec_id") >= 10)
+    return similarity.sq8_topk(q, c, k=5, dim=64).orderBy("q_id", "rank")
+
+
+def _sql_ann_sq8() -> str:
+    code_i = (
+        "CASE WHEN b.hi[i] - b.lo[i] > 0 THEN "
+        "least(255.0, floor((embedding[i]::DOUBLE - b.lo[i]) * 256.0 "
+        "/ (b.hi[i] - b.lo[i]))) ELSE 0.0 END"
+    )
+    recon_i = (
+        "b.lo[i] + (code[i] + 0.5) * "
+        "(CASE WHEN b.hi[i] - b.lo[i] > 0 THEN b.hi[i] - b.lo[i] "
+        "ELSE 0.0 END) / 256.0"
+    )
+    cos = V.sql_cosine("qv", "rv")
+    return f"""
+WITH c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+      WHERE vec_id < 10),
+perdim AS (
+  SELECT i, MIN(embedding[i]::DOUBLE) AS lo, MAX(embedding[i]::DOUBLE) AS hi
+  FROM c, generate_series(1, 64) t(i)
+  GROUP BY i
+),
+b AS (
+  SELECT list(lo ORDER BY i) AS lo, list(hi ORDER BY i) AS hi FROM perdim
+),
+enc AS (
+  SELECT vec_id, [{code_i} FOR i IN generate_series(1, 64)] AS code
+  FROM c, b
+),
+recon AS (
+  SELECT vec_id, [{recon_i} FOR i IN generate_series(1, 64)] AS rv
+  FROM enc, b
+),
+scored AS (
+  SELECT q_id, vec_id, {cos} AS approx_cos
+  FROM q, recon
+),
+ranked AS (
+  SELECT q_id, vec_id, approx_cos,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY approx_cos DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT q_id, CAST(rank AS INT) AS rank, vec_id, approx_cos
+FROM ranked WHERE rank <= 5
+ORDER BY q_id, rank
+"""
+
+
+QUERIES["ann_sq8_quantized"] = ann_sq8_quantized
+ORACLE["ann_sq8_quantized"] = _sql_ann_sq8()

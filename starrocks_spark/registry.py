@@ -99,6 +99,8 @@ _PRIORITY = [
     "split_stratified_counts",
     "quality_gopher_repetition",
     "pii_redaction_stats",
+    "decontaminate_eval_overlap",
+    "corpus_mix_sample",
     # --- first-time driver slots below (the full remaining backlog) ---
     # scalar/date families
     "func_date_family",
@@ -119,6 +121,7 @@ _PRIORITY = [
     "unnest_bitmap_users",
     # ANN / fulltext / AI surfaces
     "ann_lsh_multiprobe",
+    "ann_sq8_quantized",
     "fulltext_match_any",
     "ai_query_enrich",
     # new this round: lakehouse ADD COLUMN evolution + zone-map pruning
@@ -133,17 +136,15 @@ _PRIORITY = [
     "dialect_qualify_topn",
     # table models
     "table_dup_keys_batches",
-    # SSB flat benchmark — 9 of the remaining 11 (q2_1/q4_3 proved in
-    # r4; q1_2/q3_3 ceded their slots to zone-map prune + transparent
-    # MV and rotate in next round)
+    # SSB flat benchmark — 6 of the remaining 11 (q2_1/q4_3 proved in
+    # r4; q1_2/q2_3/q3_3/q3_4/q4_1 ceded slots to this round's new
+    # operators and rotate in next round — the family's plan shape is
+    # identical across members)
     "ssb_q1_1",
     "ssb_q1_3",
     "ssb_q2_2",
-    "ssb_q2_3",
     "ssb_q3_1",
     "ssb_q3_2",
-    "ssb_q3_4",
-    "ssb_q4_1",
     "ssb_q4_2",
     # new this round: real WAV/PPM decode (analytic oracles)
     "multimodal_wav_decode",

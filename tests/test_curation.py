@@ -146,3 +146,37 @@ def test_dedup_handles_empty_and_single_doc(spark):
                         StructField("id_b", LongType())])
     )
     assert dedup.connected_components(pairs).count() == 0
+
+
+def test_mix_sample_rates_and_unknown_sources(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "zzz") for i in range(2000)],
+        ["doc_id", "source"],
+    )
+    kept = curation.mix_sample(df, {"a": 0.5})
+    rows = kept.groupBy("source").count().collect()
+    by = {r["source"]: r["count"] for r in rows}
+    assert "zzz" not in by          # unweighted source → rate 0
+    assert 350 < by.get("a", 0) < 650   # ~50% of 1000
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        curation.mix_sample(df, {"a": 1.5})
+
+
+def test_ngram_contamination_detects_planted_overlap(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota"),
+            (2, "totally different words with no shared grams at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    eval_df = spark.createDataFrame(
+        [(99, "x alpha beta gamma delta epsilon zeta eta theta y")],
+        ["doc_id", "text"],
+    )
+    hits = {r["doc_id"]: r["n_hits"]
+            for r in curation.ngram_contamination(train, eval_df, n=8)
+            .collect()}
+    assert 1 in hits and hits[1] >= 1
+    assert 2 not in hits

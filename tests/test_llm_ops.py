@@ -302,3 +302,28 @@ def test_wav_decoder_rejects_garbage(spark):
     import pytest as _pytest
     with _pytest.raises(Exception):
         mm.decode_wav_meta(df).collect()
+
+
+def test_sq8_recall_vs_brute_force(spark, sf_dir):
+    """SQ8 midpoint reconstruction is a faithful 8-bit approximation:
+    recall@5 vs exact brute force should be near-perfect on the
+    fixture corpus."""
+    from pyspark.sql import functions as F
+
+    from starrocks_spark.catalog import load_table
+    from starrocks_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding")
+    c = emb.filter(F.col("vec_id") >= 10)
+    exact = {
+        (r["q_id"], r["vec_id"])
+        for r in similarity.brute_force_topk(q, c, k=5).collect()
+    }
+    approx = {
+        (r["q_id"], r["vec_id"])
+        for r in similarity.sq8_topk(q, c, k=5, dim=64).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, recall
