@@ -147,9 +147,18 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
+                # the TPC-H-only subtotal is the closest apples-to-
+                # apples anchor against BASELINE.md's published TPC-H
+                # numbers (the headline total spans 30 queries across
+                # every operator family, not 22 TPC-H queries)
+                "tpch_total": round(
+                    sum(v for k, v in timings.items()
+                        if k.startswith("tpch_")), 4
+                ),
                 "ssb": ssb_timings,
                 "ssb_total": round(sum(ssb_timings.values()), 4),
                 "extras": extra_timings,
+                "extras_total": round(sum(extra_timings.values()), 4),
                 "sf": _sf_from_dir(SF_DIR),
             }
         )

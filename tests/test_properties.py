@@ -166,3 +166,42 @@ def test_split_label_partition_of_unity(spark, ids):
         ).collect()
     }
     assert all(got2[i] == got[i] for i in half)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.sampled_from([3, 7, 16, 64]))
+def test_results_independent_of_shuffle_partitions(spark, nparts):
+    """Cluster-layout independence: flagship operators must produce
+    IDENTICAL results under any shuffle-partition count (the setting
+    that differs most between local[32] and a 1000-executor cluster)."""
+    import pyspark.sql.functions as F
+
+    from starrocks_spark.catalog import load_table
+    from starrocks_spark.operators import curation, dedup
+
+    sf_dir = "/root/testdata/sf0.001"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    docs = load_table(spark, sf_dir, "documents")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(nparts))
+        got_pack = sorted(
+            (r["doc_id"], r["shard_id"], r["offset"])
+            for r in curation.pack_sequences(docs, budget=512).collect()
+        )
+        got_pairs = sorted(
+            (r["id_a"], r["id_b"])
+            for r in dedup.minhash_lsh_pairs(docs).collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    want_pack = sorted(
+        (r["doc_id"], r["shard_id"], r["offset"])
+        for r in curation.pack_sequences(docs, budget=512).collect()
+    )
+    want_pairs = sorted(
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(docs).collect()
+    )
+    assert got_pack == want_pack
+    assert got_pairs == want_pairs
