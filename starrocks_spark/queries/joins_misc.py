@@ -169,3 +169,49 @@ ORDER BY c_mktsegment
 
 QUERIES["join_or_union_split"] = join_or_union_split
 ORACLE["join_or_union_split"] = _OR_UNION_SQL
+
+
+def star_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UKFK join pruning (plans/star.py; reference PruneUKFKJoinRule):
+    lineitem declares its three dims (part, supplier, orders) with
+    enforced key integrity; a revenue-by-part-type query NEEDS only
+    part columns, so the star builder joins exactly ONE dim — supplier
+    and orders are never constructed (asserted) — and results match
+    the oracle's single-join SQL."""
+    from starrocks_spark.plans.star import StarSchema
+    from starrocks_spark.queries._util import fixed
+
+    li = load_table(spark, sf_dir, "lineitem")
+    star = StarSchema(li)
+    star.add_dim("part", load_table(spark, sf_dir, "part"),
+                 fk="l_partkey", pk="p_partkey")
+    star.add_dim("supplier", load_table(spark, sf_dir, "supplier"),
+                 fk="l_suppkey", pk="s_suppkey")
+    star.add_dim("orders", load_table(spark, sf_dir, "orders"),
+                 fk="l_orderkey", pk="o_orderkey")
+
+    joined = star.join_needed(["p_type"])
+    assert star.last_joined == ["part"], star.last_joined
+    return (
+        joined.groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(fixed(F.col("l_extendedprice"))).cast("long")
+            .alias("rev_f"),
+        )
+        .orderBy("p_type")
+    )
+
+
+from starrocks_spark.queries._util import sql_fixed as _sqlf
+
+_STAR_SQL = f"""
+SELECT p_type, COUNT(*) AS n_items,
+       CAST(SUM({_sqlf('l_extendedprice')}) AS BIGINT) AS rev_f
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_type
+ORDER BY p_type
+"""
+
+QUERIES["star_pruned_join"] = star_pruned_join
+ORACLE["star_pruned_join"] = _STAR_SQL

@@ -136,15 +136,14 @@ _PRIORITY = [
     "dialect_qualify_topn",
     # table models
     "table_dup_keys_batches",
-    # SSB flat benchmark — 6 of the remaining 11 (q2_1/q4_3 proved in
-    # r4; q1_2/q2_3/q3_3/q3_4/q4_1 ceded slots to this round's new
-    # operators and rotate in next round — the family's plan shape is
-    # identical across members)
+    # SSB flat benchmark — 5 of the remaining 11 (q2_1/q4_3 proved in
+    # r4; the rest ceded slots to this round's new operators and rotate
+    # in next round — the family's plan shape is identical across
+    # members)
     "ssb_q1_1",
     "ssb_q1_3",
     "ssb_q2_2",
     "ssb_q3_1",
-    "ssb_q3_2",
     "ssb_q4_2",
     # new this round: real WAV/PPM decode (analytic oracles)
     "multimodal_wav_decode",
@@ -154,9 +153,9 @@ _PRIORITY = [
     "mv_incremental_refresh",
     # new this round: transparent MV rewrite
     "mv_transparent_rewrite",
-    # new this round: OR->UNION join split (its state_partitions change
-    # class is covered by stream_dedup_distinct above)
+    # new this round: OR->UNION join split + UKFK star pruning
     "join_or_union_split",
+    "star_pruned_join",
 ]
 
 

@@ -272,3 +272,37 @@ def test_or_split_join_avoids_nested_loop(spark, sf_dir):
     plan = split._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan
     assert plan.count("Join") >= 2
+
+
+def test_star_schema_prunes_unneeded_dim_joins(spark, sf_dir):
+    """Needing no dim columns builds ZERO joins; needing columns from
+    one dim builds exactly one broadcast join; integrity='none' dims
+    always join (dropping them could change cardinality)."""
+    from pyspark.sql import functions as F
+
+    from starrocks_spark.catalog import load_table
+    from starrocks_spark.plans.star import StarSchema
+
+    li = load_table(spark, sf_dir, "lineitem")
+    star = StarSchema(li)
+    star.add_dim("part", load_table(spark, sf_dir, "part"),
+                 fk="l_partkey", pk="p_partkey")
+    star.add_dim("supplier", load_table(spark, sf_dir, "supplier"),
+                 fk="l_suppkey", pk="s_suppkey")
+
+    none_needed = star.join_needed(["l_quantity"])
+    assert star.last_joined == []
+    plan0 = none_needed._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan0
+
+    one = star.join_needed(["p_type", "l_quantity"])
+    assert star.last_joined == ["part"]
+    plan1 = one._jdf.queryExecution().executedPlan().toString()
+    assert plan1.count("BroadcastHashJoin") == 1
+
+    # weak integrity forces the join even when unneeded
+    star2 = StarSchema(li)
+    star2.add_dim("part", load_table(spark, sf_dir, "part"),
+                  fk="l_partkey", pk="p_partkey", integrity="none")
+    star2.join_needed(["l_quantity"])
+    assert star2.last_joined == ["part"]
