@@ -98,6 +98,10 @@ EXTRAS = [
     "join_or_union_split",
     "table_lakehouse_zonemap_prune",
     "multimodal_wav_decode",
+    "ann_sq8_quantized",
+    "decontaminate_eval_overlap",
+    "corpus_mix_sample",
+    "star_pruned_join",
 ]
 
 

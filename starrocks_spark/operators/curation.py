@@ -327,20 +327,18 @@ def ngram_contamination(train: DataFrame, eval_df: DataFrame,
     Returns (train doc id, n_hits, first overlapping gram hash).
     """
     def gram_hashes(df: DataFrame) -> DataFrame:
+        # STRICT n-grams (no shorter-than-n fallback): T.shingles emits
+        # the full text as a single shingle for short docs — right for
+        # MinHash coverage, but here it would flag a sub-n-gram match
+        # as an n-gram collision
         words = T.norm_words(F.col(text_col))
+        grams = F.array_distinct(_word_grams(words, n))
         return df.select(
             F.col(id_col).alias("_id"),
-            F.explode(
-                F.transform(T.shingles(words, n), T.hash60)
-            ).alias("_g"),
+            F.explode(F.transform(grams, T.hash60)).alias("_g"),
         )
 
-    eval_grams = eval_df.select(
-        F.explode(
-            F.transform(T.shingles(T.norm_words(F.col(text_col)), n),
-                        T.hash60)
-        ).alias("_g")
-    ).distinct()
+    eval_grams = gram_hashes(eval_df).select("_g").distinct()
     hits = gram_hashes(train).join(F.broadcast(eval_grams), "_g")
     return (
         hits.groupBy("_id")
@@ -355,7 +353,10 @@ def ngram_contamination(train: DataFrame, eval_df: DataFrame,
 def sql_ngram_contamination(train_src: str, eval_src: str,
                             n: int = 8) -> str:
     words = T.sql_norm_words("text")
-    grams = f"list_transform({T.sql_shingles(words, n)}, s -> {T.sql_hash60('s')})"
+    grams = (
+        f"list_transform(list_distinct({_sql_word_grams(words, n)}), "
+        f"s -> {T.sql_hash60('s')})"
+    )
     return f"""
 WITH eg AS (
   SELECT DISTINCT unnest({grams}) AS g FROM ({eval_src})
@@ -381,6 +382,8 @@ def mix_sample(docs: DataFrame, weights: dict[str, float],
     under its source's rate. Stable across reruns and cluster layouts —
     the same property as split_label — and row-local (no shuffle; the
     rates ride in a CASE expression)."""
+    if not weights:
+        raise ValueError("mix_sample needs at least one source weight")
     for src, rate in weights.items():
         if not 0.0 <= rate <= 1.0:
             raise ValueError(f"rate for {src} must be in [0, 1]")
@@ -400,8 +403,13 @@ def sql_mix_sample(weights: dict[str, float],
                    source_col: str = "source",
                    id_col: str = "doc_id",
                    table: str = "documents") -> str:
+    if not weights:
+        raise ValueError("mix_sample needs at least one source weight")
     cases = " ".join(
-        f"WHEN {source_col} = '{s}' THEN {r!r}" for s, r in weights.items()
+        "WHEN {} = '{}' THEN {!r}".format(
+            source_col, src.replace("'", "''"), r
+        )
+        for src, r in weights.items()
     )
     bucket = (
         f"(({T.sql_hash60(f'CAST({id_col} AS VARCHAR)')} % 10000)::DOUBLE"

@@ -264,9 +264,13 @@ def sq8_topk(
     enc = corpus.crossJoin(F.broadcast(bounds)).select(
         F.col(corpus_id),
         F.array(*[code(i) for i in range(dim)]).alias("_code"),
+        # carry the bounds through: a second crossJoin against the
+        # unpersisted bounds plan would re-run the full-corpus min/max
+        # aggregate (an extra corpus scan)
+        "_lo", "_hi",
     )
     # midpoint decode at scan time (the stored index is the byte codes)
-    recon = enc.crossJoin(F.broadcast(bounds)).select(
+    recon = enc.select(
         corpus_id,
         F.array(*[
             F.get(F.col("_lo"), i)

@@ -67,4 +67,9 @@ class StarSchema:
                     out[d.fk] == d.dim[d.pk],
                 ).drop(d.dim[d.pk])
                 self.last_joined.append(name)
+            elif d.pk in needed_cols and d.pk not in fact_cols:
+                # the declared (fk = pk) equivalence answers a pk-only
+                # need from the fact side — the reference's rule
+                # rewrites pk references to the fk the same way
+                out = out.withColumn(d.pk, F.col(d.fk))
         return out

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from starrocks_spark.catalog import load_table
 from starrocks_spark.operators.in_rewrite import filter_in_values
-from starrocks_spark.queries._util import fixed
+from starrocks_spark.queries._util import fixed, sql_fixed
 
 
 def join_nonequi_range(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -179,7 +179,6 @@ def star_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     and orders are never constructed (asserted) — and results match
     the oracle's single-join SQL."""
     from starrocks_spark.plans.star import StarSchema
-    from starrocks_spark.queries._util import fixed
 
     li = load_table(spark, sf_dir, "lineitem")
     star = StarSchema(li)
@@ -203,11 +202,9 @@ def star_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from starrocks_spark.queries._util import sql_fixed as _sqlf
-
 _STAR_SQL = f"""
 SELECT p_type, COUNT(*) AS n_items,
-       CAST(SUM({_sqlf('l_extendedprice')}) AS BIGINT) AS rev_f
+       CAST(SUM({sql_fixed('l_extendedprice')}) AS BIGINT) AS rev_f
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_type
 ORDER BY p_type

@@ -180,3 +180,30 @@ def test_ngram_contamination_detects_planted_overlap(spark):
             .collect()}
     assert 1 in hits and hits[1] >= 1
     assert 2 not in hits
+
+
+def test_ngram_contamination_ignores_sub_n_gram_docs(spark):
+    """Regression (review finding): docs shorter than n words must NOT
+    be flagged — the MinHash shingle fallback (full text as one
+    shingle) does not apply to the strict n-gram contract."""
+    short = spark.createDataFrame([(1, "the end")], ["doc_id", "text"])
+    hits = curation.ngram_contamination(short, short, n=8).collect()
+    assert hits == []
+
+
+def test_star_pk_need_answered_from_fact(spark, sf_dir):
+    """Regression (review finding): needing only the dim's PRIMARY KEY
+    must not force a join — the declared fk=pk equivalence answers it
+    from the fact side."""
+    from starrocks_spark.catalog import load_table
+    from starrocks_spark.plans.star import StarSchema
+
+    li = load_table(spark, sf_dir, "lineitem")
+    star = StarSchema(li)
+    star.add_dim("part", load_table(spark, sf_dir, "part"),
+                 fk="l_partkey", pk="p_partkey")
+    out = star.join_needed(["p_partkey"])
+    assert star.last_joined == []
+    assert "p_partkey" in out.columns
+    sample = out.select("l_partkey", "p_partkey").limit(100).collect()
+    assert all(r["l_partkey"] == r["p_partkey"] for r in sample)

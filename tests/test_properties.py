@@ -180,7 +180,11 @@ def test_results_independent_of_shuffle_partitions(spark, nparts):
     from starrocks_spark.catalog import load_table
     from starrocks_spark.operators import curation, dedup
 
-    sf_dir = "/root/testdata/sf0.001"
+    import os
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01"
+    ).replace("sf0.01", "sf0.001")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     docs = load_table(spark, sf_dir, "documents")
     try:
