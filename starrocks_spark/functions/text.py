@@ -102,6 +102,11 @@ def minhash_pairs(shingle_col: Column) -> Column:
 def minhash_signature_from_pairs(pairs_col: Column, k: int = 16) -> Column:
     """The cheap half: per salt i, min over shingles of h1 + i*h2 —
     pure integer arithmetic over the materialized pairs array."""
+    if k > 100:
+        # h1 < 2^60, h2 < 2^56: beyond i ≈ 110 the sum exceeds int64 —
+        # Spark would wrap silently while the DuckDB twin raises on
+        # BIGINT overflow, breaking the portable-semantics contract
+        raise ValueError(f"minhash k must be <= 100 (got {k})")
     return F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
         lambda i: F.array_min(

@@ -21,6 +21,7 @@ client (or a local model runtime) would plug in.
 from __future__ import annotations
 
 import hashlib
+import math
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -104,22 +105,29 @@ def ai_embed(
     [-1, 1]^dim, L2-normalized in float32. Real plumbing (Arrow
     batches, array<float> output schema) with a swap-in point for a
     sentence-transformer; feeds directly into operators/similarity.py.
-    """
+
+    Every arithmetic step is pinned to an engine-portable form (hex-
+    string md5 seeding, float32 rounding via explicit casts, a
+    SEQUENTIAL left-fold norm): DuckDB reproduces the embeddings
+    bit-for-bit (REAL arithmetic is IEEE float32 there too), which is
+    what makes ``ai_embed_similarity`` a hard value-level oracle row
+    instead of a rows-only check."""
 
     def _embed_one(text: str) -> list[float]:
         import numpy as np
 
-        h = hashlib.md5(text.encode()).digest()
+        hh = hashlib.md5(text.encode()).hexdigest()
         seeds = [
-            int.from_bytes(
-                hashlib.md5(h + bytes([i])).digest()[:4], "big"
-            ) for i in range(dim)
+            int(hashlib.md5(f"{hh}:{i}".encode()).hexdigest()[:8], 16)
+            for i in range(dim)
         ]
-        v = np.array(
-            [s / 2**31 - 1.0 for s in seeds], dtype="float32"
-        )
-        n = float((v.astype("float64") ** 2).sum()) ** 0.5
-        return (v / n).astype("float32").tolist() if n else v.tolist()
+        # float32 value of (seed / 2^31 − 1), kept as exact doubles
+        vals = [float(np.float32(s / 2**31 - 1.0)) for s in seeds]
+        n = math.sqrt(sum(x * x for x in vals))  # sequential fold
+        if n == 0.0:
+            return vals
+        nf = np.float32(n)
+        return [float(np.float32(x) / nf) for x in vals]
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -129,3 +137,25 @@ def ai_embed(
             })
 
     return df.select(id_col, text_col).mapInPandas(_run, AI_EMBED_SCHEMA)
+
+
+def sql_ai_embed(src_sql: str, id_col: str = "doc_id",
+                 text_col: str = "text", dim: int = 8) -> str:
+    """DuckDB twin of ``ai_embed``'s deterministic fake embedder —
+    bit-identical float32 vectors (verified: REAL arithmetic in DuckDB
+    is IEEE float32, md5 hex chains match Python's hashlib on UTF-8).
+    Yields ``SELECT {id_col}, embedding`` over ``src_sql``."""
+    vals = (
+        f"[CAST((('0x' || substr(md5(md5({text_col}) || ':' || "
+        f"CAST(i - 1 AS VARCHAR)), 1, 8))::BIGINT) / 2147483648.0 - 1.0 "
+        f"AS REAL) FOR i IN generate_series(1, {dim})]"
+    )
+    return f"""
+SELECT {id_col}, list_transform(vv, x -> x / CAST(n AS REAL)) AS embedding
+FROM (
+  SELECT {id_col}, vv,
+         sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+              list_transform(vv, x -> x::DOUBLE * x::DOUBLE)),
+              (a, b) -> a + b)) AS n
+  FROM (SELECT {id_col}, {vals} AS vv FROM ({src_sql}))
+)"""

@@ -71,9 +71,11 @@ def sql_split_label(key: str, splits: dict[str, int] | None = None) -> str:
     parts = []
     lo = 0
     for name, pct in splits.items():
+        # quote-escape like sql_mix_sample — a split name containing a
+        # quote must not produce broken/injectable SQL
         parts.append(
             f"WHEN {bucket} >= {lo} AND {bucket} < {lo + pct} "
-            f"THEN '{name}'"
+            "THEN '{}'".format(name.replace("'", "''"))
         )
         lo += pct
     return "CASE " + " ".join(parts) + " END"
@@ -207,34 +209,45 @@ def gopher_repetition(docs: DataFrame, n: int = 2,
     Per-doc n-gram aggregation shuffles on (doc_id, gram): linear in
     corpus size, bounded per-key by document length.
 
-    Returns doc_id, n_words, n_grams, top_gram_count, top_gram_frac,
-    keep.
+    Returns ONE ROW PER INPUT DOCUMENT: doc_id, n_words, n_grams,
+    top_gram_count, top_gram_frac, keep. Documents with fewer than
+    ``n`` words have no grams — they come back with zero counts, NULL
+    frac, and keep=false (round-5 advice: the earlier explode-only
+    shape silently dropped them, so a consumer anti-joining drops
+    would pass short docs through unfiltered).
     """
     words = docs.select(
         "doc_id", T.norm_words(F.col("text")).alias("w")
     )
     grams = words.select(
         "doc_id",
-        F.size("w").alias("n_words"),
         F.explode(_word_grams(F.col("w"), n)).alias("gram"),
     )
-    per_gram = grams.groupBy("doc_id", "n_words", "gram").agg(
+    per_gram = grams.groupBy("doc_id", "gram").agg(
         F.count(F.lit(1)).alias("c")
     )
-    per_doc = per_gram.groupBy("doc_id", "n_words").agg(
-        F.sum("c").alias("n_grams"), F.max("c").alias("top_gram_count")
+    per_doc = per_gram.groupBy("doc_id").agg(
+        F.sum("c").alias("_ng"), F.max("c").alias("_tg")
     )
-    frac = F.col("top_gram_count").cast("double") / F.col("n_grams").cast(
-        "double"
+    base = words.select("doc_id", F.size("w").cast("long").alias("n_words"))
+    joined = base.join(per_doc, "doc_id", "left").select(
+        "doc_id", "n_words",
+        F.coalesce(F.col("_ng"), F.lit(0)).cast("long").alias("n_grams"),
+        F.coalesce(F.col("_tg"), F.lit(0)).cast("long")
+        .alias("top_gram_count"),
     )
-    return per_doc.select(
-        "doc_id",
-        F.col("n_words").cast("long").alias("n_words"),
-        F.col("n_grams").cast("long").alias("n_grams"),
-        F.col("top_gram_count").cast("long").alias("top_gram_count"),
+    frac = F.when(
+        F.col("n_grams") > 0,
+        F.col("top_gram_count").cast("double")
+        / F.col("n_grams").cast("double"),
+    )
+    return joined.select(
+        "doc_id", "n_words", "n_grams", "top_gram_count",
         frac.alias("top_gram_frac"),
         (
-            (F.col("n_words") >= min_words) & (frac <= F.lit(top_frac_max))
+            (F.col("n_words") >= min_words)
+            & (F.col("n_grams") > 0)
+            & (frac <= F.lit(top_frac_max))
         ).alias("keep"),
     )
 
@@ -247,24 +260,31 @@ def sql_gopher_repetition(n: int = 2, top_frac_max: float = 0.20,
     return f"""
 WITH w AS (SELECT doc_id, {words} AS w FROM {table}),
 g AS (
-  SELECT doc_id, len(w) AS n_words, unnest({grams}) AS gram FROM w
+  SELECT doc_id, unnest({grams}) AS gram FROM w
 ),
 pg AS (
-  SELECT doc_id, n_words, gram, COUNT(*) AS c
-  FROM g GROUP BY doc_id, n_words, gram
+  SELECT doc_id, gram, COUNT(*) AS c
+  FROM g GROUP BY doc_id, gram
 ),
 pd AS (
-  SELECT doc_id, n_words, CAST(SUM(c) AS BIGINT) AS n_grams,
-         CAST(MAX(c) AS BIGINT) AS top_gram_count
-  FROM pg GROUP BY doc_id, n_words
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS _ng,
+         CAST(MAX(c) AS BIGINT) AS _tg
+  FROM pg GROUP BY doc_id
+),
+joined AS (
+  SELECT w.doc_id, CAST(len(w.w) AS BIGINT) AS n_words,
+         COALESCE(pd._ng, 0) AS n_grams,
+         COALESCE(pd._tg, 0) AS top_gram_count
+  FROM w LEFT JOIN pd ON w.doc_id = pd.doc_id
 )
-SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, n_grams,
-       top_gram_count,
-       top_gram_count::DOUBLE / n_grams::DOUBLE AS top_gram_frac,
-       (n_words >= {min_words} AND
+SELECT doc_id, n_words, n_grams, top_gram_count,
+       CASE WHEN n_grams > 0
+            THEN top_gram_count::DOUBLE / n_grams::DOUBLE END
+         AS top_gram_frac,
+       (n_words >= {min_words} AND n_grams > 0 AND
         top_gram_count::DOUBLE / n_grams::DOUBLE <= {top_frac_max})
          AS keep
-FROM pd
+FROM joined
 """
 
 

@@ -51,12 +51,27 @@ def match_rank(docs: DataFrame, query_terms: list[str],
     """MATCH query over the corpus: ANY (OR-semantics) or ALL
     (AND-semantics) on ``query_terms``, ranked by summed
     tf × ln(N/df) (fixed-point basis points for cross-engine
-    determinism). Ties break on doc_id for stable top-k."""
+    determinism). Ties break on doc_id for stable top-k.
+
+    This inline form derives the postings in the same plan — one
+    explode of the corpus per call. The build-once path is
+    ``operators/indexes.py FulltextIndex``: the posting table is
+    STORED (clustered by bucket) and every MATCH reads only its
+    terms' posting rows."""
     postings = build_posting_table(docs)
     n_docs = docs.count()  # metadata-scale scalar (index stats lookup)
 
     terms = [t.lower() for t in query_terms]
     hits = postings.filter(F.col("term").isin(terms))
+    return rank_postings(hits, terms, n_docs, mode, k)
+
+
+def rank_postings(hits: DataFrame, terms: list[str], n_docs: int,
+                  mode: str = "any", k: int = 20) -> DataFrame:
+    """Shared scoring tail: posting rows for the query's terms →
+    per-doc tf·ln(N/df) score (fixed-point basis points), ANY/ALL
+    semantics, top-k. Shuffle volume is bounded by the queried terms'
+    posting rows, never the corpus."""
     df_per_term = hits.groupBy("term").agg(
         F.countDistinct("doc_id").alias("df")
     )

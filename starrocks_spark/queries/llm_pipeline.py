@@ -569,29 +569,43 @@ ORACLE = {
 
 
 # ---------------------------------------------------------------------------
-# fulltext MATCH (inverted-index analog; operators/fulltext.py)
+# fulltext MATCH (inverted-index analog; operators/fulltext.py +
+# stored posting table, operators/indexes.py)
 
 _MATCH_TERMS = ["vector", "hash", "scan"]
 
 
+def _fulltext_index(spark: SparkSession, sf_dir: str):
+    """Build-once stored posting table for this corpus (the reference
+    attaches its GIN index to storage; the analog is an index table
+    built per corpus snapshot, then read by every MATCH)."""
+    from starrocks_spark import scratch
+    from starrocks_spark.operators.indexes import FulltextIndex
+
+    def build():
+        docs = load_table(spark, sf_dir, "documents")
+        return FulltextIndex.build(
+            spark, docs, scratch.scratch_dir("ftidx", sf_dir)
+        )
+
+    return scratch.cached(("ftidx", sf_dir), build)
+
+
 def fulltext_match_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MATCH-ALL ('vector AND hash AND scan') over the documents
-    corpus via the posting-table inverted index, ranked by
+    corpus via the STORED posting-table inverted index, ranked by
     deterministic tf·ln(N/df). Reference: gin_functions.cpp MATCH +
-    inverted index storage — here an explicit posting table, the
-    Spark-native index shape."""
-    from starrocks_spark.operators import fulltext
-
-    docs = load_table(spark, sf_dir, "documents")
-    return fulltext.match_rank(docs, _MATCH_TERMS, mode="all", k=20)
+    inverted index storage (be/src/storage/index/inverted/)."""
+    return _fulltext_index(spark, sf_dir).match(
+        _MATCH_TERMS, mode="all", k=20
+    )
 
 
 def fulltext_match_any(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MATCH-ANY (OR semantics) with the same ranking; top-30."""
-    from starrocks_spark.operators import fulltext
-
-    docs = load_table(spark, sf_dir, "documents")
-    return fulltext.match_rank(docs, _MATCH_TERMS, mode="any", k=30)
+    return _fulltext_index(spark, sf_dir).match(
+        _MATCH_TERMS, mode="any", k=30
+    )
 
 
 def _sql_fulltext(mode: str, k: int) -> str:
@@ -662,16 +676,27 @@ ORACLE["dedup_cluster_keepers"] = _sql_dedup_cluster_keepers()
 
 
 def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse-quantizer ANN (operators/similarity.py ivf_topk):
-    16 deterministic centroids, nprobe=4 → each query scans ~1/4 of
-    the corpus through the inverted lists. Reference: tenann IVF
-    index families (be/src/storage/index/vector/)."""
+    """IVF coarse-quantizer ANN over a STORED index (indexes.py
+    IvfIndex): 16 deterministic centroids, row-local assignment built
+    once into range-partitioned inverted lists; nprobe=4 → each query
+    scans ~1/4 of the corpus through the stored lists. Reference:
+    tenann IVF index families (be/src/storage/index/vector/)."""
+    from starrocks_spark import scratch
+    from starrocks_spark.operators.indexes import IvfIndex
+
     emb = load_table(spark, sf_dir, "embeddings")
+
+    def build():
+        return IvfIndex.build(
+            spark, emb.filter(F.col("vec_id") >= 20),
+            scratch.scratch_dir("ivfidx", sf_dir), n_centroids=16,
+        )
+
+    idx = scratch.cached(("ivfidx", sf_dir), build)
     q = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
-    c = emb.filter(F.col("vec_id") >= 20)
-    out = similarity.ivf_topk(q, c, k=5, n_centroids=16, nprobe=4)
+    out = idx.topk(q, k=5, nprobe=4)
     return out.select(
         "q_id", F.col("rank").alias("rnk"), "vec_id", "cos_sim"
     ).orderBy("q_id", "rnk")
@@ -755,9 +780,10 @@ ORDER BY doc_id
 
 def ai_embed_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ai_embed (deterministic fake embedder, real Arrow plumbing) →
-    brute-force cosine self-similarity top-3. No SQL oracle: the
-    float32 embedder is not SQL-expressible; properties (unit norm,
-    determinism, plumbing) are pinned in tests/test_llm_ops.py."""
+    brute-force cosine self-similarity top-3. The embedder's float32
+    arithmetic is pinned to an engine-portable form (operators/ai.py),
+    so the oracle reproduces the embeddings bit-for-bit in DuckDB REAL
+    arithmetic and this is a hard value-level row."""
     from starrocks_spark.operators import ai
 
     docs = load_table(spark, sf_dir, "documents") \
@@ -772,9 +798,32 @@ def ai_embed_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(q, c, k=3).orderBy("q_id", "rank")
 
 
+def _sql_ai_embed_similarity() -> str:
+    from starrocks_spark.operators import ai
+
+    emb = ai.sql_ai_embed(
+        "SELECT doc_id, text FROM documents WHERE doc_id < 40"
+    )
+    cos = V.sql_cosine("qv", "cv")
+    return f"""
+WITH emb AS ({emb}),
+q AS (SELECT doc_id AS q_id, embedding AS qv FROM emb WHERE doc_id < 5),
+c AS (SELECT doc_id AS vec_id, embedding AS cv FROM emb WHERE doc_id >= 5),
+scored AS (SELECT q_id, vec_id, {cos} AS cos_sim FROM q CROSS JOIN c),
+ranked AS (SELECT q_id, vec_id, cos_sim,
+                  row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cos_sim DESC, vec_id) AS rank
+           FROM scored)
+SELECT q_id, CAST(rank AS INT) AS rank, vec_id, cos_sim
+FROM ranked WHERE rank <= 3
+ORDER BY q_id, rank
+"""
+
+
 QUERIES["ai_query_enrich"] = ai_query_enrich
 QUERIES["ai_embed_similarity"] = ai_embed_similarity
 ORACLE["ai_query_enrich"] = _AI_QUERY_SQL
+ORACLE["ai_embed_similarity"] = _sql_ai_embed_similarity()
 
 
 # ---------------------------------------------------------------------------
@@ -1004,16 +1053,28 @@ ORACLE["dedup_boilerplate_report"] = _sql_boilerplate_report()
 
 
 def ann_sq8_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SQ8 scalar-quantized ANN (operators/similarity.py sq8_topk):
-    one-pass per-dimension codebook, byte codes, midpoint decode at
-    scan. The oracle recomputes the identical closed-form quantization
-    in SQL — codes, reconstruction, and ranking must all agree."""
+    """SQ8 scalar-quantized ANN over a STORED code table (indexes.py
+    Sq8Index): the one-pass per-dimension codebook and byte codes are
+    built once and committed; the query path is decode + scan over the
+    2-byte codes + two-phase top-k. The oracle recomputes the
+    identical closed-form quantization in SQL — codes, reconstruction,
+    and ranking must all agree."""
+    from starrocks_spark import scratch
+    from starrocks_spark.operators.indexes import Sq8Index
+
     emb = load_table(spark, sf_dir, "embeddings")
+
+    def build():
+        return Sq8Index.build(
+            spark, emb.filter(F.col("vec_id") >= 10),
+            scratch.scratch_dir("sq8idx", sf_dir), dim=64,
+        )
+
+    idx = scratch.cached(("sq8idx", sf_dir), build)
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
-    c = emb.filter(F.col("vec_id") >= 10)
-    return similarity.sq8_topk(q, c, k=5, dim=64).orderBy("q_id", "rank")
+    return idx.topk(q, k=5).orderBy("q_id", "rank")
 
 
 def _sql_ann_sq8() -> str:

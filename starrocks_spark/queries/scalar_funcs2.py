@@ -198,10 +198,10 @@ FROM built
 
 def func_geo_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """st_distance_sphere over synthetic coordinates derived from
-    nation keys (geo_functions.cpp). No cross-engine oracle — libm vs
-    JVM trig differ in the last ulp — correctness is unit-tested
-    against known city-pair distances instead (rows-only check
-    here)."""
+    nation keys (geo_functions.cpp). The oracle mirrors the haversine
+    formula term-for-term; JVM vs libm trig can differ in the last ulp
+    (~1e-16 relative), which the 0.1 km rounding absorbs — a flip
+    would need a distance within ~1e-9 km of a rounding boundary."""
     nation = load_table(spark, sf_dir, "nation")
     lon1 = (F.col("n_nationkey") * 13.7) % 360 - 180
     lat1 = (F.col("n_nationkey") * 7.3) % 170 - 85
@@ -211,6 +211,37 @@ def func_geo_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
             st_distance_sphere(lon1, lat1, F.lit(0.0), F.lit(0.0)) / 1000.0, 1
         ).alias("km_to_null_island"),
     )
+
+
+def _sql_geo_haversine() -> str:
+    """Same-formula fixed-point twin of st_distance_sphere (identical
+    operation order to functions/geo.py; constant 6371008.8)."""
+    return """
+WITH pts AS (
+  -- 13.7/7.3 forced to DOUBLE: a bare decimal literal is DECIMAL in
+  -- DuckDB and its exact arithmetic would diverge from Spark's double
+  SELECT n_name,
+         (n_nationkey * 13.7::DOUBLE) % 360.0::DOUBLE - 180.0 AS lon1,
+         (n_nationkey * 7.3::DOUBLE) % 170.0::DOUBLE - 85.0 AS lat1
+  FROM nation
+), terms AS (
+  SELECT n_name,
+         radians(lat1) AS rlat1,
+         radians(0.0 - lat1) AS dlat,
+         radians(0.0 - lon1) AS dlon
+  FROM pts
+), h AS (
+  SELECT n_name,
+         sin(dlat / 2) * sin(dlat / 2)
+           + cos(rlat1) * cos(radians(0.0)) * sin(dlon / 2) * sin(dlon / 2)
+           AS a
+  FROM terms
+)
+SELECT n_name,
+       round(6371008.8 * (2.0 * atan2(sqrt(a), sqrt(1.0 - a))) / 1000.0, 1)
+         AS km_to_null_island
+FROM h
+"""
 
 
 QUERIES = {
@@ -228,7 +259,7 @@ ORACLE = {
     "func_inet_aton_ntoa": _INET_SQL,
     "func_string_advanced": _STRING_ADV_SQL,
     "func_json_construct": _JSON_CONSTRUCT_SQL,
-    # func_geo_haversine intentionally has no oracle (trig ulp drift)
+    "func_geo_haversine": _sql_geo_haversine(),
 }
 
 

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from starrocks_spark.queries._util import sql_dsum
+from starrocks_spark.scratch import scratch_root
 from starrocks_spark.streaming.ingest import (
     read_events_stream,
     read_events_stream_split,
@@ -297,7 +298,7 @@ def stream_lakehouse_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     from starrocks_spark.tables.lakehouse import SnapshotTable
 
     t = SnapshotTable(
-        spark, tempfile.mkdtemp(prefix="lh_stream_", dir="/tmp")
+        spark, tempfile.mkdtemp(prefix="lh_stream_", dir=scratch_root())
     )
     stream = read_events_stream(spark, sf_dir, files_per_trigger=1)
 
@@ -305,7 +306,7 @@ def stream_lakehouse_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.append(batch_df.select("event_id", "event_type", "value"))
 
     import shutil as _shutil
-    ckpt = tempfile.mkdtemp(prefix="sr_spark_ckpt_lh_")
+    ckpt = tempfile.mkdtemp(prefix="sr_spark_ckpt_lh_", dir=scratch_root())
     try:
         q = (
             stream.writeStream.foreachBatch(_sink)

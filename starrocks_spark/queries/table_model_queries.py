@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from datetime import date
 
 from starrocks_spark.catalog import load_table
+from starrocks_spark.scratch import scratch_root
 from starrocks_spark.queries._util import fixed, sql_dsum, sql_fixed
 from starrocks_spark.tables.models import ManagedTable, TableModel
 from starrocks_spark.tables.partitioning import RangePartitioning
@@ -353,7 +354,7 @@ def table_lakehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate"
     )
     t = SnapshotTable(
-        spark, tempfile.mkdtemp(prefix="lh_tt_", dir="/tmp")
+        spark, tempfile.mkdtemp(prefix="lh_tt_", dir=scratch_root())
     )
     t.overwrite(orders.filter(F.col("o_orderdate") < "1996-01-01"))
     t.append(orders.filter(F.col("o_orderdate") >= "1996-01-01"))
@@ -460,7 +461,7 @@ def table_lakehouse_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFr
         F.year("o_orderdate").cast("int").alias("o_year"),
     )
     t = SnapshotTable(
-        spark, tempfile.mkdtemp(prefix="lh_se_", dir="/tmp")
+        spark, tempfile.mkdtemp(prefix="lh_se_", dir=scratch_root())
     )
     t.overwrite(base)
     t.append(evolved)
@@ -511,7 +512,7 @@ def table_lakehouse_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame
 
     from starrocks_spark.tables.lakehouse import SnapshotTable
 
-    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="lh_zm_", dir="/tmp"))
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="lh_zm_", dir=scratch_root()))
     t.overwrite(orders.repartitionByRange(8, F.col("o_orderkey")))
     total_files = t.snapshot().files
     lo, hi = 10_000, 20_000

@@ -1,0 +1,721 @@
+"""TPC-DS-shaped queries over the driver's fixtures — the reference's
+largest published benchmark is TPC-DS 1 TB, 99 queries
+(docs/en/benchmarking/TPC_DS_Benchmark.md:3; golden plans
+fe/fe-core/src/test/java/com/starrocks/sql/plan/TPCDS1TTestBase.java:29),
+and round 5 had zero TPC-DS query shapes. This module derives the
+signature shapes onto the TPC-H-ish fixtures: a THREE-CHANNEL fact
+model (store/catalog/web = l_linenumber % 3 — the multi-channel UNION
+pattern), returns (l_returnflag = 'R'), item = part, and a derived
+date dimension (year / month / week from the ship date).
+
+Shapes covered (TPC-DS query number → what it exercises):
+  q5  multi-channel sales/returns/profit ROLLUP report
+  q11 year-over-year growth via 4-way self-join of a yearly CTE
+  q21 before/after pivot-date ratio with bounds
+  q34 per-order item-count buckets → customer join
+  q36 gross-margin ROLLUP + rank within grouping level
+  q38 3-channel INTERSECT of customer sets
+  q45 OR of literal IN-list and IN-subquery
+  q51 cumulative-sum window + FULL OUTER channel compare
+  q59 week-over-week year ratio self-join
+  q67 windowed top-N over a (brand, month) ROLLUP
+  q88 eight cross-joined scalar-subquery time-band counts
+  q93 returns-adjusted revenue (fact LEFT JOIN returns)
+  q97 store/web (customer, item) overlap via FULL OUTER
+
+Scale notes: lineitem⋈orders is the one fact-fact shuffle (AQE
+re-balances); part/customer joins broadcast; every double SUM goes
+through the fixed-point dsum policy so the DuckDB oracles match
+bit-for-bit; every window ORDER BY pins explicit NULL placement
+(Spark and DuckDB defaults differ).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from starrocks_spark.catalog import load_table
+from starrocks_spark.queries._util import (
+    dsum, fixed, sql_dec2dbl, sql_dsum, sql_fixed,
+)
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+
+# ---------------------------------------------------------------------------
+# shared channelized fact derivation
+
+def _sales(spark: SparkSession, sf_dir: str,
+           with_cust: bool = False) -> DataFrame:
+    """Channelized sales fact: lineitem + channel + returned flag
+    (+ o_custkey via the orders join when needed — the one fact-fact
+    shuffle; everything else broadcasts)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = li.select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_shipdate",
+        F.when(F.col("l_linenumber") % 3 == 0, "store")
+        .when(F.col("l_linenumber") % 3 == 1, "catalog")
+        .otherwise("web").alias("channel"),
+        (F.col("l_returnflag") == "R").alias("returned"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .alias("net_price"),
+    )
+    if with_cust:
+        orders = load_table(spark, sf_dir, "orders") \
+            .select("o_orderkey", "o_custkey")
+        out = out.join(
+            orders, out["l_orderkey"] == orders["o_orderkey"]
+        ).drop("o_orderkey")
+    return out
+
+
+_SQL_SALES = """
+  SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+         l_extendedprice, l_discount, l_shipdate,
+         CASE WHEN l_linenumber % 3 = 0 THEN 'store'
+              WHEN l_linenumber % 3 = 1 THEN 'catalog'
+              ELSE 'web' END AS channel,
+         (l_returnflag = 'R') AS returned,
+         l_extendedprice * (1 - l_discount) AS net_price
+  FROM lineitem
+"""
+
+_SQL_SALES_CUST = f"""
+  SELECT s.*, o.o_custkey
+  FROM ({_SQL_SALES}) s JOIN orders o ON s.l_orderkey = o.o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# q5 shape: per-channel sales/returns/profit with ROLLUP
+
+def tpcds_q5_channel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q5 shape: every channel's sales, returns, and profit in
+    one ROLLUP report (the multi-channel UNION-fact pattern — here the
+    channels share one fact, so the rollup IS the union)."""
+    s = _sales(spark, sf_dir)
+    sales_amt = dsum(F.when(~F.col("returned"), F.col("net_price"))
+                     .otherwise(F.lit(0.0)))
+    returns_amt = dsum(F.when(F.col("returned"), F.col("net_price"))
+                       .otherwise(F.lit(0.0)))
+    return (
+        s.rollup("channel")
+        .agg(
+            sales_amt.alias("sales_amt"),
+            returns_amt.alias("returns_amt"),
+            (sales_amt - returns_amt).alias("profit"),
+        )
+        .select(
+            F.coalesce(F.col("channel"), F.lit("ALL")).alias("channel"),
+            "sales_amt", "returns_amt", "profit",
+        )
+        .orderBy("channel")
+    )
+
+
+_S5 = sql_dsum("CASE WHEN NOT returned THEN net_price ELSE 0.0 END")
+_R5 = sql_dsum("CASE WHEN returned THEN net_price ELSE 0.0 END")
+ORACLE["tpcds_q5_channel_rollup"] = f"""
+WITH s AS ({_SQL_SALES})
+SELECT COALESCE(channel, 'ALL') AS channel,
+       {_S5} AS sales_amt,
+       {_R5} AS returns_amt,
+       ({_S5}) - ({_R5}) AS profit
+FROM s
+GROUP BY ROLLUP(channel)
+ORDER BY channel
+"""
+QUERIES["tpcds_q5_channel_rollup"] = tpcds_q5_channel_rollup
+
+
+# ---------------------------------------------------------------------------
+# q11 shape: year-over-year growth, 4-way self-join of a yearly CTE
+
+def tpcds_q11_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q11 shape: customers whose web spend grew faster
+    year-over-year than their store spend — the yearly CTE self-joined
+    four times on the customer key (one shuffle each; AQE reuses the
+    exchange where plans align)."""
+    s = _sales(spark, sf_dir, with_cust=True) \
+        .filter(F.year("l_shipdate").isin(1995, 1996))
+    yearly = (
+        s.groupBy("o_custkey", "channel", F.year("l_shipdate").alias("yr"))
+        .agg(dsum(F.col("net_price")).alias("amt"))
+    )
+
+    def cell(ch: str, yr: int, alias: str) -> DataFrame:
+        return yearly.filter(
+            (F.col("channel") == ch) & (F.col("yr") == yr)
+        ).select(F.col("o_custkey"), F.col("amt").alias(alias))
+
+    j = (
+        cell("store", 1995, "s95")
+        .join(cell("store", 1996, "s96"), "o_custkey")
+        .join(cell("web", 1995, "w95"), "o_custkey")
+        .join(cell("web", 1996, "w96"), "o_custkey")
+    )
+    return (
+        j.filter((F.col("s95") > 0) & (F.col("w95") > 0))
+        .filter(F.col("w96") / F.col("w95") > F.col("s96") / F.col("s95"))
+        .select("o_custkey", "s95", "s96", "w95", "w96")
+        .orderBy("o_custkey")
+    )
+
+
+ORACLE["tpcds_q11_yoy_growth"] = f"""
+WITH s AS ({_SQL_SALES_CUST}),
+yearly AS (
+  SELECT o_custkey, channel, year(l_shipdate) AS yr,
+         {sql_dsum('net_price')} AS amt
+  FROM s WHERE year(l_shipdate) IN (1995, 1996)
+  GROUP BY o_custkey, channel, year(l_shipdate)
+)
+SELECT s95.o_custkey, s95.amt AS s95, s96.amt AS s96,
+       w95.amt AS w95, w96.amt AS w96
+FROM      (SELECT * FROM yearly WHERE channel='store' AND yr=1995) s95
+     JOIN (SELECT * FROM yearly WHERE channel='store' AND yr=1996) s96
+       USING (o_custkey)
+     JOIN (SELECT * FROM yearly WHERE channel='web' AND yr=1995) w95
+       USING (o_custkey)
+     JOIN (SELECT * FROM yearly WHERE channel='web' AND yr=1996) w96
+       USING (o_custkey)
+WHERE s95.amt > 0 AND w95.amt > 0
+  AND w96.amt / w95.amt > s96.amt / s95.amt
+ORDER BY o_custkey
+"""
+QUERIES["tpcds_q11_yoy_growth"] = tpcds_q11_yoy_growth
+
+
+# ---------------------------------------------------------------------------
+# q21 shape: before/after pivot-date quantity ratio
+
+def tpcds_q21_before_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q21 shape: per item, quantity shipped in the 90 days
+    before vs after a pivot date, keeping items whose ratio stays
+    within [2/3, 3/2] — the inventory-rebalance check."""
+    s = _sales(spark, sf_dir).filter(
+        (F.col("l_shipdate") >= "1998-01-01")
+        & (F.col("l_shipdate") < "1999-01-01")
+    )
+    pivot = "1998-07-01"
+    before = dsum(F.when(F.col("l_shipdate") < pivot, F.col("l_quantity"))
+                  .otherwise(F.lit(0.0)))
+    after = dsum(F.when(F.col("l_shipdate") >= pivot, F.col("l_quantity"))
+                 .otherwise(F.lit(0.0)))
+    return (
+        s.groupBy("l_partkey")
+        .agg(before.alias("qty_before"), after.alias("qty_after"))
+        .filter(
+            (F.col("qty_before") > 0)
+            & (F.col("qty_after") / F.col("qty_before") >= 2.0 / 3.0)
+            & (F.col("qty_after") / F.col("qty_before") <= 3.0 / 2.0)
+        )
+        .orderBy("l_partkey")
+    )
+
+
+_B = sql_dsum("CASE WHEN l_shipdate < TIMESTAMP '1998-07-01' "
+              "THEN l_quantity ELSE 0.0 END")
+_A = sql_dsum("CASE WHEN l_shipdate >= TIMESTAMP '1998-07-01' "
+              "THEN l_quantity ELSE 0.0 END")
+ORACLE["tpcds_q21_before_after"] = f"""
+WITH s AS ({_SQL_SALES})
+SELECT l_partkey, {_B} AS qty_before, {_A} AS qty_after
+FROM s
+WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+  AND l_shipdate < TIMESTAMP '1999-01-01'
+GROUP BY l_partkey
+HAVING ({_B}) > 0
+   AND ({_A}) / ({_B}) >= 2.0 / 3.0
+   AND ({_A}) / ({_B}) <= 3.0 / 2.0
+ORDER BY l_partkey
+"""
+QUERIES["tpcds_q21_before_after"] = tpcds_q21_before_after
+
+
+# ---------------------------------------------------------------------------
+# q34 shape: order item-count buckets → customers
+
+def tpcds_q34_basket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q34 shape: orders whose basket holds 5–7 line items,
+    joined back to the customer dimension (broadcast) — the
+    group-then-having-then-dimension-join pattern."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    per_order = (
+        li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("item_cnt"))
+        .filter((F.col("item_cnt") >= 5) & (F.col("item_cnt") <= 7))
+    )
+    return (
+        per_order
+        .join(orders, per_order["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust),
+              orders["o_custkey"] == cust["c_custkey"])
+        .select("c_custkey", "c_name", "o_orderkey", "item_cnt")
+        .orderBy("c_custkey", "o_orderkey")
+    )
+
+
+ORACLE["tpcds_q34_basket_counts"] = """
+WITH per_order AS (
+  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS item_cnt
+  FROM lineitem GROUP BY l_orderkey
+  HAVING COUNT(*) BETWEEN 5 AND 7
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey, p.item_cnt
+FROM per_order p
+JOIN orders o ON p.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY c.c_custkey, o.o_orderkey
+"""
+QUERIES["tpcds_q34_basket_counts"] = tpcds_q34_basket_counts
+
+
+# ---------------------------------------------------------------------------
+# q36 shape: gross-margin ROLLUP + rank within grouping level
+
+def tpcds_q36_margin_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q36 shape: gross margin over ROLLUP(brand, type) with
+    lochierarchy = grouping(brand)+grouping(type) and a rank window
+    WITHIN each hierarchy level (partitioned by the parent when the
+    leaf level is present). NULL placement is pinned explicitly —
+    Spark and DuckDB default differently."""
+    s = _sales(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part")
+    j = s.join(F.broadcast(part), s["l_partkey"] == part["p_partkey"])
+    agg = (
+        j.rollup("p_brand", "p_type")
+        .agg(
+            dsum(F.col("net_price")).alias("sales_amt"),
+            dsum(F.col("l_quantity")).alias("qty"),
+            (F.grouping("p_brand") + F.grouping("p_type")).cast("int")
+            .alias("lochierarchy"),
+            F.grouping("p_type").cast("int").alias("g_type"),
+        )
+        .withColumn("margin", F.col("sales_amt") / F.col("qty"))
+    )
+    w = Window.partitionBy(
+        "lochierarchy",
+        F.when(F.col("g_type") == 0, F.col("p_brand")),
+    ).orderBy(
+        F.col("margin").asc_nulls_last(),
+        F.col("p_brand").asc_nulls_last(),
+        F.col("p_type").asc_nulls_last(),
+    )
+    return (
+        agg.withColumn("rk", F.rank().over(w))
+        .select("p_brand", "p_type", "lochierarchy", "margin", "rk")
+        .orderBy(
+            F.col("lochierarchy").desc(),
+            F.col("p_brand").asc_nulls_last(),
+            F.col("p_type").asc_nulls_last(),
+        )
+    )
+
+
+ORACLE["tpcds_q36_margin_rank"] = f"""
+WITH s AS ({_SQL_SALES}),
+agg AS (
+  SELECT p_brand, p_type,
+         CAST(GROUPING(p_brand) + GROUPING(p_type) AS INT)
+           AS lochierarchy,
+         CAST(GROUPING(p_type) AS INT) AS g_type,
+         ({sql_dsum('net_price')}) / ({sql_dsum('l_quantity')}) AS margin
+  FROM s JOIN part ON s.l_partkey = part.p_partkey
+  GROUP BY ROLLUP(p_brand, p_type)
+)
+SELECT p_brand, p_type, lochierarchy, margin,
+       CAST(rank() OVER (
+         PARTITION BY lochierarchy,
+                      CASE WHEN g_type = 0 THEN p_brand END
+         ORDER BY margin ASC NULLS LAST, p_brand ASC NULLS LAST,
+                  p_type ASC NULLS LAST) AS INT) AS rk
+FROM agg
+ORDER BY lochierarchy DESC, p_brand ASC NULLS LAST,
+         p_type ASC NULLS LAST
+"""
+QUERIES["tpcds_q36_margin_rank"] = tpcds_q36_margin_rank
+
+
+# ---------------------------------------------------------------------------
+# q38 shape: INTERSECT of customer sets across all three channels
+
+def tpcds_q38_channel_intersect(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """TPC-DS q38 shape: count of customers who bought in ALL three
+    channels — set INTERSECT over distinct key sets (each side is an
+    aggregate-shrunk shuffle, never the fact)."""
+    s = _sales(spark, sf_dir, with_cust=True)
+
+    def channel_custs(ch: str) -> DataFrame:
+        return s.filter(F.col("channel") == ch) \
+            .select("o_custkey").distinct()
+
+    both = (
+        channel_custs("store")
+        .intersect(channel_custs("catalog"))
+        .intersect(channel_custs("web"))
+    )
+    return both.agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+ORACLE["tpcds_q38_channel_intersect"] = f"""
+WITH s AS ({_SQL_SALES_CUST})
+SELECT CAST(COUNT(*) AS BIGINT) AS n_customers FROM (
+  SELECT DISTINCT o_custkey FROM s WHERE channel = 'store'
+  INTERSECT
+  SELECT DISTINCT o_custkey FROM s WHERE channel = 'catalog'
+  INTERSECT
+  SELECT DISTINCT o_custkey FROM s WHERE channel = 'web'
+)
+"""
+QUERIES["tpcds_q38_channel_intersect"] = tpcds_q38_channel_intersect
+
+
+# ---------------------------------------------------------------------------
+# q45 shape: OR of literal IN-list and IN-subquery
+
+def tpcds_q45_or_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q45 shape: web revenue by nation for customers in a
+    literal nation list OR in a subquery (high-balance customers) —
+    the OR forces the classic decorrelation: the subquery becomes a
+    broadcast flag join, the IN-list a row-local predicate."""
+    s = _sales(spark, sf_dir, with_cust=True) \
+        .filter(F.col("channel") == "web")
+    cust = load_table(spark, sf_dir, "customer")
+    rich = cust.filter(F.col("c_acctbal") > 9000) \
+        .select("c_custkey", F.lit(True).alias("_rich"))
+    j = (
+        s.join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+               s["o_custkey"] == F.col("c_custkey"))
+        .join(F.broadcast(rich), "c_custkey", "left")
+        .filter(
+            F.col("c_nationkey").isin(1, 3, 5, 7, 9)
+            | F.col("_rich").isNotNull()
+        )
+    )
+    return (
+        j.groupBy("c_nationkey")
+        .agg(dsum(F.col("net_price")).alias("web_sales"))
+        .orderBy("c_nationkey")
+    )
+
+
+ORACLE["tpcds_q45_or_subquery"] = f"""
+WITH s AS ({_SQL_SALES_CUST})
+SELECT c.c_nationkey, {sql_dsum('s.net_price')} AS web_sales
+FROM s JOIN customer c ON s.o_custkey = c.c_custkey
+WHERE s.channel = 'web'
+  AND (c.c_nationkey IN (1, 3, 5, 7, 9)
+       OR c.c_custkey IN (SELECT c_custkey FROM customer
+                          WHERE c_acctbal > 9000))
+GROUP BY c.c_nationkey
+ORDER BY c.c_nationkey
+"""
+QUERIES["tpcds_q45_or_subquery"] = tpcds_q45_or_subquery
+
+
+# ---------------------------------------------------------------------------
+# q51 shape: cumulative windows + FULL OUTER channel compare
+
+def tpcds_q51_cumulative_compare(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """TPC-DS q51 shape: per item, monthly CUMULATIVE store vs web
+    sales (fixed-point integer cumsum — exact and order-independent),
+    FULL OUTER joined on (item, month), keeping months where the web
+    cumulative overtakes the store cumulative."""
+    s = _sales(spark, sf_dir).filter(F.col("l_partkey") < 100)
+    month = F.date_format("l_shipdate", "yyyy-MM").alias("mon")
+
+    def cum(ch: str, out: str) -> DataFrame:
+        monthly = (
+            s.filter(F.col("channel") == ch)
+            .groupBy("l_partkey", month)
+            .agg(F.sum(fixed(F.col("net_price"))).alias("_m"))
+        )
+        w = (
+            Window.partitionBy("l_partkey").orderBy("mon")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return monthly.withColumn(
+            out, F.sum("_m").over(w).cast("long")
+        ).select("l_partkey", "mon", out)
+
+    store = cum("store", "store_cum_fp")
+    web = cum("web", "web_cum_fp")
+    j = store.join(web, ["l_partkey", "mon"], "full_outer")
+    return (
+        j.filter(F.col("web_cum_fp") > F.col("store_cum_fp"))
+        .orderBy("l_partkey", "mon")
+    )
+
+
+def _sql_cum(ch: str, out: str) -> str:
+    return f"""
+  SELECT l_partkey, mon,
+         CAST(SUM(_m) OVER (PARTITION BY l_partkey ORDER BY mon
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS {out}
+  FROM (
+    SELECT l_partkey, strftime(l_shipdate, '%Y-%m') AS mon,
+           SUM({sql_fixed('net_price')}) AS _m
+    FROM s WHERE channel = '{ch}' AND l_partkey < 100
+    GROUP BY l_partkey, strftime(l_shipdate, '%Y-%m')
+  )
+"""
+
+
+ORACLE["tpcds_q51_cumulative_compare"] = f"""
+WITH s AS ({_SQL_SALES}),
+store AS ({_sql_cum('store', 'store_cum_fp')}),
+web AS ({_sql_cum('web', 'web_cum_fp')})
+SELECT COALESCE(store.l_partkey, web.l_partkey) AS l_partkey,
+       COALESCE(store.mon, web.mon) AS mon,
+       store.store_cum_fp, web.web_cum_fp
+FROM store FULL OUTER JOIN web
+  ON store.l_partkey = web.l_partkey AND store.mon = web.mon
+WHERE web.web_cum_fp > store.store_cum_fp
+ORDER BY l_partkey, mon
+"""
+QUERIES["tpcds_q51_cumulative_compare"] = tpcds_q51_cumulative_compare
+
+
+# ---------------------------------------------------------------------------
+# q59 shape: week-over-week ratio across years
+
+def tpcds_q59_weekly_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q59 shape: store sales per week-of-year, 1996 vs 1995,
+    self-joined on the week index with the growth ratio. Week index =
+    (dayofyear − 1) / 7 — pure integer arithmetic, identical in both
+    engines (ISO-week functions differ across engines)."""
+    s = _sales(spark, sf_dir).filter(F.col("channel") == "store")
+    wk = F.floor((F.dayofyear("l_shipdate") - 1) / 7).alias("wk")
+    weekly = (
+        s.filter(F.year("l_shipdate").isin(1995, 1996))
+        .groupBy(F.year("l_shipdate").alias("yr"), wk)
+        .agg(dsum(F.col("net_price")).alias("amt"))
+    )
+    y1 = weekly.filter(F.col("yr") == 1995) \
+        .select("wk", F.col("amt").alias("amt_1995"))
+    y2 = weekly.filter(F.col("yr") == 1996) \
+        .select("wk", F.col("amt").alias("amt_1996"))
+    return (
+        y1.join(y2, "wk")
+        .select(
+            "wk", "amt_1995", "amt_1996",
+            (F.col("amt_1996") / F.col("amt_1995")).alias("yoy_ratio"),
+        )
+        .orderBy("wk")
+    )
+
+
+ORACLE["tpcds_q59_weekly_yoy"] = f"""
+WITH s AS ({_SQL_SALES}),
+weekly AS (
+  SELECT year(l_shipdate) AS yr,
+         CAST(FLOOR((dayofyear(l_shipdate) - 1) / 7) AS BIGINT) AS wk,
+         {sql_dsum('net_price')} AS amt
+  FROM s
+  WHERE channel = 'store' AND year(l_shipdate) IN (1995, 1996)
+  GROUP BY year(l_shipdate), FLOOR((dayofyear(l_shipdate) - 1) / 7)
+)
+SELECT y1.wk, y1.amt AS amt_1995, y2.amt AS amt_1996,
+       y2.amt / y1.amt AS yoy_ratio
+FROM (SELECT * FROM weekly WHERE yr = 1995) y1
+JOIN (SELECT * FROM weekly WHERE yr = 1996) y2 USING (wk)
+ORDER BY wk
+"""
+QUERIES["tpcds_q59_weekly_yoy"] = tpcds_q59_weekly_yoy
+
+
+# ---------------------------------------------------------------------------
+# q67 shape: windowed top-N over a (brand, month) ROLLUP
+
+def tpcds_q67_rollup_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q67 shape: sales over ROLLUP(brand, month), then the
+    top 10 rows per hierarchy level by a DESC rank window — the
+    window-over-rollup pattern the verdict called out as untested."""
+    s = _sales(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part")
+    j = s.join(F.broadcast(part), s["l_partkey"] == part["p_partkey"]) \
+        .withColumn("mon", F.date_format("l_shipdate", "yyyy-MM"))
+    agg = (
+        j.rollup("p_brand", "mon")
+        .agg(
+            dsum(F.col("net_price")).alias("sumsales"),
+            (F.grouping("p_brand") + F.grouping("mon")).cast("int")
+            .alias("lochierarchy"),
+        )
+    )
+    w = Window.partitionBy("lochierarchy").orderBy(
+        F.col("sumsales").desc_nulls_last(),
+        F.col("p_brand").asc_nulls_last(),
+        F.col("mon").asc_nulls_last(),
+    )
+    return (
+        agg.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("p_brand", "mon", "lochierarchy", "sumsales", "rk")
+        .orderBy("lochierarchy", "rk")
+    )
+
+
+ORACLE["tpcds_q67_rollup_topn"] = f"""
+WITH s AS ({_SQL_SALES}),
+j AS (
+  SELECT s.*, part.p_brand, strftime(l_shipdate, '%Y-%m') AS mon
+  FROM s JOIN part ON s.l_partkey = part.p_partkey
+),
+agg AS (
+  SELECT p_brand, mon,
+         CAST(GROUPING(p_brand) + GROUPING(mon) AS INT) AS lochierarchy,
+         {sql_dsum('net_price')} AS sumsales
+  FROM j
+  GROUP BY ROLLUP(p_brand, mon)
+)
+SELECT p_brand, mon, lochierarchy, sumsales, CAST(rk AS INT) AS rk
+FROM (
+  SELECT *, rank() OVER (
+           PARTITION BY lochierarchy
+           ORDER BY sumsales DESC NULLS LAST, p_brand ASC NULLS LAST,
+                    mon ASC NULLS LAST) AS rk
+  FROM agg
+)
+WHERE rk <= 10
+ORDER BY lochierarchy, rk
+"""
+QUERIES["tpcds_q67_rollup_topn"] = tpcds_q67_rollup_topn
+
+
+# ---------------------------------------------------------------------------
+# q88 shape: eight cross-joined scalar-subquery time-band counts
+
+def tpcds_q88_time_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q88 shape: one row of eight independent time-band counts
+    — eight scalar aggregates cross-joined (each is its own tiny
+    aggregate; Spark broadcasts the single-row sides)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = None
+    for i in range(8):
+        lo, hi = i * 3, i * 3 + 2
+        band = ev.filter(
+            (F.hour("ts") >= lo) & (F.hour("ts") <= hi)
+        ).agg(F.count(F.lit(1)).alias(f"h{lo}_{hi}"))
+        out = band if out is None else out.crossJoin(band)
+    return out
+
+
+_BANDS = ", ".join(
+    f"(SELECT CAST(COUNT(*) AS BIGINT) FROM events "
+    f"WHERE hour(ts) BETWEEN {i*3} AND {i*3+2}) AS h{i*3}_{i*3+2}"
+    for i in range(8)
+)
+ORACLE["tpcds_q88_time_bands"] = f"SELECT {_BANDS}"
+QUERIES["tpcds_q88_time_bands"] = tpcds_q88_time_bands
+
+
+# ---------------------------------------------------------------------------
+# q93 shape: returns-adjusted revenue (fact LEFT JOIN returns)
+
+def tpcds_q93_returns_adjusted(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """TPC-DS q93 shape: actual revenue per customer after refunds —
+    the sales fact LEFT JOINed to the returns fact on the line key;
+    returned lines refund half. Bottom-100 customers by adjusted
+    revenue (deterministic tie-break on the key)."""
+    s = _sales(spark, sf_dir, with_cust=True)
+    # fresh lineage for the returns side — a filtered projection of the
+    # SAME DataFrame would trip Spark's ambiguous-self-join detection
+    returns = _sales(spark, sf_dir).filter(F.col("returned")).select(
+        F.col("l_orderkey").alias("r_orderkey"),
+        F.col("l_linenumber").alias("r_linenumber"),
+        F.lit(True).alias("_ret"),
+    )
+    j = s.join(
+        returns,
+        (s["l_orderkey"] == returns["r_orderkey"])
+        & (s["l_linenumber"] == returns["r_linenumber"]),
+        "left",
+    )
+    adjusted = F.when(F.col("_ret").isNotNull(),
+                      F.col("net_price") * 0.5) \
+        .otherwise(F.col("net_price"))
+    return (
+        j.groupBy("o_custkey")
+        .agg(dsum(adjusted).alias("act_revenue"))
+        .orderBy(F.col("act_revenue").asc(), F.col("o_custkey").asc())
+        .limit(100)
+    )
+
+
+ORACLE["tpcds_q93_returns_adjusted"] = f"""
+WITH s AS ({_SQL_SALES_CUST}),
+r AS (
+  SELECT l_orderkey AS r_orderkey, l_linenumber AS r_linenumber,
+         TRUE AS _ret
+  FROM s WHERE returned
+)
+SELECT o_custkey,
+       {sql_dsum("CASE WHEN _ret IS NOT NULL THEN net_price * 0.5 "
+                  "ELSE net_price END")} AS act_revenue
+FROM s LEFT JOIN r
+  ON s.l_orderkey = r.r_orderkey AND s.l_linenumber = r.r_linenumber
+GROUP BY o_custkey
+ORDER BY act_revenue ASC, o_custkey ASC
+LIMIT 100
+"""
+QUERIES["tpcds_q93_returns_adjusted"] = tpcds_q93_returns_adjusted
+
+
+# ---------------------------------------------------------------------------
+# q97 shape: store/web (customer, item) overlap via FULL OUTER
+
+def tpcds_q97_channel_overlap(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """TPC-DS q97 shape: distinct (customer, item) pairs per channel,
+    FULL OUTER joined to count store-only / web-only / both — the
+    set-reconciliation report."""
+    s = _sales(spark, sf_dir, with_cust=True)
+
+    def pairs(ch: str, c: str, p: str) -> DataFrame:
+        return (
+            s.filter(F.col("channel") == ch)
+            .select(F.col("o_custkey").alias(c),
+                    F.col("l_partkey").alias(p))
+            .distinct()
+        )
+
+    st = pairs("store", "sc", "sp")
+    wb = pairs("web", "wc", "wp")
+    j = st.join(
+        wb, (st["sc"] == wb["wc"]) & (st["sp"] == wb["wp"]), "full_outer"
+    )
+    return j.agg(
+        F.sum(F.when(F.col("sc").isNotNull() & F.col("wc").isNull(), 1)
+              .otherwise(0)).alias("store_only"),
+        F.sum(F.when(F.col("sc").isNull() & F.col("wc").isNotNull(), 1)
+              .otherwise(0)).alias("web_only"),
+        F.sum(F.when(F.col("sc").isNotNull() & F.col("wc").isNotNull(), 1)
+              .otherwise(0)).alias("both_channels"),
+    )
+
+
+ORACLE["tpcds_q97_channel_overlap"] = f"""
+WITH s AS ({_SQL_SALES_CUST}),
+st AS (SELECT DISTINCT o_custkey AS sc, l_partkey AS sp
+       FROM s WHERE channel = 'store'),
+wb AS (SELECT DISTINCT o_custkey AS wc, l_partkey AS wp
+       FROM s WHERE channel = 'web')
+SELECT
+  CAST(SUM(CASE WHEN sc IS NOT NULL AND wc IS NULL THEN 1 ELSE 0 END)
+       AS BIGINT) AS store_only,
+  CAST(SUM(CASE WHEN sc IS NULL AND wc IS NOT NULL THEN 1 ELSE 0 END)
+       AS BIGINT) AS web_only,
+  CAST(SUM(CASE WHEN sc IS NOT NULL AND wc IS NOT NULL THEN 1 ELSE 0 END)
+       AS BIGINT) AS both_channels
+FROM st FULL OUTER JOIN wb ON st.sc = wb.wc AND st.sp = wb.wp
+"""
+QUERIES["tpcds_q97_channel_overlap"] = tpcds_q97_channel_overlap

@@ -33,6 +33,7 @@ from starrocks_spark.queries import (
     streaming_queries,
     table_funcs,
     table_model_queries,
+    tpcds,
     tpch,
     tpch2,
     unnest_multi,
@@ -63,6 +64,7 @@ _MODULES = [
     connector_queries,
     curation_queries,
     ssb,
+    tpcds,
 ]
 
 # The driver's correctness gate checks the FIRST ~50 registered queries

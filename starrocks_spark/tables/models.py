@@ -38,7 +38,6 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 import uuid
 from dataclasses import dataclass, field
 from enum import Enum
@@ -107,8 +106,14 @@ class ManagedTable:
                version_cols: list[str] | None = None,
                partition_by: str | None = None,
                partition_scheme: PartitionScheme | None = None) -> "ManagedTable":
+        # default location: the per-process scratch root, removed by
+        # its atexit hook AFTER the harness materializes results —
+        # repeated bench/driver rounds no longer accumulate /tmp copies
+        # (round-5 advice)
+        from starrocks_spark.scratch import scratch_root
+
         path = path or os.path.join(
-            tempfile.gettempdir(), f"sr_table_{uuid.uuid4().hex[:12]}"
+            scratch_root(), f"sr_table_{uuid.uuid4().hex[:12]}"
         )
         if partition_by and partition_scheme:
             raise ValueError("pass partition_by or partition_scheme, not both")
@@ -446,6 +451,16 @@ class ManagedTable:
 
         At 100 TB this is the difference between scanning an
         |event_type|-row index and the full fact table."""
+        for name, (fn, col) in aggs.items():
+            if fn == "count" and col != "*":
+                # a stored __n slice is COUNT(*); serving it for a
+                # non-null COUNT(col) on a nullable column would
+                # over-count — reject rather than silently mis-derive
+                raise ValueError(
+                    f"agg {name}: count only derives COUNT(*) from the "
+                    "rollup's __n measure — pass col='*'"
+                )
+
         def covers(r: dict) -> bool:
             if not set(group_cols) <= set(r["key_cols"]):
                 return False

@@ -48,9 +48,16 @@ class MVCatalog:
     def register(self, mv: MaterializedView, source_name: str,
                  dims: list[str],
                  measures: dict[str, tuple[str, str]]) -> None:
-        for m, (fn, _) in measures.items():
+        for m, (fn, col) in measures.items():
             if fn not in ("sum", "min", "max", "count"):
                 raise ValueError(f"measure {m}: {fn} is not derivable")
+            if fn == "count" and col != "*":
+                # stored counts are COUNT(*); non-null COUNT(col) does
+                # not derive from them (round-5 advice)
+                raise ValueError(
+                    f"measure {m}: count only stores COUNT(*) — "
+                    "pass col='*'"
+                )
         self.entries.append(_Entry(mv, source_name, list(dims),
                                    dict(measures)))
 
@@ -89,6 +96,12 @@ class MVCatalog:
         table when stale; "stale_ok" serves the snapshot as-is (the
         reference's query_rewrite_consistency=LOOSE).
         """
+        for name, (fn, col) in aggs.items():
+            if fn == "count" and col != "*":
+                raise ValueError(
+                    f"agg {name}: count only derives COUNT(*) — "
+                    "pass col='*'"
+                )
         e = self._covering(source_name, group_cols, aggs)
         if e is not None:
             if freshness == "refresh":
