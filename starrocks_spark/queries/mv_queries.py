@@ -129,3 +129,88 @@ ORDER BY month
 
 QUERIES["mv_transparent_rewrite"] = mv_transparent_rewrite
 ORACLE["mv_transparent_rewrite"] = _MV_REWRITE_SQL
+
+
+def mv_join_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table (join) MV rewrite (tables/mv_rewrite.py serve_star;
+    reference: rule/transformation/materialization/
+    AggregatedMaterializedViewRewriter.java): an MV materializing
+    lineitem ⋈ part ⋈ supplier at (month, p_brand, p_type) grain
+    serves a brand-grain star aggregate. The supplier join is EXTRA
+    relative to the query — legal only because the star schema
+    declares it integrity-enforced (the UKFK precondition). A second
+    probe asks for a supplier attribute the MV lacks and must route to
+    the base star join with ONLY the supplier dim joined (plans/
+    star.py pruning). Routes are asserted; the oracle aggregates the
+    base join directly."""
+    from starrocks_spark.plans.star import StarSchema
+    from starrocks_spark.tables.mv_rewrite import MVCatalog
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    fact = li.select(
+        "l_partkey", "l_suppkey",
+        F.date_format("l_shipdate", "yyyy-MM").alias("month"),
+        fixed(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("long").alias("rev_f"),
+    )
+    star = StarSchema(fact)
+    star.add_dim("part", part.select("p_partkey", "p_brand", "p_type"),
+                 fk="l_partkey", pk="p_partkey", integrity="enforced")
+    star.add_dim("supplier", supplier.select("s_suppkey", "s_name"),
+                 fk="l_suppkey", pk="s_suppkey", integrity="enforced")
+
+    def defn(src: DataFrame) -> DataFrame:
+        return (
+            src.join(F.broadcast(part.select("p_partkey", "p_brand",
+                                             "p_type")),
+                     src["l_partkey"] == F.col("p_partkey"))
+            .join(F.broadcast(supplier.select("s_suppkey")),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .groupBy("month", "p_brand", "p_type")
+            .agg(F.sum("rev_f").alias("rev_f"),
+                 F.count(F.lit(1)).alias("n"))
+        )
+
+    mv = MaterializedView(spark, defn, partition_col="month",
+                          source_partition_expr="month")
+    cat = MVCatalog()
+    cat.register_join(
+        mv, "lineitem",
+        joins={"part": ("l_partkey", "p_partkey"),
+               "supplier": ("l_suppkey", "s_suppkey")},
+        dims=["month", "p_brand", "p_type"],
+        measures={"rev_f": ("sum", "rev_f"), "n": ("count", "*")},
+    )
+    out = cat.serve_star(
+        spark, star, "lineitem", ["p_brand"],
+        {"revenue_f": ("sum", "rev_f"), "n_rows": ("count", "*")},
+    )
+    assert cat.last_route and cat.last_route.startswith("mv:"), \
+        cat.last_route
+    # a supplier-attribute grain is NOT covered -> base star join with
+    # only the needed dim joined (join pruning)
+    cat.serve_star(
+        spark, star, "lineitem", ["s_name"],
+        {"revenue_f": ("sum", "rev_f")},
+    )
+    assert cat.last_route == "__base__", cat.last_route
+    assert star.last_joined == ["supplier"], star.last_joined
+    return out.orderBy("p_brand")
+
+
+_MV_JOIN_SQL = f"""
+SELECT p_brand,
+       CAST(SUM({sql_fixed('l_extendedprice * (1 - l_discount)')})
+            AS BIGINT) AS revenue_f,
+       COUNT(*) AS n_rows
+FROM lineitem
+JOIN part ON lineitem.l_partkey = part.p_partkey
+JOIN supplier ON lineitem.l_suppkey = supplier.s_suppkey
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+QUERIES["mv_join_rewrite"] = mv_join_rewrite
+ORACLE["mv_join_rewrite"] = _MV_JOIN_SQL

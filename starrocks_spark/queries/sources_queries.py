@@ -174,3 +174,88 @@ ORACLE = {
     "schema_scan_columns": _SCHEMA_SQL,
     "meta_scan_minmax": _META_SQL,
 }
+
+
+def schema_scan_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """information_schema.tables over the registered catalog
+    (sources/infoschema.py; reference: be/src/schema_scanner/
+    schema_tables_scanner.cpp): name, column count, row count."""
+    from starrocks_spark.sources.infoschema import schema_tables
+
+    dfs = register_tables(spark, sf_dir)
+    return schema_tables(spark, dfs)
+
+
+_TABLE_NAMES = ("region nation customer supplier part orders lineitem "
+                "events documents embeddings").split()
+_SCHEMA_TABLES_SQL = "\nUNION ALL\n".join(
+    f"SELECT '{t}' AS table_name,"
+    f" (SELECT CAST(COUNT(*) AS BIGINT) FROM information_schema.columns"
+    f"  WHERE table_name = '{t}') AS n_columns,"
+    f" (SELECT CAST(COUNT(*) AS BIGINT) FROM {t}) AS table_rows"
+    for t in sorted(_TABLE_NAMES)
+)
+
+
+def schema_scan_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """information_schema.partitions over a partitioned managed table
+    (reference: schema_partitions_scanner.cpp — FE partition state):
+    the view reads ONLY directory listings + parquet footers. File
+    counts depend on writer parallelism, so the oracle checks the
+    engine-invariant columns (partition value, row count)."""
+    from starrocks_spark.sources.infoschema import schema_partitions
+    from starrocks_spark.tables.models import ManagedTable, TableModel
+
+    orders = load_table(spark, sf_dir, "orders")
+    t = ManagedTable.create(
+        spark, TableModel.DUP_KEYS, ["o_orderkey"],
+        partition_by="o_orderpriority",
+    )
+    t.insert(orders)
+    return schema_partitions(spark, t.path, "o_orderpriority") \
+        .select("partition_value", "n_rows").orderBy("partition_value")
+
+
+_SCHEMA_PARTS_SQL = """
+SELECT o_orderpriority AS partition_value,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY partition_value
+"""
+
+
+def schema_scan_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """information_schema column statistics served from the catalog
+    after ANALYZE (reference: statistic storage read by
+    schema_scanner/schema_columns_scanner + CBO) — null/min/max per
+    analyzed column, checked against exact SQL aggregates."""
+    from starrocks_spark.sources.infoschema import schema_column_stats
+
+    orders = load_table(spark, sf_dir, "orders")
+    return schema_column_stats(
+        spark, orders, "infoschema_orders_stats",
+        ["o_orderkey", "o_custkey"],
+    ).orderBy("column_name")
+
+
+_SCHEMA_STATS_SQL = """
+SELECT 'o_custkey' AS column_name,
+       CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS null_count,
+       MIN(o_custkey) AS min_value, MAX(o_custkey) AS max_value
+FROM orders
+UNION ALL
+SELECT 'o_orderkey',
+       CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT),
+       MIN(o_orderkey), MAX(o_orderkey)
+FROM orders
+ORDER BY column_name
+"""
+
+
+QUERIES["schema_scan_tables"] = schema_scan_tables
+QUERIES["schema_scan_partitions"] = schema_scan_partitions
+QUERIES["schema_scan_column_stats"] = schema_scan_column_stats
+ORACLE["schema_scan_tables"] = _SCHEMA_TABLES_SQL
+ORACLE["schema_scan_partitions"] = _SCHEMA_PARTS_SQL
+ORACLE["schema_scan_column_stats"] = _SCHEMA_STATS_SQL

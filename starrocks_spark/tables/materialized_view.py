@@ -56,8 +56,10 @@ class MaterializedView:
         self.definition = definition
         self.partition_col = partition_col
         self.source_partition_expr = source_partition_expr
+        from starrocks_spark.scratch import scratch_root
+
         self.path = path or os.path.join(
-            tempfile.gettempdir(), f"sr_mv_{uuid.uuid4().hex[:12]}"
+            scratch_root(), f"sr_mv_{uuid.uuid4().hex[:12]}"
         )
         self._meta_path = self.path + ".meta"
 
