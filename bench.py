@@ -102,6 +102,30 @@ EXTRAS = [
     "decontaminate_eval_overlap",
     "corpus_mix_sample",
     "star_pruned_join",
+    # round-6 engine features
+    "mv_join_rewrite",
+    "fulltext_match_all",
+    "schema_scan_tables",
+]
+
+
+# Round-6: TPC-DS-shaped family (reference's largest published
+# benchmark surface, docs/en/benchmarking/TPC_DS_Benchmark.md) — its
+# own section so the headline total stays round-comparable.
+TPCDS = [
+    "tpcds_q5_channel_rollup",
+    "tpcds_q11_yoy_growth",
+    "tpcds_q21_before_after",
+    "tpcds_q34_basket_counts",
+    "tpcds_q36_margin_rank",
+    "tpcds_q38_channel_intersect",
+    "tpcds_q45_or_subquery",
+    "tpcds_q51_cumulative_compare",
+    "tpcds_q59_weekly_yoy",
+    "tpcds_q67_rollup_topn",
+    "tpcds_q88_time_bands",
+    "tpcds_q93_returns_adjusted",
+    "tpcds_q97_channel_overlap",
 ]
 
 
@@ -144,6 +168,12 @@ def main() -> None:
         queries[name](spark, SF_DIR).collect()
         extra_timings[name] = round(time.perf_counter() - t0, 4)
 
+    tpcds_timings: dict[str, float] = {}
+    for name in (n for n in TPCDS if n in queries):
+        t0 = time.perf_counter()
+        queries[name](spark, SF_DIR).collect()
+        tpcds_timings[name] = round(time.perf_counter() - t0, 4)
+
     print(
         json.dumps(
             {
@@ -163,6 +193,8 @@ def main() -> None:
                 "ssb_total": round(sum(ssb_timings.values()), 4),
                 "extras": extra_timings,
                 "extras_total": round(sum(extra_timings.values()), 4),
+                "tpcds": tpcds_timings,
+                "tpcds_total": round(sum(tpcds_timings.values()), 4),
                 "sf": _sf_from_dir(SF_DIR),
             }
         )

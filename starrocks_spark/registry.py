@@ -79,85 +79,77 @@ _MODULES = [
 # (3) freed slots go to never-driver-checked queries, oldest families
 #     first. Keep the list at ~50 entries.
 #
-# r5 window: the 3 r4-red rows (driver-hostile oracle types, all fixed)
-# plus everything whose code or oracle changed this round (embedding
-# dedup planting, percentile-sketch oracle, PYTHONPATH-sensitive
-# connector scan), the four NEW curation queries, and then every
-# remaining never-driver-checked query — after this window the entire
-# registry except a handful of rotating sentinels has a hard driver row
-# in some round.
+# r6 window: everything whose engine code or oracle changed this round
+# (the search-index overhaul: two-phase top-k, stored SQ8/IVF/fulltext
+# indexes, row-local IVF assignment; the portable ai_embed embedder;
+# curation contract fixes; scratch-root relocation of managed tables),
+# the two formerly rows-only queries now carrying hard oracles
+# (ai_embed_similarity, func_geo_haversine), the NEW tpcds/mv-join/
+# information_schema families, and the last never-driver-checked
+# stragglers (6 SSB siblings + dedup_boilerplate_report). After this
+# window every registered query has had a driver row in some round.
 _PRIORITY = [
-    # r4-red rows — must re-prove green
-    "table_lakehouse_time_travel",
-    "func_time_slice_modes",
-    "dedup_cluster_keepers",
-    # changed this round: planted embedding dups / DOUBLE quantile oracle
-    "embedding_cosine_dups",
-    "agg_percentile_sketch",
-    # changed this round: worker PYTHONPATH export (pickled-class paths)
-    "connector_duckdb_scan",
-    # new this round: corpus-curation operators
-    "pack_token_shards",
-    "split_stratified_counts",
-    "quality_gopher_repetition",
-    "pii_redaction_stats",
-    "decontaminate_eval_overlap",
-    "corpus_mix_sample",
-    # --- first-time driver slots below (the full remaining backlog) ---
-    # scalar/date families
-    "func_date_family",
-    "time_slice_quarter_hour",
-    "func_conditional_family",
-    "func_json_construct",
-    "func_conv_bin",
-    "func_aes_crypto",
-    "func_struct_family",
-    # aggregate breadth
-    "agg_min_max_n",
-    "agg_stats_fixed",
-    "agg_bool_sum_map",
-    "agg_any_value_mode",
-    # table functions / unnest
-    "json_each_props",
-    "unnest_multi_outer",
-    "unnest_bitmap_users",
-    # ANN / fulltext / AI surfaces
+    # search operators — two-phase top-k + stored index artifacts
+    "ann_brute_force",
+    "ann_lsh_bucketed",
     "ann_lsh_multiprobe",
+    "ann_ivf_probe",
     "ann_sq8_quantized",
     "fulltext_match_any",
+    "fulltext_match_all",
+    "embedding_cosine_dups",
+    # formerly rows-only, now hard-oracled
+    "ai_embed_similarity",
+    "func_geo_haversine",
+    # ai module changed (portable embedder lives beside it)
     "ai_query_enrich",
-    # new this round: lakehouse ADD COLUMN evolution + zone-map pruning
+    # curation changes: fixed eval-set demo, gopher absent-row fix,
+    # split-label escaping; siblings in the same touched module
+    "decontaminate_eval_overlap",
+    "quality_gopher_repetition",
+    "split_stratified_counts",
+    "pack_token_shards",
+    "pii_redaction_stats",
+    "corpus_mix_sample",
+    # text.py minhash guard touched the signature path
+    "dedup_minhash_lsh",
+    # never-driver-checked stragglers — closes the ledger
+    "dedup_boilerplate_report",
+    "ssb_q1_2",
+    "ssb_q2_3",
+    "ssb_q3_2",
+    "ssb_q3_3",
+    "ssb_q3_4",
+    "ssb_q4_1",
+    # NEW: TPC-DS-shaped family
+    "tpcds_q5_channel_rollup",
+    "tpcds_q11_yoy_growth",
+    "tpcds_q21_before_after",
+    "tpcds_q34_basket_counts",
+    "tpcds_q36_margin_rank",
+    "tpcds_q38_channel_intersect",
+    "tpcds_q45_or_subquery",
+    "tpcds_q51_cumulative_compare",
+    "tpcds_q59_weekly_yoy",
+    "tpcds_q67_rollup_topn",
+    "tpcds_q88_time_bands",
+    "tpcds_q93_returns_adjusted",
+    "tpcds_q97_channel_overlap",
+    # NEW: multi-table MV rewrite (+ MV siblings whose catalog changed)
+    "mv_join_rewrite",
+    "mv_transparent_rewrite",
+    "mv_incremental_refresh",
+    # NEW: information_schema breadth
+    "schema_scan_tables",
+    "schema_scan_partitions",
+    "schema_scan_column_stats",
+    # managed-table/lakehouse queries relocated to the scratch root
+    "table_rollup_autoselect",
+    "table_agg_keys_rollup",
+    "table_lakehouse_time_travel",
     "table_lakehouse_schema_evolution",
     "table_lakehouse_zonemap_prune",
-    # streaming variants
-    "stream_dedup_distinct",
     "stream_lakehouse_sink",
-    # dialect breadth
-    "dialect_interval_arith",
-    "dialect_alias_functions",
-    "dialect_qualify_topn",
-    # table models
-    "table_dup_keys_batches",
-    # SSB flat benchmark — 5 of the remaining 11 (q2_1/q4_3 proved in
-    # r4; the rest ceded slots to this round's new operators and rotate
-    # in next round — the family's plan shape is identical across
-    # members)
-    "ssb_q1_1",
-    "ssb_q1_3",
-    "ssb_q2_2",
-    "ssb_q3_1",
-    "ssb_q4_2",
-    # new this round: real WAV/PPM decode (analytic oracles)
-    "multimodal_wav_decode",
-    "multimodal_ppm_decode",
-    # new this round: sync rollup index + auto-selection
-    "table_rollup_autoselect",
-    "mv_incremental_refresh",
-    # new this round: transparent MV rewrite
-    "mv_transparent_rewrite",
-    # new this round: OR->UNION join split + UKFK star pruning
-    "join_or_union_split",
-    "star_pruned_join",
 ]
 
 

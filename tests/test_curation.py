@@ -66,7 +66,7 @@ def test_split_label_total_and_stable(spark):
 
 def test_gopher_short_and_repetitive_docs(spark):
     rows = [
-        (1, "one"),                       # 1 word → no bigrams → no row
+        (1, "one"),                       # 1 word → no bigrams
         (2, "spam spam spam spam spam"),  # all bigrams identical
         (3, "a b c d e f g h"),           # all bigrams distinct
     ]
@@ -75,7 +75,13 @@ def test_gopher_short_and_repetitive_docs(spark):
         r["doc_id"]: r
         for r in curation.gopher_repetition(df, n=2, min_words=3).collect()
     }
-    assert 1 not in out
+    # one row per INPUT doc (round-5 advice): sub-n-word docs come back
+    # with zero counts, NULL frac, and an explicit keep=false instead
+    # of silently vanishing from the output
+    assert set(out) == {1, 2, 3}
+    assert out[1]["n_grams"] == 0 and out[1]["top_gram_count"] == 0
+    assert out[1]["top_gram_frac"] is None
+    assert out[1]["keep"] is False
     assert out[2]["top_gram_frac"] == 1.0 and not out[2]["keep"]
     assert out[3]["top_gram_frac"] < 0.2 and out[3]["keep"]
 

@@ -187,3 +187,118 @@ def test_pct_refresh_deletes_vanished_partitions(spark, sf_dir):
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
     mv.drop()
+
+
+# ----------------------------------------------------- join-MV rewrite
+
+def _star_fixture(spark):
+    from starrocks_spark.plans.star import StarSchema
+
+    fact = spark.createDataFrame(
+        [(1, 10, 5), (2, 10, 7), (1, 20, 3), (2, 20, 1), (1, 10, 2)],
+        ["pk_fk", "sk_fk", "m"],
+    )
+    dim_p = spark.createDataFrame(
+        [(1, "b1", "t1"), (2, "b2", "t2")], ["pk", "brand", "ptype"]
+    )
+    dim_s = spark.createDataFrame(
+        [(10, "s10"), (20, "s20")], ["sk", "sname"]
+    )
+    star = StarSchema(fact)
+    star.add_dim("p", dim_p, fk="pk_fk", pk="pk", integrity="enforced")
+    star.add_dim("s", dim_s, fk="sk_fk", pk="sk", integrity="enforced")
+    return fact, dim_p, dim_s, star
+
+
+def _join_mv(spark, fact, dim_p, dim_s, tmp_path, name):
+    from starrocks_spark.tables.materialized_view import MaterializedView
+
+    def defn(src):
+        return (
+            src.join(F.broadcast(dim_p), src["pk_fk"] == dim_p["pk"])
+            .join(F.broadcast(dim_s), F.col("sk_fk") == dim_s["sk"])
+            .withColumn("part", F.lit("all"))
+            .groupBy("part", "brand", "ptype")
+            .agg(F.sum("m").alias("m_sum"), F.count(F.lit(1)).alias("n"))
+        )
+
+    return MaterializedView(spark, defn, partition_col="part",
+                            source_partition_expr="'all'",
+                            path=str(tmp_path / name))
+
+
+def test_serve_star_routes_to_join_mv(spark, tmp_path):
+    from starrocks_spark.tables.mv_rewrite import MVCatalog
+
+    fact, dim_p, dim_s, star = _star_fixture(spark)
+    mv = _join_mv(spark, fact, dim_p, dim_s, tmp_path, "jmv")
+    cat = MVCatalog()
+    cat.register_join(
+        mv, "fact",
+        joins={"p": ("pk_fk", "pk"), "s": ("sk_fk", "sk")},
+        dims=["part", "brand", "ptype"],
+        measures={"m_sum": ("sum", "m"), "n": ("count", "*")},
+    )
+    out = cat.serve_star(
+        spark, star, "fact", ["brand"],
+        {"total": ("sum", "m"), "cnt": ("count", "*")},
+    )
+    assert cat.last_route.startswith("mv:")
+    got = {r["brand"]: (r["total"], r["cnt"]) for r in out.collect()}
+    assert got == {"b1": (10, 3), "b2": (8, 2)}
+
+
+def test_serve_star_falls_back_when_dim_not_materialized(spark, tmp_path):
+    from starrocks_spark.tables.mv_rewrite import MVCatalog
+
+    fact, dim_p, dim_s, star = _star_fixture(spark)
+    mv = _join_mv(spark, fact, dim_p, dim_s, tmp_path, "jmv2")
+    cat = MVCatalog()
+    # MV materializes ONLY the p join — a query needing s must fall back
+    cat.register_join(
+        mv, "fact", joins={"p": ("pk_fk", "pk")},
+        dims=["part", "brand", "ptype"],
+        measures={"m_sum": ("sum", "m")},
+    )
+    out = cat.serve_star(
+        spark, star, "fact", ["sname"], {"total": ("sum", "m")},
+    )
+    assert cat.last_route == "__base__"
+    assert star.last_joined == ["s"]  # pruned: only the needed dim
+    got = {r["sname"]: r["total"] for r in out.collect()}
+    assert got == {"s10": 14, "s20": 4}
+
+
+def test_serve_star_rejects_unenforced_extra_join(spark, tmp_path):
+    """An MV that joined a dim WITHOUT declared integrity cannot serve
+    queries that don't need that dim — multiplicity could differ."""
+    from starrocks_spark.plans.star import StarSchema
+    from starrocks_spark.tables.mv_rewrite import MVCatalog
+
+    fact, dim_p, dim_s, _ = _star_fixture(spark)
+    star = StarSchema(fact)
+    star.add_dim("p", dim_p, fk="pk_fk", pk="pk", integrity="enforced")
+    star.add_dim("s", dim_s, fk="sk_fk", pk="sk", integrity="none")
+    mv = _join_mv(spark, fact, dim_p, dim_s, tmp_path, "jmv3")
+    cat = MVCatalog()
+    cat.register_join(
+        mv, "fact",
+        joins={"p": ("pk_fk", "pk"), "s": ("sk_fk", "sk")},
+        dims=["part", "brand", "ptype"],
+        measures={"m_sum": ("sum", "m")},
+    )
+    cat.serve_star(spark, star, "fact", ["brand"],
+                   {"total": ("sum", "m")})
+    assert cat.last_route == "__base__"  # s join is extra + unenforced
+
+
+def test_serve_star_rejects_count_col(spark, tmp_path):
+    import pytest
+
+    from starrocks_spark.tables.mv_rewrite import MVCatalog
+
+    fact, dim_p, dim_s, star = _star_fixture(spark)
+    cat = MVCatalog()
+    with pytest.raises(ValueError, match="count"):
+        cat.serve_star(spark, star, "fact", ["brand"],
+                       {"c": ("count", "m")})
