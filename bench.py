@@ -103,6 +103,7 @@ EXTRAS = [
     "corpus_mix_sample",
     "star_pruned_join",
     # round-6 engine features
+    "ann_ivf_kmeans",
     "mv_join_rewrite",
     "fulltext_match_all",
     "schema_scan_tables",
@@ -126,6 +127,13 @@ TPCDS = [
     "tpcds_q88_time_bands",
     "tpcds_q93_returns_adjusted",
     "tpcds_q97_channel_overlap",
+    "tpcds_q10_exists_profile",
+    "tpcds_q14_cross_channel",
+    "tpcds_q33_union_by_brand",
+    "tpcds_q49_return_ranks",
+    "tpcds_q54_revenue_buckets",
+    "tpcds_q64_snowflake",
+    "tpcds_q78_web_only_ratio",
 ]
 
 

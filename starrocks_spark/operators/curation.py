@@ -350,11 +350,20 @@ def ngram_contamination(train: DataFrame, eval_df: DataFrame,
         # STRICT n-grams (no shorter-than-n fallback): T.shingles emits
         # the full text as a single shingle for short docs — right for
         # MinHash coverage, but here it would flag a sub-n-gram match
-        # as an n-gram collision
-        words = T.norm_words(F.col(text_col))
-        grams = F.array_distinct(_word_grams(words, n))
-        return df.select(
+        # as an n-gram collision.
+        # The word array is MATERIALIZED as a column before the gram
+        # transform: _word_grams references it inside an HOF lambda,
+        # which re-evaluates captured expressions per element — an
+        # inline norm_words would re-run the regex tokenization once
+        # per gram position (quadratic per document; measured 10 s of
+        # the old 11.5 s bench cost at sf0.1).
+        w = df.select(
             F.col(id_col).alias("_id"),
+            T.norm_words(F.col(text_col)).alias("_w"),
+        )
+        grams = F.array_distinct(_word_grams(F.col("_w"), n))
+        return w.select(
+            "_id",
             F.explode(F.transform(grams, T.hash60)).alias("_g"),
         )
 

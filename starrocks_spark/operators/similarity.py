@@ -205,20 +205,34 @@ def centroid_rows(
     return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
 
 
-def _sims_to_centroids(vec_col: str,
+def _sims_to_centroids(vec_col: str, vnorm_col: str,
                        cents: list[tuple[int, list[float]]]) -> Column:
     """array<double> of cosine(vec, centroid_i), one element per
-    centroid, all row-local. Centroid norms are Python-precomputed with
-    the same left-fold double arithmetic as the SQL twin, so the doubles
-    are bit-identical to sqrt(dot(cent, cent)) computed in-engine."""
+    centroid, all row-local. ONE zip_with over a 2-D literal centroid
+    matrix (n_centroids unrolled expressions made plan analysis +
+    codegen the dominant bench cost). The vector's own norm must be
+    pre-materialized as ``vnorm_col`` — an HOF lambda re-evaluates its
+    body per element, so an inline norm would recompute the 64-wide
+    fold n_centroids times per row. Centroid norms are Python-
+    precomputed with the same left-fold double arithmetic as the SQL
+    twin, so the doubles are bit-identical to sqrt(dot(cent, cent))
+    computed in-engine."""
     v = F.col(vec_col)
-    vnorm = F.sqrt(V.dot(v, v))
-    sims = []
-    for _, cv in cents:
-        carr = F.array(*[F.lit(x) for x in cv])
-        cnorm = math.sqrt(sum(x * x for x in cv))
-        sims.append(V.dot(v, carr) / (vnorm * F.lit(cnorm)))
-    return F.array(*sims)
+    vnorm = F.col(vnorm_col)
+    cent_mat = F.array(*[
+        F.array(*[F.lit(x) for x in cv]) for _, cv in cents
+    ])
+    cnorms = F.array(*[
+        F.lit(math.sqrt(sum(x * x for x in cv))) for _, cv in cents
+    ])
+    return F.zip_with(
+        cent_mat, cnorms, lambda cv, cn: V.dot(v, cv) / (vnorm * cn)
+    )
+
+
+def _vnorm(vec_col: str) -> Column:
+    v = F.col(vec_col)
+    return F.sqrt(V.dot(v, v))
 
 
 def assign_centroids(
@@ -236,7 +250,8 @@ def assign_centroids(
     _cv)."""
     cent_ids = F.array(*[F.lit(cid) for cid, _ in cents])
     base = corpus.select(F.col(corpus_id), F.col(vec_col).alias("_cv")) \
-        .withColumn("_sims", _sims_to_centroids("_cv", cents))
+        .withColumn("_vn", _vnorm("_cv")) \
+        .withColumn("_sims", _sims_to_centroids("_cv", "_vn", cents))
     return base.withColumn(
         "cent_id",
         F.get(cent_ids,
@@ -256,7 +271,8 @@ def probe_centroids(
     of (−sim, cent_id) structs and slice — no window. Returns
     (query_id, _qv, cent_id), one row per probe."""
     base = queries.select(F.col(query_id), F.col(vec_col).alias("_qv")) \
-        .withColumn("_sims", _sims_to_centroids("_qv", cents))
+        .withColumn("_vn", _vnorm("_qv")) \
+        .withColumn("_sims", _sims_to_centroids("_qv", "_vn", cents))
     structs = F.array(*[
         F.struct(
             (-F.get(F.col("_sims"), i)).alias("ns"),
@@ -420,3 +436,60 @@ def sq8_topk(
     )
     return topk_per_query(scored, query_id, corpus_id, "approx_cos", k) \
         .select(query_id, "rank", corpus_id, "approx_cos")
+
+
+def kmeans_refine(
+    corpus: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 1,
+    scale: int = 6,
+) -> list[tuple[int, list[float]]]:
+    """Lloyd refinement of the coarse quantizer: assign row-locally,
+    recompute each centroid as the per-dimension MEAN of its members,
+    repeat. The means are FIXED-POINT-EXACT (sum of floor(x·10^scale
+    + 0.5) as DECIMAL — order- and partitioning-independent), so a SQL
+    twin reproduces the refined centroids bit-for-bit and the refined
+    index stays oracle-checkable.
+
+    Per iteration: one map-only assignment pass + one posexplode
+    aggregate whose map side partially combines to ≤ n_centroids×dim
+    rows per task — no corpus-sized shuffle. The (metadata-scale)
+    centroid table is collected and re-embedded as literals.
+
+    Centroids that attract no members keep their previous vector (the
+    standard Lloyd dead-centroid fallback); with corpus-member seeds
+    every seed is at least its own nearest, so the demo never hits it.
+    """
+    from starrocks_spark.queries._util import fixed
+
+    dim = len(cents[0][1])
+    denom = float(10 ** scale)
+    for _ in range(iters):
+        assigned = assign_centroids(corpus, cents, corpus_id, vec_col)
+        rows = (
+            assigned.select(
+                "cent_id", F.posexplode(F.col("_cv")).alias("pos", "x")
+            )
+            .groupBy("cent_id", "pos")
+            .agg(
+                F.sum(fixed(F.col("x").cast("double"), scale)).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        by_cent: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cent.setdefault(int(r["cent_id"]), {})[int(r["pos"])] = (
+                float(r["s"]) / denom / int(r["n"])
+            )
+        cents = [
+            (
+                cid,
+                [by_cent[cid][i] for i in range(dim)]
+                if cid in by_cent else old,
+            )
+            for cid, old in cents
+        ]
+    return cents

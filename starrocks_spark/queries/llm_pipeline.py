@@ -1127,3 +1127,105 @@ ORDER BY q_id, rank
 
 QUERIES["ann_sq8_quantized"] = ann_sq8_quantized
 ORACLE["ann_sq8_quantized"] = _sql_ann_sq8()
+
+
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with ONE Lloyd (k-means) refinement iteration
+    (operators/similarity.py kmeans_refine): centroids move to the
+    fixed-point-exact per-dimension means of their members, improving
+    list balance and probe recall over the raw lowest-id seeds.
+    The refinement is assignment (row-local) + one partially-combined
+    posexplode aggregate — no corpus-sized shuffle; the oracle
+    reproduces the refined centroids bit-for-bit and must agree on
+    every assignment, probe, and final rank."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = emb.filter(F.col("vec_id") >= 20)
+    cents0 = similarity.centroid_rows(c, n_centroids=16)
+    cents1 = similarity.kmeans_refine(c, cents0, iters=1)
+    lists = similarity.assign_centroids(c, cents1)
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    probed = similarity.probe_centroids(q, cents1, nprobe=4)
+    scored = probed.join(lists, "cent_id").select(
+        "q_id", "vec_id",
+        V.cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+    )
+    out = similarity.topk_per_query(scored, "q_id", "vec_id",
+                                    "cos_sim", 5)
+    return out.select(
+        "q_id", F.col("rank").alias("rnk"), "vec_id", "cos_sim"
+    ).orderBy("q_id", "rnk")
+
+
+def _sql_ann_ivf_kmeans() -> str:
+    from starrocks_spark.queries._util import sql_dec2dbl, sql_fixed
+
+    cos_cc0 = V.sql_cosine("cv", "cent_v")
+    cos_cc1 = V.sql_cosine("cv", "cent_v")
+    cos_qc1 = V.sql_cosine("qv", "cent_v")
+    cos_qv = V.sql_cosine("qv", "cv")
+    mean = (f"{sql_dec2dbl('SUM(' + sql_fixed('cv[i]::DOUBLE', 6) + ')')}"
+            " / 1000000.0 / COUNT(*)")
+    return f"""
+WITH c AS (SELECT vec_id, embedding AS cv FROM embeddings
+           WHERE vec_id >= 20),
+cents0 AS (
+  SELECT vec_id AS cent_id, embedding AS cent_v FROM embeddings
+  WHERE vec_id >= 20 ORDER BY vec_id LIMIT 16
+),
+assign0 AS (
+  SELECT cent_id, vec_id, cv FROM (
+    SELECT cents0.cent_id, c.vec_id, c.cv,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {cos_cc0} DESC, cents0.cent_id)
+             AS rn
+    FROM c CROSS JOIN cents0
+  ) WHERE rn = 1
+),
+means AS (
+  SELECT cent_id, i, {mean} AS m
+  FROM assign0, generate_series(1, 64) t(i)
+  GROUP BY cent_id, i
+),
+cents1 AS (
+  SELECT cent_id, list(m ORDER BY i) AS cent_v FROM means
+  GROUP BY cent_id
+),
+assign1 AS (
+  SELECT cent_id, vec_id, cv FROM (
+    SELECT cents1.cent_id, c.vec_id, c.cv,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {cos_cc1} DESC, cents1.cent_id)
+             AS rn
+    FROM c CROSS JOIN cents1
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+      WHERE vec_id < 20),
+probed AS (
+  SELECT q_id, qv, cent_id FROM (
+    SELECT q.q_id, q.qv, cents1.cent_id,
+           row_number() OVER (PARTITION BY q.q_id
+                              ORDER BY {cos_qc1} DESC, cents1.cent_id)
+             AS rn
+    FROM q CROSS JOIN cents1
+  ) WHERE rn <= 4
+),
+scored AS (
+  SELECT q_id, a.vec_id, {cos_qv} AS cos_sim
+  FROM probed p JOIN assign1 a ON p.cent_id = a.cent_id
+),
+ranked AS (
+  SELECT q_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos_sim DESC, vec_id) AS rnk
+  FROM scored
+)
+SELECT q_id, rnk, vec_id, cos_sim FROM ranked WHERE rnk <= 5
+ORDER BY q_id, rnk
+"""
+
+
+QUERIES["ann_ivf_kmeans"] = ann_ivf_kmeans
+ORACLE["ann_ivf_kmeans"] = _sql_ann_ivf_kmeans()

@@ -22,6 +22,13 @@ Shapes covered (TPC-DS query number → what it exercises):
   q88 eight cross-joined scalar-subquery time-band counts
   q93 returns-adjusted revenue (fact LEFT JOIN returns)
   q97 store/web (customer, item) overlap via FULL OUTER
+  q10 multi-EXISTS channel gate on the customer profile
+  q14 cross-channel INTERSECT + scalar-subquery threshold
+  q33 sum over a UNION ALL of per-channel aggregates
+  q49 per-channel return-ratio ranks, unioned
+  q54 revenue-bucket customer segmentation
+  q64 deep snowflake (two-hop dim chain + two first-hop dims)
+  q78 exclusive-channel revenue via LEFT ANTI pairs
 
 Scale notes: lineitem⋈orders is the one fact-fact shuffle (AQE
 re-balances); part/customer joins broadcast; every double SUM goes
@@ -719,3 +726,370 @@ SELECT
 FROM st FULL OUTER JOIN wb ON st.sc = wb.wc AND st.sp = wb.wp
 """
 QUERIES["tpcds_q97_channel_overlap"] = tpcds_q97_channel_overlap
+
+
+# ---------------------------------------------------------------------------
+# q10 shape: customer profile gated by EXISTS over multiple channels
+
+def tpcds_q10_exists_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q10 shape: count customers by nation who bought in the
+    store channel AND (exist in web OR exist in catalog) — the
+    multi-EXISTS decorrelation pattern (each EXISTS becomes a
+    semi-join on the aggregate-shrunk customer set)."""
+    s = _sales(spark, sf_dir, with_cust=True)
+    cust = load_table(spark, sf_dir, "customer")
+
+    def channel_custs(ch: str) -> DataFrame:
+        return s.filter(F.col("channel") == ch) \
+            .select("o_custkey").distinct()
+
+    eligible = channel_custs("store").join(
+        channel_custs("web").unionByName(channel_custs("catalog"))
+        .distinct(),
+        "o_custkey", "left_semi",
+    )
+    return (
+        F.broadcast(cust)
+        .join(eligible, cust["c_custkey"] == eligible["o_custkey"])
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_nationkey")
+    )
+
+
+ORACLE["tpcds_q10_exists_profile"] = f"""
+WITH s AS ({_SQL_SALES_CUST})
+SELECT c.c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM s WHERE s.o_custkey = c.c_custkey
+              AND s.channel = 'store')
+  AND (EXISTS (SELECT 1 FROM s WHERE s.o_custkey = c.c_custkey
+               AND s.channel = 'web')
+       OR EXISTS (SELECT 1 FROM s WHERE s.o_custkey = c.c_custkey
+                  AND s.channel = 'catalog'))
+GROUP BY c.c_nationkey
+ORDER BY c.c_nationkey
+"""
+QUERIES["tpcds_q10_exists_profile"] = tpcds_q10_exists_profile
+
+
+# ---------------------------------------------------------------------------
+# q33 shape: sum over a UNION of per-channel aggregates by item brand
+
+def tpcds_q33_union_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q33 shape: each channel aggregates separately (its own
+    scan + group), the three results UNION ALL, and an outer aggregate
+    totals per brand — the classic multi-channel union-fact report."""
+    s = _sales(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part")
+
+    def per_channel(ch: str) -> DataFrame:
+        return (
+            s.filter(F.col("channel") == ch)
+            .join(F.broadcast(part), s["l_partkey"] == part["p_partkey"])
+            .groupBy("p_brand")
+            .agg(dsum(F.col("net_price")).alias("amt"))
+        )
+
+    unioned = per_channel("store") \
+        .unionByName(per_channel("catalog")) \
+        .unionByName(per_channel("web"))
+    return (
+        unioned.groupBy("p_brand")
+        .agg(dsum(F.col("amt")).alias("total_sales"))
+        .orderBy("p_brand")
+    )
+
+
+def _sql_q33_channel(ch: str) -> str:
+    return f"""
+  SELECT p_brand, {sql_dsum('net_price')} AS amt
+  FROM s JOIN part ON s.l_partkey = part.p_partkey
+  WHERE channel = '{ch}' GROUP BY p_brand
+"""
+
+
+ORACLE["tpcds_q33_union_by_brand"] = f"""
+WITH s AS ({_SQL_SALES}),
+u AS (
+  {_sql_q33_channel('store')}
+  UNION ALL
+  {_sql_q33_channel('catalog')}
+  UNION ALL
+  {_sql_q33_channel('web')}
+)
+SELECT p_brand, {sql_dsum('amt')} AS total_sales
+FROM u GROUP BY p_brand ORDER BY p_brand
+"""
+QUERIES["tpcds_q33_union_by_brand"] = tpcds_q33_union_by_brand
+
+
+# ---------------------------------------------------------------------------
+# q49 shape: per-channel return ratios, ranked, unioned
+
+def tpcds_q49_return_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q49 shape: per channel, each item's return ratio
+    (returned qty / sold qty), rank within the channel, keep the worst
+    10, UNION the channels — rank-inside-union-branches."""
+    s = _sales(spark, sf_dir)
+
+    def branch(ch: str) -> DataFrame:
+        per_item = (
+            s.filter(F.col("channel") == ch)
+            .groupBy("l_partkey")
+            .agg(
+                dsum(F.when(F.col("returned"), F.col("l_quantity"))
+                     .otherwise(F.lit(0.0))).alias("ret_qty"),
+                dsum(F.col("l_quantity")).alias("sold_qty"),
+            )
+            .withColumn("ratio", F.col("ret_qty") / F.col("sold_qty"))
+        )
+        w = Window.orderBy(F.col("ratio").desc_nulls_last(),
+                           F.col("l_partkey").asc())
+        return (
+            per_item.withColumn("rk", F.rank().over(w))
+            .filter(F.col("rk") <= 10)
+            .select(F.lit(ch).alias("channel"), "l_partkey",
+                    "ratio", "rk")
+        )
+
+    return (
+        branch("store").unionByName(branch("catalog"))
+        .unionByName(branch("web"))
+        .orderBy("channel", "rk", "l_partkey")
+    )
+
+
+_RQ = sql_dsum("CASE WHEN returned THEN l_quantity ELSE 0.0 END")
+_SQ = sql_dsum("l_quantity")
+
+
+def _sql_q49_branch(ch: str) -> str:
+    return f"""
+  SELECT channel, l_partkey, ratio, rk FROM (
+    SELECT '{ch}' AS channel, l_partkey, ratio,
+           CAST(rank() OVER (ORDER BY ratio DESC NULLS LAST,
+                             l_partkey ASC) AS INT) AS rk
+    FROM (
+      SELECT l_partkey, ({_RQ}) / ({_SQ}) AS ratio
+      FROM s WHERE channel = '{ch}' GROUP BY l_partkey
+    )
+  ) WHERE rk <= 10
+"""
+
+
+ORACLE["tpcds_q49_return_ranks"] = f"""
+WITH s AS ({_SQL_SALES})
+{_sql_q49_branch('store')}
+UNION ALL
+{_sql_q49_branch('catalog')}
+UNION ALL
+{_sql_q49_branch('web')}
+ORDER BY channel, rk, l_partkey
+"""
+QUERIES["tpcds_q49_return_ranks"] = tpcds_q49_return_ranks
+
+
+# ---------------------------------------------------------------------------
+# q64 shape: snowflake join chain (fact → orders → customer → nation
+# → region, plus part and supplier)
+
+def tpcds_q64_snowflake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q64 shape: the deep snowflake — fact joined through a
+    TWO-HOP dimension chain (customer → nation → region) plus two
+    first-hop dims (part, supplier). Dims broadcast hop by hop; only
+    the fact⋈orders join shuffles."""
+    s = _sales(spark, sf_dir, with_cust=True)
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    j = (
+        s.join(F.broadcast(cust), s["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation),
+              cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region),
+              nation["n_regionkey"] == region["r_regionkey"])
+        .join(F.broadcast(part), s["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supplier),
+              s["l_suppkey"] == supplier["s_suppkey"])
+        .filter(F.col("p_size") < 10)
+    )
+    return (
+        j.groupBy("r_name", "n_name", "p_brand")
+        .agg(
+            dsum(F.col("net_price")).alias("sales_amt"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name", "n_name", "p_brand")
+    )
+
+
+ORACLE["tpcds_q64_snowflake"] = f"""
+WITH s AS ({_SQL_SALES_CUST})
+SELECT r.r_name, n.n_name, p.p_brand,
+       {sql_dsum('s.net_price')} AS sales_amt,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM s
+JOIN customer c ON s.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+JOIN part p ON s.l_partkey = p.p_partkey
+JOIN supplier sp ON s.l_suppkey = sp.s_suppkey
+WHERE p.p_size < 10
+GROUP BY r.r_name, n.n_name, p.p_brand
+ORDER BY r.r_name, n.n_name, p.p_brand
+"""
+QUERIES["tpcds_q64_snowflake"] = tpcds_q64_snowflake
+
+
+# ---------------------------------------------------------------------------
+# q54 shape: revenue-bucket histogram of customers (scalar-subquery
+# segmentation)
+
+def tpcds_q54_revenue_buckets(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """TPC-DS q54 shape: per-customer revenue → fixed-width buckets →
+    bucket histogram (the customer-segmentation report tail)."""
+    s = _sales(spark, sf_dir, with_cust=True)
+    per_cust = s.groupBy("o_custkey").agg(
+        dsum(F.col("net_price")).alias("revenue")
+    )
+    bucket = F.floor(F.col("revenue") / 50000.0).cast("long")
+    return (
+        per_cust.select(bucket.alias("segment"))
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("segment")
+    )
+
+
+ORACLE["tpcds_q54_revenue_buckets"] = f"""
+WITH s AS ({_SQL_SALES_CUST}),
+per_cust AS (
+  SELECT o_custkey, {sql_dsum('net_price')} AS revenue
+  FROM s GROUP BY o_custkey
+)
+SELECT CAST(FLOOR(revenue / 50000.0) AS BIGINT) AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM per_cust
+GROUP BY FLOOR(revenue / 50000.0)
+ORDER BY segment
+"""
+QUERIES["tpcds_q54_revenue_buckets"] = tpcds_q54_revenue_buckets
+
+
+# ---------------------------------------------------------------------------
+# q78 shape: web sales with NO matching store activity (anti-join
+# ratio report)
+
+def tpcds_q78_web_only_ratio(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """TPC-DS q78 shape: per (customer, item), web sales with no store
+    sale of the same pair — LEFT ANTI against the store pair set —
+    then the top web-loyal customers by exclusive web revenue."""
+    s = _sales(spark, sf_dir, with_cust=True)
+    web = s.filter(F.col("channel") == "web")
+    store_pairs = (
+        s.filter(F.col("channel") == "store")
+        .select(F.col("o_custkey").alias("sc"),
+                F.col("l_partkey").alias("sp"))
+        .distinct()
+    )
+    only_web = web.join(
+        store_pairs,
+        (web["o_custkey"] == store_pairs["sc"])
+        & (web["l_partkey"] == store_pairs["sp"]),
+        "left_anti",
+    )
+    return (
+        only_web.groupBy("o_custkey")
+        .agg(
+            dsum(F.col("net_price")).alias("web_only_rev"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy(F.col("web_only_rev").desc(), F.col("o_custkey").asc())
+        .limit(50)
+    )
+
+
+ORACLE["tpcds_q78_web_only_ratio"] = f"""
+WITH s AS ({_SQL_SALES_CUST}),
+store_pairs AS (
+  SELECT DISTINCT o_custkey AS sc, l_partkey AS sp
+  FROM s WHERE channel = 'store'
+)
+SELECT o_custkey, {sql_dsum('net_price')} AS web_only_rev,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM s
+WHERE channel = 'web'
+  AND NOT EXISTS (SELECT 1 FROM store_pairs
+                  WHERE sc = s.o_custkey AND sp = s.l_partkey)
+GROUP BY o_custkey
+ORDER BY web_only_rev DESC, o_custkey ASC
+LIMIT 50
+"""
+QUERIES["tpcds_q78_web_only_ratio"] = tpcds_q78_web_only_ratio
+
+
+# ---------------------------------------------------------------------------
+# q14 shape: cross-channel common items + scalar-subquery threshold
+
+def tpcds_q14_cross_channel(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """TPC-DS q14 shape: items sold in ALL three channels (INTERSECT),
+    then channel sales for those items filtered by a SCALAR subquery
+    threshold (the cross-channel average) — intersect feeding a
+    correlated-free scalar comparison."""
+    s = _sales(spark, sf_dir)
+
+    def channel_items(ch: str) -> DataFrame:
+        return s.filter(F.col("channel") == ch) \
+            .select("l_partkey").distinct()
+
+    common = channel_items("store") \
+        .intersect(channel_items("catalog")) \
+        .intersect(channel_items("web"))
+    per_item = (
+        s.join(common, "l_partkey")
+        .groupBy("channel", "l_partkey")
+        .agg(dsum(F.col("net_price")).alias("amt"))
+    )
+    avg_amt = per_item.agg(
+        (dsum(F.col("amt")) / F.count(F.lit(1))).alias("_avg")
+    )
+    return (
+        per_item.crossJoin(F.broadcast(avg_amt))
+        .filter(F.col("amt") > F.col("_avg"))
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("amt")).alias("above_avg_sales"),
+        )
+        .orderBy("channel")
+    )
+
+
+ORACLE["tpcds_q14_cross_channel"] = f"""
+WITH s AS ({_SQL_SALES}),
+common AS (
+  SELECT DISTINCT l_partkey FROM s WHERE channel = 'store'
+  INTERSECT
+  SELECT DISTINCT l_partkey FROM s WHERE channel = 'catalog'
+  INTERSECT
+  SELECT DISTINCT l_partkey FROM s WHERE channel = 'web'
+),
+per_item AS (
+  SELECT channel, l_partkey, {sql_dsum('net_price')} AS amt
+  FROM s JOIN common USING (l_partkey)
+  GROUP BY channel, l_partkey
+)
+SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_items,
+       {sql_dsum('amt')} AS above_avg_sales
+FROM per_item
+WHERE amt > (SELECT ({sql_dsum('amt')}) / COUNT(*) FROM per_item)
+GROUP BY channel
+ORDER BY channel
+"""
+QUERIES["tpcds_q14_cross_channel"] = tpcds_q14_cross_channel

@@ -101,8 +101,6 @@ _PRIORITY = [
     # formerly rows-only, now hard-oracled
     "ai_embed_similarity",
     "func_geo_haversine",
-    # ai module changed (portable embedder lives beside it)
-    "ai_query_enrich",
     # curation changes: fixed eval-set demo, gopher absent-row fix,
     # split-label escaping; siblings in the same touched module
     "decontaminate_eval_overlap",
@@ -111,8 +109,6 @@ _PRIORITY = [
     "pack_token_shards",
     "pii_redaction_stats",
     "corpus_mix_sample",
-    # text.py minhash guard touched the signature path
-    "dedup_minhash_lsh",
     # never-driver-checked stragglers — closes the ledger
     "dedup_boilerplate_report",
     "ssb_q1_2",
@@ -135,6 +131,13 @@ _PRIORITY = [
     "tpcds_q88_time_bands",
     "tpcds_q93_returns_adjusted",
     "tpcds_q97_channel_overlap",
+    "tpcds_q10_exists_profile",
+    "tpcds_q14_cross_channel",
+    "tpcds_q33_union_by_brand",
+    "tpcds_q49_return_ranks",
+    "tpcds_q54_revenue_buckets",
+    "tpcds_q64_snowflake",
+    "tpcds_q78_web_only_ratio",
     # NEW: multi-table MV rewrite (+ MV siblings whose catalog changed)
     "mv_join_rewrite",
     "mv_transparent_rewrite",
@@ -143,13 +146,8 @@ _PRIORITY = [
     "schema_scan_tables",
     "schema_scan_partitions",
     "schema_scan_column_stats",
-    # managed-table/lakehouse queries relocated to the scratch root
-    "table_rollup_autoselect",
-    "table_agg_keys_rollup",
-    "table_lakehouse_time_travel",
-    "table_lakehouse_schema_evolution",
-    "table_lakehouse_zonemap_prune",
-    "stream_lakehouse_sink",
+    # refined-quantizer IVF (new this round)
+    "ann_ivf_kmeans",
 ]
 
 
