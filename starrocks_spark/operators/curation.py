@@ -337,13 +337,19 @@ def sql_pii_redact(text: str) -> dict[str, str]:
 def ngram_contamination(train: DataFrame, eval_df: DataFrame,
                         n: int = 8,
                         id_col: str = "doc_id",
-                        text_col: str = "text") -> DataFrame:
+                        text_col: str = "text",
+                        eval_broadcast: bool = True) -> DataFrame:
     """Benchmark decontamination (GPT-3/PaLM style): flag training
     documents sharing any word n-gram with the eval set.
 
-    The eval side is tiny next to the corpus, so its distinct gram
-    hashes BROADCAST and the check is a map-side semi-join — the
-    training corpus is scanned once, no shuffle of training grams.
+    Eval benchmarks are constant-size, so by default the eval side's
+    distinct gram hashes BROADCAST and the check is a map-side
+    semi-join — the training corpus is scanned once, no shuffle of
+    training grams. If the eval gram set exceeds the broadcast budget
+    (rule of thumb: > ~100 M distinct 8-byte hashes ≈ the executor-
+    memory headroom a broadcast build consumes), pass
+    ``eval_broadcast=False`` to fall back to a shuffle join on the
+    gram hash — both sides shuffle once on ``_g``, still linear.
     Returns (train doc id, n_hits, first overlapping gram hash).
     """
     def gram_hashes(df: DataFrame) -> DataFrame:
@@ -368,7 +374,9 @@ def ngram_contamination(train: DataFrame, eval_df: DataFrame,
         )
 
     eval_grams = gram_hashes(eval_df).select("_g").distinct()
-    hits = gram_hashes(train).join(F.broadcast(eval_grams), "_g")
+    if eval_broadcast:
+        eval_grams = F.broadcast(eval_grams)
+    hits = gram_hashes(train).join(eval_grams, "_g")
     return (
         hits.groupBy("_id")
         .agg(

@@ -108,6 +108,7 @@ def minhash_lsh_pairs(
     rows: int = 4,
     jaccard_threshold: float = 0.5,
     block_cap: int = 1000,
+    pairs_tbl: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-verified.
 
@@ -117,8 +118,13 @@ def minhash_lsh_pairs(
     self-equi-join on band → distinct candidate id pairs → exact
     Jaccard via joins back to the shingle table → threshold filter.
     Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    ``pairs_tbl``: a pre-built (stored) digest-pairs table for the
+    same corpus — operators/indexes.py SignatureIndex; skips the
+    signature computation entirely (build-once/query-many).
     """
-    mh_tbl = pairs_table(df, id_col, text_col)
+    mh_tbl = pairs_tbl if pairs_tbl is not None \
+        else pairs_table(df, id_col, text_col)
     banded = _persist(
         capped_blocks(
             mh_tbl.select(
@@ -162,6 +168,7 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     chunk_cap: int = 2000,
+    pairs_tbl: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: 60-bit signature over word-bigram
     features, candidates share one of four 15-bit chunks (pigeonhole:
@@ -181,7 +188,8 @@ def simhash_pairs(
     bigrams encode local word order and discriminate."""
     # the h1 halves of the shared digest-pairs table ARE the feature
     # hashes (hash60 of each distinct bigram) — no separate md5 pass
-    mh_tbl = pairs_table(df, id_col, text_col, n=2)
+    mh_tbl = pairs_tbl if pairs_tbl is not None \
+        else pairs_table(df, id_col, text_col, n=2)
     sigs = _persist(
         mh_tbl.select(
             "_id",
@@ -265,6 +273,7 @@ def ngram_jaccard_pairs(
     bands: int = 4,
     rows: int = 4,
     block_cap: int = 1000,
+    pairs_tbl: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over LSH-band candidate blocks.
 
@@ -274,7 +283,8 @@ def ngram_jaccard_pairs(
     shingle sets the verification uses, so block membership correlates
     with the metric being thresholded, block sizes are bounded by
     ``capped_blocks``, and the self-join shuffles only (id, band)."""
-    mh_tbl = pairs_table(df, id_col, text_col, n)
+    mh_tbl = pairs_tbl if pairs_tbl is not None \
+        else pairs_table(df, id_col, text_col, n)
     banded = _persist(
         capped_blocks(
             mh_tbl.select(

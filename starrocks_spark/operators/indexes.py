@@ -132,6 +132,40 @@ class IvfIndex:
         ).select(query_id, "rank", self.corpus_id, "cos_sim")
 
 
+class SignatureIndex:
+    """Stored MinHash digest-pairs table — the expensive half of every
+    dedup signature (ONE md5 per shingle, split Kirsch–Mitzenmacher
+    style). minhash-LSH, SimHash, n-gram-Jaccard, and the boilerplate
+    report all derive from this one artifact with pure integer
+    arithmetic, so at corpus scale it is built once per snapshot and
+    every dedup pass reads it (reference analog: the per-rowset index
+    builds in be/src/storage/index/)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.table = SnapshotTable(spark, os.path.join(path, "pairs"))
+        meta = _read_meta(path)
+        self.n: int = meta["n"]
+
+    @classmethod
+    def build(cls, spark: SparkSession, docs: DataFrame, path: str,
+              id_col: str = "doc_id", text_col: str = "text",
+              n: int = 3, files: int = 8) -> "SignatureIndex":
+        from starrocks_spark.operators.dedup import pairs_table
+
+        pairs = pairs_table(docs, id_col, text_col, n) \
+            .repartitionByRange(files, "_id")
+        SnapshotTable(spark, os.path.join(path, "pairs")) \
+            .overwrite(pairs)
+        _write_meta(path, {"n": n})
+        return cls(spark, path)
+
+    def read(self) -> DataFrame:
+        """(_id, _mh array<struct<h1,h2>>) — feed as ``pairs_tbl`` to
+        the operators in operators/dedup.py."""
+        return self.table.read()
+
+
 class FulltextIndex:
     """Stored inverted posting table (term, bucket, doc_id, tf) +
     corpus doc count. Build explodes the corpus ONCE; every MATCH

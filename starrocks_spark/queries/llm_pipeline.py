@@ -248,11 +248,36 @@ ORDER BY fingerprint
 """
 
 
+
+
+def _sig_index(spark: SparkSession, sf_dir: str, n: int,
+               plant_dups: bool = False):
+    """Build-once stored dedup signature index for this corpus
+    variant (operators/indexes.py SignatureIndex): every dedup query
+    over the same (corpus, shingle-n) reads the same stored digest
+    pairs instead of recomputing the md5 pass."""
+    from starrocks_spark import scratch
+    from starrocks_spark.operators.indexes import SignatureIndex
+
+    def build():
+        docs = load_table(spark, sf_dir, "documents")
+        if plant_dups:
+            docs = _augmented_docs(docs, plant_dups=True)
+        return SignatureIndex.build(
+            spark, docs,
+            scratch.scratch_dir(f"sigidx_n{n}_p{int(plant_dups)}", sf_dir),
+            n=n,
+        )
+
+    return scratch.cached(("sigidx", sf_dir, n, plant_dups), build)
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.5).orderBy(
-        "id_a", "id_b"
-    )
+    return dedup.minhash_lsh_pairs(
+        docs, jaccard_threshold=0.5,
+        pairs_tbl=_sig_index(spark, sf_dir, 3).read(),
+    ).orderBy("id_a", "id_b")
 
 
 
@@ -303,7 +328,10 @@ ORDER BY id_a, id_b
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")
+    return dedup.simhash_pairs(
+        docs, max_hamming=3,
+        pairs_tbl=_sig_index(spark, sf_dir, 2).read(),
+    ).orderBy("id_a", "id_b")
 
 
 def _sql_dedup_simhash() -> str:
@@ -340,7 +368,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     block sizes were unbounded)."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(
-        docs, n=2, threshold=0.6, block_cap=1000
+        docs, n=2, threshold=0.6, block_cap=1000,
+        pairs_tbl=_sig_index(spark, sf_dir, 2).read(),
     ).orderBy("id_a", "id_b")
 
 
@@ -627,8 +656,10 @@ def dedup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the drop-list a training-data pipeline consumes."""
     docs = _augmented_docs(load_table(spark, sf_dir, "documents"),
                            plant_dups=True)
-    pairs = dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.6,
-                                      block_cap=1000)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, n=2, threshold=0.6, block_cap=1000,
+        pairs_tbl=_sig_index(spark, sf_dir, 2, plant_dups=True).read(),
+    )
     cc = dedup.connected_components(pairs)
     return (
         cc.groupBy("cluster_id")
@@ -1009,11 +1040,10 @@ def dedup_boilerplate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     treatment for the mega-blocks a 100 TB corpus's boilerplate forms.
     A deliberately low cap (3) exercises the path on real data."""
     from starrocks_spark.operators.dedup import (
-        overcap_block_report, pairs_table,
+        overcap_block_report,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
-    mh = pairs_table(docs, "doc_id", "text", n=2)
+    mh = _sig_index(spark, sf_dir, 2).read()
     banded = mh.select(
         "_id",
         F.explode(

@@ -97,7 +97,6 @@ _PRIORITY = [
     "ann_sq8_quantized",
     "fulltext_match_any",
     "fulltext_match_all",
-    "embedding_cosine_dups",
     # formerly rows-only, now hard-oracled
     "ai_embed_similarity",
     "func_geo_haversine",
@@ -106,9 +105,11 @@ _PRIORITY = [
     "decontaminate_eval_overlap",
     "quality_gopher_repetition",
     "split_stratified_counts",
-    "pack_token_shards",
-    "pii_redaction_stats",
-    "corpus_mix_sample",
+    # dedup family now reads the stored SignatureIndex (code changed)
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_cluster_keepers",
     # never-driver-checked stragglers — closes the ledger
     "dedup_boilerplate_report",
     "ssb_q1_2",

@@ -244,9 +244,12 @@ def test_rollup_read_scans_index_not_base(spark, sf_dir):
     t.add_rollup("bt", ["event_type"], {"v": "sum"})
     t.insert(events)
     df = t.read_agg(["event_type"], {"s": ("sum", "v")})
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert ".rollup_bt" in plan
-    assert plan.count(t.path + "]") == 0 or t.path + ".rollup" in plan
+    # inputFiles() is truncation-proof (plan strings clip long scratch
+    # paths): every file read must come from the rollup index, none
+    # from the base table directory
+    files = df.inputFiles()
+    assert files and all(".rollup_bt" in f for f in files), files
+    assert t.last_index_used == "bt"
     t.drop()
 
 
