@@ -109,8 +109,15 @@ class IvfIndex:
     @classmethod
     def build(cls, spark: SparkSession, corpus: DataFrame, path: str,
               corpus_id: str = "vec_id", vec_col: str = "embedding",
-              n_centroids: int = 16, list_files: int = 8) -> "IvfIndex":
+              n_centroids: int = 16, list_files: int = 8,
+              kmeans_iters: int = 0) -> "IvfIndex":
         cents = S.centroid_rows(corpus, corpus_id, vec_col, n_centroids)
+        if kmeans_iters:
+            # Lloyd refinement before committing the lists — better
+            # list balance/recall for the same nprobe (similarity.py
+            # kmeans_refine; fixed-point-exact, so oracle-checkable)
+            cents = S.kmeans_refine(corpus, cents, corpus_id, vec_col,
+                                    iters=kmeans_iters)
         lists = S.assign_centroids(corpus, cents, corpus_id, vec_col) \
             .withColumnRenamed("_cv", "vec") \
             .repartitionByRange(list_files, "cent_id")
@@ -130,40 +137,6 @@ class IvfIndex:
         return S.topk_per_query(
             scored, query_id, self.corpus_id, "cos_sim", k
         ).select(query_id, "rank", self.corpus_id, "cos_sim")
-
-
-class SignatureIndex:
-    """Stored MinHash digest-pairs table — the expensive half of every
-    dedup signature (ONE md5 per shingle, split Kirsch–Mitzenmacher
-    style). minhash-LSH, SimHash, n-gram-Jaccard, and the boilerplate
-    report all derive from this one artifact with pure integer
-    arithmetic, so at corpus scale it is built once per snapshot and
-    every dedup pass reads it (reference analog: the per-rowset index
-    builds in be/src/storage/index/)."""
-
-    def __init__(self, spark: SparkSession, path: str):
-        self.spark = spark
-        self.table = SnapshotTable(spark, os.path.join(path, "pairs"))
-        meta = _read_meta(path)
-        self.n: int = meta["n"]
-
-    @classmethod
-    def build(cls, spark: SparkSession, docs: DataFrame, path: str,
-              id_col: str = "doc_id", text_col: str = "text",
-              n: int = 3, files: int = 8) -> "SignatureIndex":
-        from starrocks_spark.operators.dedup import pairs_table
-
-        pairs = pairs_table(docs, id_col, text_col, n) \
-            .repartitionByRange(files, "_id")
-        SnapshotTable(spark, os.path.join(path, "pairs")) \
-            .overwrite(pairs)
-        _write_meta(path, {"n": n})
-        return cls(spark, path)
-
-    def read(self) -> DataFrame:
-        """(_id, _mh array<struct<h1,h2>>) — feed as ``pairs_tbl`` to
-        the operators in operators/dedup.py."""
-        return self.table.read()
 
 
 class FulltextIndex:

@@ -250,33 +250,39 @@ ORDER BY fingerprint
 
 
 
-def _sig_index(spark: SparkSession, sf_dir: str, n: int,
-               plant_dups: bool = False):
-    """Build-once stored dedup signature index for this corpus
-    variant (operators/indexes.py SignatureIndex): every dedup query
-    over the same (corpus, shingle-n) reads the same stored digest
-    pairs instead of recomputing the md5 pass."""
+def _sig_pairs(spark: SparkSession, sf_dir: str, n: int,
+               plant_dups: bool = False) -> DataFrame:
+    """Shared in-memory digest-pairs table per (corpus variant,
+    shingle-n): built ONCE per session and reused by every dedup query
+    over the same variant (minhash-LSH / SimHash / n-gram-Jaccard /
+    boilerplate / clustering all derive from it with integer
+    arithmetic).
+
+    Deliberately NOT a stored parquet artifact: a stored variant was
+    built and MEASURED — the _mh array column is larger than the text
+    it hashes, and re-deserializing it from parquet (three scans per
+    query) cost more than recomputing the md5 pass (sf0.1: minhash
+    5.1→8.2 s, simhash 2.4→4.4 s). Store-vs-recompute lands on
+    recompute for signatures, unlike SQ8 codes (4× smaller than the
+    vectors) or fulltext postings (term-pruned at read) — see
+    BENCH_NOTES.md round 6."""
     from starrocks_spark import scratch
-    from starrocks_spark.operators.indexes import SignatureIndex
+    from starrocks_spark.operators import dedup as _dedup
 
     def build():
         docs = load_table(spark, sf_dir, "documents")
         if plant_dups:
             docs = _augmented_docs(docs, plant_dups=True)
-        return SignatureIndex.build(
-            spark, docs,
-            scratch.scratch_dir(f"sigidx_n{n}_p{int(plant_dups)}", sf_dir),
-            n=n,
-        )
+        return _dedup.pairs_table(docs, "doc_id", "text", n)
 
-    return scratch.cached(("sigidx", sf_dir, n, plant_dups), build)
+    return scratch.cached(("sigpairs", sf_dir, n, plant_dups), build)
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(
         docs, jaccard_threshold=0.5,
-        pairs_tbl=_sig_index(spark, sf_dir, 3).read(),
+        pairs_tbl=_sig_pairs(spark, sf_dir, 3),
     ).orderBy("id_a", "id_b")
 
 
@@ -330,7 +336,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.simhash_pairs(
         docs, max_hamming=3,
-        pairs_tbl=_sig_index(spark, sf_dir, 2).read(),
+        pairs_tbl=_sig_pairs(spark, sf_dir, 2),
     ).orderBy("id_a", "id_b")
 
 
@@ -369,7 +375,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(
         docs, n=2, threshold=0.6, block_cap=1000,
-        pairs_tbl=_sig_index(spark, sf_dir, 2).read(),
+        pairs_tbl=_sig_pairs(spark, sf_dir, 2),
     ).orderBy("id_a", "id_b")
 
 
@@ -658,7 +664,7 @@ def dedup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
                            plant_dups=True)
     pairs = dedup.ngram_jaccard_pairs(
         docs, n=2, threshold=0.6, block_cap=1000,
-        pairs_tbl=_sig_index(spark, sf_dir, 2, plant_dups=True).read(),
+        pairs_tbl=_sig_pairs(spark, sf_dir, 2, plant_dups=True),
     )
     cc = dedup.connected_components(pairs)
     return (
@@ -894,7 +900,10 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_fp", "_rn")
     )
-    # near-dup clusters over the exact-deduped survivors: drop non-keepers
+    # near-dup clusters over the exact-deduped survivors: drop
+    # non-keepers. Signatures are built inline over the SURVIVOR
+    # SUBSET — measured cheaper than semi-joining the full-corpus
+    # shared pairs table (the subset is much smaller than the corpus)
     pairs = dedup.ngram_jaccard_pairs(deduped, n=2, threshold=0.6,
                                       block_cap=1000)
     cc = dedup.connected_components(pairs)
@@ -1043,7 +1052,7 @@ def dedup_boilerplate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         overcap_block_report,
     )
 
-    mh = _sig_index(spark, sf_dir, 2).read()
+    mh = _sig_pairs(spark, sf_dir, 2)
     banded = mh.select(
         "_id",
         F.explode(

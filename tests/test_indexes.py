@@ -173,19 +173,3 @@ def test_snapshot_index_artifacts_are_commit_logged(spark, emb, tmp_path):
     idx2 = Sq8Index(spark, path)
     assert idx2.table.snapshot().version == 1
     assert idx2.table.read(version=0).count() == corpus.count()
-
-
-def test_signature_index_matches_inline_dedup(spark, sf_dir, tmp_path):
-    """Dedup over the STORED signature index == dedup building its
-    signatures inline (minhash-LSH pairs as representative)."""
-    from starrocks_spark.operators import dedup
-    from starrocks_spark.operators.indexes import SignatureIndex
-
-    docs = load_table(spark, sf_dir, "documents")
-    inline = dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.5)
-    idx = SignatureIndex.build(spark, docs, str(tmp_path / "sig"), n=3)
-    stored = dedup.minhash_lsh_pairs(
-        docs, jaccard_threshold=0.5, pairs_tbl=idx.read()
-    )
-    assert sorted(_rows(inline)) == sorted(_rows(stored))
-    assert idx.n == 3 and idx.table.snapshot().version == 0
