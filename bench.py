@@ -105,6 +105,7 @@ EXTRAS = [
     # round-6 engine features
     "ann_ivf_kmeans",
     "mv_join_rewrite",
+    "stream_static_enrich",
     "fulltext_match_all",
     "schema_scan_tables",
 ]

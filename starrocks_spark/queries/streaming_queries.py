@@ -23,7 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from starrocks_spark.queries._util import sql_dsum
+from starrocks_spark.catalog import load_table
+from starrocks_spark.queries._util import dsum, sql_dsum
 from starrocks_spark.scratch import scratch_root
 from starrocks_spark.streaming.ingest import (
     read_events_stream,
@@ -343,3 +344,38 @@ ORDER BY event_type
 
 QUERIES["stream_lakehouse_sink"] = stream_lakehouse_sink
 ORACLE["stream_lakehouse_sink"] = _LH_SINK_SQL
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment — the canonical Structured
+    Streaming join pattern (and the reference's routine-load-into-
+    star-schema shape): the events STREAM joins a STATIC customer
+    dimension (broadcast; re-resolved per micro-batch, so a dim
+    refresh is picked up without restarting the query), then
+    aggregates revenue per market segment. The static side never
+    becomes stream state — only the aggregation keys do."""
+    stream = read_events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment"),
+    )
+    enriched = stream.withColumn(
+        "_ck", F.col("user_id") % 1500 + 1
+    ).join(F.broadcast(cust), F.col("_ck") == F.col("c_custkey"))
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value")).alias("total_value"),
+    )
+    return run_stream_to_memory(agg, output_mode="complete",
+                                state_partitions=8)
+
+
+_STATIC_ENRICH_SQL = f"""
+SELECT c.c_mktsegment, COUNT(*) AS n_events,
+       {sql_dsum('e.value')} AS total_value
+FROM events e
+JOIN customer c ON (e.user_id % 1500 + 1) = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+QUERIES["stream_static_enrich"] = stream_static_enrich
+ORACLE["stream_static_enrich"] = _STATIC_ENRICH_SQL

@@ -104,7 +104,8 @@ _PRIORITY = [
     # split-label escaping; siblings in the same touched module
     "decontaminate_eval_overlap",
     "quality_gopher_repetition",
-    "split_stratified_counts",
+    # NEW: stream-static dimension enrichment
+    "stream_static_enrich",
     # dedup family now reads the stored SignatureIndex (code changed)
     "dedup_minhash_lsh",
     "dedup_simhash",
