@@ -106,6 +106,7 @@ EXTRAS = [
     "ann_ivf_kmeans",
     "mv_join_rewrite",
     "stream_static_enrich",
+    "table_lakehouse_merge",
     "fulltext_match_all",
     "schema_scan_tables",
 ]

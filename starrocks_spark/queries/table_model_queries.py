@@ -23,7 +23,7 @@ from datetime import date
 
 from starrocks_spark.catalog import load_table
 from starrocks_spark.scratch import scratch_root
-from starrocks_spark.queries._util import fixed, sql_dsum, sql_fixed
+from starrocks_spark.queries._util import dsum, fixed, sql_dsum, sql_fixed
 from starrocks_spark.tables.models import ManagedTable, TableModel
 from starrocks_spark.tables.partitioning import RangePartitioning
 
@@ -538,3 +538,87 @@ WHERE o_orderkey BETWEEN 10000 AND 20000
 
 QUERIES["table_lakehouse_zonemap_prune"] = table_lakehouse_zonemap_prune
 ORACLE["table_lakehouse_zonemap_prune"] = _ZONEMAP_SQL
+
+
+def table_lakehouse_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE on the lakehouse table (tables/lakehouse.py
+    SnapshotTable.merge; reference: primary-key merge-on-write +
+    iceberg upsert sinks): orders committed range-clustered on the
+    key, then one merge batch that UPDATES 50 clustered keys (price
+    +1000) and INSERTS 10 new keys. Zone maps confine the rewrite to
+    the files whose key range the batch touches — asserted — and the
+    post-merge snapshot must equal the SQL merge; the pre-merge
+    version must still read exactly (time travel across row DML)."""
+    import tempfile
+
+    from starrocks_spark.tables.lakehouse import SnapshotTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    t = SnapshotTable(
+        spark, tempfile.mkdtemp(prefix="lh_mg_", dir=scratch_root())
+    )
+    # range-clustered commit → tight per-file o_orderkey zone maps
+    t.overwrite(orders.repartitionByRange(8, "o_orderkey"))
+    n_files = len(t.snapshot().files)
+
+    updates = orders.filter(F.col("o_orderkey") < 200).select(
+        "o_orderkey", "o_custkey",
+        (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+        F.lit("MERGED").alias("o_orderpriority"),
+    )
+    inserts = orders.filter(F.col("o_orderkey") < 40).select(
+        (F.col("o_orderkey") + 90_000_000).alias("o_orderkey"),
+        "o_custkey", "o_totalprice",
+        F.lit("INSERTED").alias("o_orderpriority"),
+    )
+    rewritten = t.merge(updates.unionByName(inserts), "o_orderkey")
+    # zone maps must have confined the rewrite: the update keys live in
+    # the lowest key range (1 file), the inserts beyond every range
+    assert rewritten < n_files, (rewritten, n_files)
+
+    v0 = t.read(version=0)
+    after = t.read()
+    return (
+        after.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .unionByName(
+            v0.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                dsum(F.col("o_totalprice")).alias("total_price"),
+            ).select(F.lit("__V0_ALL__").alias("o_orderpriority"),
+                     "n_rows", "total_price")
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_LAKEHOUSE_MERGE_SQL = f"""
+WITH merged AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey < 200 THEN o_totalprice + 1000.0
+              ELSE o_totalprice END AS o_totalprice,
+         CASE WHEN o_orderkey < 200 THEN 'MERGED'
+              ELSE o_orderpriority END AS o_orderpriority
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey + 90000000, o_custkey, o_totalprice, 'INSERTED'
+  FROM orders WHERE o_orderkey < 40
+)
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {sql_dsum('o_totalprice')} AS total_price
+FROM merged
+GROUP BY o_orderpriority
+UNION ALL
+SELECT '__V0_ALL__', CAST(COUNT(*) AS BIGINT),
+       {sql_dsum('o_totalprice')}
+FROM orders
+ORDER BY o_orderpriority
+"""
+
+QUERIES["table_lakehouse_merge"] = table_lakehouse_merge
+ORACLE["table_lakehouse_merge"] = _LAKEHOUSE_MERGE_SQL

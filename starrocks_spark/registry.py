@@ -143,7 +143,8 @@ _PRIORITY = [
     # NEW: multi-table MV rewrite (+ MV siblings whose catalog changed)
     "mv_join_rewrite",
     "mv_transparent_rewrite",
-    "mv_incremental_refresh",
+    # NEW: lakehouse copy-on-write MERGE with zone-map file pruning
+    "table_lakehouse_merge",
     # NEW: information_schema breadth
     "schema_scan_tables",
     "schema_scan_partitions",

@@ -268,6 +268,103 @@ class SnapshotTable:
             )
         return df
 
+    # ------------------------------------------------------------ row DML
+
+    def merge(self, source: DataFrame, key_col: str) -> int:
+        """Copy-on-write MERGE (upsert) by ``key_col``: matched rows
+        are replaced by the source row, unmatched source rows append.
+        The Delta/Iceberg row-level-operation shape (reference:
+        primary-key merge-on-write, be/src/storage/rowset/ delete-
+        vector path; iceberg_table_sink.cpp upserts):
+
+        1. **Prune with zone maps** — only data files whose
+           [min, max] range of ``key_col`` contains at least one
+           source key are rewritten. The overlap test runs as one
+           aggregate over the source keyed by a broadcast interval
+           list (never a collect of source keys); untouched files
+           carry over into the new snapshot by reference.
+        2. **Rewrite** — touched files ⟕ source on the key: source
+           row wins for matches; source keys not present anywhere
+           append. One shuffle of (touched rows ∪ source).
+        3. **Commit** — one atomic log entry: carried files +
+           rewritten files. Readers of older versions see the
+           pre-merge snapshot (time travel is preserved).
+
+        Returns the number of files rewritten. At 100 TB the zone-map
+        pruning is the difference between rewriting a handful of
+        clustered files and the whole table."""
+        from pyspark.sql import functions as Fn
+
+        snap = self.snapshot()
+        if snap is None:
+            raise ValueError("merge into empty table: use append()")
+        intervals = []  # (file_idx, lo, hi) from the commit log
+        unprunable = []
+        for i, f in enumerate(snap.files):
+            zm = (snap.zonemaps or {}).get(f, {}).get(key_col)
+            if zm is None:
+                unprunable.append(i)
+            else:
+                intervals.append((i, zm[0], zm[1]))
+        if intervals:
+            # one aggregate pass over source keys: which intervals
+            # does any key fall into? (metadata-scale result)
+            ivl = Fn.array(*[
+                Fn.struct(Fn.lit(i).alias("i"),
+                          Fn.lit(lo).alias("lo"),
+                          Fn.lit(hi).alias("hi"))
+                for i, lo, hi in intervals
+            ])
+            touched_rows = (
+                source.select(Fn.col(key_col).alias("_k"))
+                .select(Fn.explode(Fn.filter(
+                    ivl,
+                    lambda s: (Fn.col("_k") >= s["lo"])
+                    & (Fn.col("_k") <= s["hi"]),
+                )).alias("_s"))
+                .select(Fn.col("_s.i").alias("i")).distinct().collect()
+            )
+            touched = sorted({int(r["i"]) for r in touched_rows}
+                             | set(unprunable))
+        else:
+            touched = list(range(len(snap.files)))
+        touched_files = [snap.files[i] for i in touched]
+        carried = [f for i, f in enumerate(snap.files)
+                   if i not in set(touched)]
+        self.last_files_rewritten = len(touched_files)
+
+        reader = self.spark.read
+        if snap.schema_json:
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(
+                StructType.fromJson(json.loads(snap.schema_json))
+            )
+        if touched_files:
+            current = reader.parquet(*touched_files)
+            # source wins on key match; everything else survives
+            merged = current.join(
+                source.select(Fn.col(key_col).alias("_sk")).distinct(),
+                current[key_col] == Fn.col("_sk"), "left_anti",
+            ).unionByName(source)
+        else:
+            merged = source
+        files, n = self._write_files(merged)
+
+        def entry(cur):
+            base = [f for f in cur.files if f in set(carried)]
+            # rows in carried files: total minus what the touched
+            # files held — recover from footers (metadata read)
+            import pyarrow.parquet as pq
+
+            carried_n = sum(
+                pq.ParquetFile(f).metadata.num_rows for f in base
+            )
+            return (base + files, carried_n + n, cur.schema_json)
+
+        self._publish("merge", entry)
+        return len(touched_files)
+
     # -------------------------------------------------------- maintenance
 
     def compact(self, target_files: int = 1) -> int:

@@ -178,3 +178,54 @@ def test_zonemaps_survive_append(spark):
     got = t.read(zone_filter=("k", 0, 50))
     assert t.last_files_scanned < len(snap.files)
     assert got.count() == 51
+
+
+def test_merge_cow_prunes_with_zone_maps(spark, sf_dir, tmp_path):
+    """MERGE rewrites only the files whose key zone-map range the
+    source touches; untouched files carry over BY REFERENCE (same
+    path) and older versions still read the pre-merge data."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from starrocks_spark.catalog import load_table
+    from starrocks_spark.tables.lakehouse import SnapshotTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    t = SnapshotTable(spark, str(tmp_path / "mg"))
+    t.overwrite(orders.repartitionByRange(8, "o_orderkey"))
+    files_v0 = list(t.snapshot().files)
+    n0 = t.read().count()
+
+    src = orders.filter(F.col("o_orderkey") < 100).select(
+        "o_orderkey", (F.col("o_totalprice") * 0.0).alias("o_totalprice")
+    )
+    rewritten = t.merge(src, "o_orderkey")
+    assert 0 < rewritten < len(files_v0)
+    assert t.last_files_rewritten == rewritten
+    # untouched files carried by reference into the new snapshot
+    carried = set(files_v0) & set(t.snapshot().files)
+    assert len(carried) == len(files_v0) - rewritten
+    # updates applied, no rows invented
+    after = t.read()
+    assert after.count() == n0
+    assert after.filter(
+        (F.col("o_orderkey") < 100) & (F.col("o_totalprice") != 0.0)
+    ).count() == 0
+    # inserts: new keys append
+    ins = spark.range(1).select(
+        F.lit(99_000_001).alias("o_orderkey"),
+        F.lit(5.0).alias("o_totalprice"),
+    )
+    t.merge(ins, "o_orderkey")
+    assert t.read().count() == n0 + 1
+    # time travel: version 0 is untouched by both merges
+    assert t.read(version=0).count() == n0
+    assert t.read(version=0).filter(
+        (F.col("o_orderkey") < 100) & (F.col("o_totalprice") == 0.0)
+    ).count() == 0
+    # merge into an empty table is an explicit error
+    empty = SnapshotTable(spark, str(tmp_path / "mg_empty"))
+    with pytest.raises(ValueError, match="empty"):
+        empty.merge(src, "o_orderkey")
