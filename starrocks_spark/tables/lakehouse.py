@@ -365,6 +365,53 @@ class SnapshotTable:
         self._publish("merge", entry)
         return len(touched_files)
 
+    def delete(self, condition, prune: tuple | None = None) -> int:
+        """Copy-on-write DELETE: rewrite (filtered) only the files that
+        can hold matching rows. ``condition``: a Column predicate over
+        the table's rows. ``prune=(col, lo, hi)``: the predicate's
+        bounding range on one column — files whose zone-map range for
+        ``col`` misses [lo, hi] are carried over untouched (the same
+        data-skipping contract as read()'s zone_filter; Delta DELETE
+        prunes with its log stats identically). Without ``prune``
+        every file is rewritten. Returns files rewritten."""
+        snap = self.snapshot()
+        if snap is None:
+            raise ValueError("delete from empty table")
+        touched, carried = [], []
+        for f in snap.files:
+            zm = (snap.zonemaps or {}).get(f, {}).get(
+                prune[0]) if prune else None
+            try:
+                prunable = (prune is not None and zm is not None
+                            and (zm[1] < prune[1] or zm[0] > prune[2]))
+            except TypeError:
+                prunable = False  # incomparable stats: must rewrite
+            (carried if prunable else touched).append(f)
+        self.last_files_rewritten = len(touched)
+        reader = self.spark.read
+        if snap.schema_json:
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(
+                StructType.fromJson(json.loads(snap.schema_json))
+            )
+        if not touched:
+            return 0
+        kept = reader.parquet(*touched).filter(~condition)
+        files, n = self._write_files(kept)
+
+        def entry(cur):
+            import pyarrow.parquet as pq
+
+            base = [f for f in cur.files if f in set(carried)]
+            carried_n = sum(
+                pq.ParquetFile(f).metadata.num_rows for f in base
+            )
+            return (base + files, carried_n + n, cur.schema_json)
+
+        self._publish("delete", entry)
+        return len(touched)
+
     # -------------------------------------------------------- maintenance
 
     def compact(self, target_files: int = 1) -> int:

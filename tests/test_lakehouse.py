@@ -229,3 +229,31 @@ def test_merge_cow_prunes_with_zone_maps(spark, sf_dir, tmp_path):
     empty = SnapshotTable(spark, str(tmp_path / "mg_empty"))
     with pytest.raises(ValueError, match="empty"):
         empty.merge(src, "o_orderkey")
+
+
+def test_delete_cow_prunes_and_time_travels(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from starrocks_spark.catalog import load_table
+    from starrocks_spark.tables.lakehouse import SnapshotTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    t = SnapshotTable(spark, str(tmp_path / "dl"))
+    t.overwrite(orders.repartitionByRange(8, "o_orderkey"))
+    n0 = t.read().count()
+    n_files = len(t.snapshot().files)
+    n_hit = orders.filter(F.col("o_orderkey") < 100).count()
+
+    rewritten = t.delete(
+        F.col("o_orderkey") < 100, prune=("o_orderkey", 0, 99)
+    )
+    assert 0 < rewritten < n_files
+    assert t.read().count() == n0 - n_hit
+    assert t.read().filter(F.col("o_orderkey") < 100).count() == 0
+    assert t.read(version=0).count() == n0  # time travel intact
+    # a fully-out-of-range delete touches nothing
+    assert t.delete(
+        F.col("o_orderkey") < -5, prune=("o_orderkey", -10, -5)
+    ) == 0
