@@ -235,6 +235,9 @@ MAPPED: dict[str, str] = {
 
 # Reference name → repo module implementing it.
 REPO: dict[str, str] = {
+    # batched mapInPandas operator (deterministic fake backend +
+    # RemoteBackend plug-in; oracle-checked via ai_query_enrich)
+    "ai_query": "starrocks_spark/operators/ai.py",
     "approx_cosine_similarity": "starrocks_spark/functions/vector.py",
     "approx_l2_distance": "starrocks_spark/functions/vector.py",
     "cosine_similarity": "starrocks_spark/functions/vector.py",
@@ -294,7 +297,6 @@ NA: dict[str, str] = {
     **{n: "Iceberg partition-transform intrinsic (Spark's Iceberg "
           "connector supplies these)" for n in REFERENCE_NAMES
        if n.startswith("__iceberg_transform")},
-    "ai_query": "server-side model-endpoint call (optional per SURVEY)",
     "http_request": "server-side HTTP call surface",
     "esquery": "Elasticsearch pushdown marker (no ES scan; SURVEY §2.1)",
     "get_query_profile": "server introspection",
