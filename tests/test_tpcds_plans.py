@@ -1,0 +1,51 @@
+"""Plan-shape assertions for the TPC-DS-shaped family — the scale
+contracts behind queries/tpcds.py (SURVEY §6: the reference's largest
+published benchmark is TPC-DS 1 TB)."""
+
+from __future__ import annotations
+
+from starrocks_spark.queries import tpcds
+from tests.test_plans import plan_str
+
+
+def test_q64_snowflake_broadcasts_every_dim(spark, sf_dir):
+    """The deep snowflake joins customer/nation/region/part/supplier —
+    ALL five must broadcast; the only shuffle join is fact⋈orders."""
+    p = plan_str(tpcds.tpcds_q64_snowflake(spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 5, p.count("BroadcastHashJoin")
+    # the one fact-fact join (lineitem⋈orders) may shuffle or, at this
+    # fixture scale, broadcast under AQE — but there must be no
+    # nested-loop fallback anywhere in the tree
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_q49_rank_filter_compiles_to_window_group_limit(spark, sf_dir):
+    """rank() <= 10 within each channel branch must compile to
+    WindowGroupLimit (partial before the exchange): the global-order
+    window then shuffles only ~10 survivors per input partition, never
+    the full per-item aggregate — the property that keeps a global
+    top-N safe when |items| grows 1000×."""
+    p = plan_str(tpcds.tpcds_q49_return_ranks(spark, sf_dir))
+    assert "WindowGroupLimit" in p
+    assert "Partial" in p.split("WindowGroupLimit")[1].splitlines()[0] \
+        or p.count("WindowGroupLimit") >= 2
+
+
+def test_q5_rollup_is_one_scan_with_expand(spark, sf_dir):
+    """ROLLUP compiles to Expand over a single fact scan — not one
+    scan per grouping set."""
+    p = plan_str(tpcds.tpcds_q5_channel_rollup(spark, sf_dir))
+    assert "Expand" in p
+    # one "Location:" detail block per scan — exactly one source
+    assert p.count("Location: InMemoryFileIndex") == 1, p
+
+
+def test_q38_intersect_aggregates_before_join(spark, sf_dir):
+    """Channel INTERSECT runs over aggregate-shrunk distinct key sets:
+    HashAggregate pairs appear below the intersect joins, so the
+    shuffles carry distinct customers, not fact rows."""
+    p = plan_str(tpcds.tpcds_q38_channel_intersect(spark, sf_dir))
+    assert "HashAggregate" in p
+    # intersect plans as left-semi joins over the distinct sets
+    assert "LeftSemi" in p
