@@ -329,8 +329,6 @@ class SnapshotTable:
         else:
             touched = list(range(len(snap.files)))
         touched_files = [snap.files[i] for i in touched]
-        carried = [f for i, f in enumerate(snap.files)
-                   if i not in set(touched)]
         self.last_files_rewritten = len(touched_files)
 
         reader = self.spark.read
@@ -352,9 +350,21 @@ class SnapshotTable:
         files, n = self._write_files(merged)
 
         def entry(cur):
-            base = [f for f in cur.files if f in set(carried)]
-            # rows in carried files: total minus what the touched
-            # files held — recover from footers (metadata read)
+            # carry everything EXCEPT the files this merge rewrote —
+            # phrased as an exclusion so a retry against a snapshot
+            # that a concurrent APPEND won keeps the appender's files
+            # (an inclusion list from our stale snapshot would silently
+            # drop them). Like Delta, a concurrent writer that touched
+            # the SAME files would need conflict detection — the
+            # rewritten set is validated against the current snapshot.
+            gone = set(touched_files) - set(cur.files)
+            if gone:
+                raise RuntimeError(
+                    f"merge conflict: {len(gone)} source files were "
+                    "replaced by a concurrent commit; re-run the merge"
+                )
+            base = [f for f in cur.files if f not in set(touched_files)]
+            # rows in carried files from footers (metadata read)
             import pyarrow.parquet as pq
 
             carried_n = sum(
@@ -403,7 +413,14 @@ class SnapshotTable:
         def entry(cur):
             import pyarrow.parquet as pq
 
-            base = [f for f in cur.files if f in set(carried)]
+            # exclusion carry + conflict check — see merge()
+            gone = set(touched) - set(cur.files)
+            if gone:
+                raise RuntimeError(
+                    f"delete conflict: {len(gone)} source files were "
+                    "replaced by a concurrent commit; re-run the delete"
+                )
+            base = [f for f in cur.files if f not in set(touched)]
             carried_n = sum(
                 pq.ParquetFile(f).metadata.num_rows for f in base
             )
