@@ -212,3 +212,56 @@ ORDER BY p_type
 
 QUERIES["star_pruned_join"] = star_pruned_join
 ORACLE["star_pruned_join"] = _STAR_SQL
+
+
+def join_colocate_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Colocate join end-to-end (reference: colocate groups,
+    Partitions.thrift:63-66 — tables bucketed identically join with
+    ZERO data movement): orders and customer are written bucketed by
+    the join key into the same bucket count; the join compiles to a
+    SortMergeJoin with NO Exchange on either side — asserted here at
+    plan level, value-checked by the oracle. The merge hint only pins
+    the strategy broadcast would shadow at fixture scale; at 100 TB
+    both sides exceed the broadcast threshold and the bucketed SMJ is
+    what the planner picks unaided."""
+    import shutil
+
+    from starrocks_spark.catalog import load_table as _lt
+
+    orders = _lt(spark, sf_dir, "orders")
+    customer = _lt(spark, sf_dir, "customer")
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("q_b_orders", "q_b_customer"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey") \
+        .mode("overwrite").saveAsTable("q_b_orders")
+    customer.write.bucketBy(8, "c_custkey").sortBy("c_custkey") \
+        .mode("overwrite").saveAsTable("q_b_customer")
+    bo = spark.table("q_b_orders")
+    bc = spark.table("q_b_customer")
+    joined = bo.join(bc.hint("merge"), bo["o_custkey"] == bc["c_custkey"])
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan  # colocate contract
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(fixed(F.col("o_totalprice")).cast("long"))
+            .alias("revenue_f"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_COLOCATE_SQL = f"""
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM({sql_fixed('o_totalprice')}) AS BIGINT) AS revenue_f
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+QUERIES["join_colocate_bucketed"] = join_colocate_bucketed
+ORACLE["join_colocate_bucketed"] = _COLOCATE_SQL

@@ -142,7 +142,8 @@ _PRIORITY = [
     "tpcds_q78_web_only_ratio",
     # NEW: multi-table MV rewrite (+ MV siblings whose catalog changed)
     "mv_join_rewrite",
-    "mv_transparent_rewrite",
+    # NEW: colocate bucketed join (first driver row for the family)
+    "join_colocate_bucketed",
     # NEW: lakehouse copy-on-write MERGE with zone-map file pruning
     "table_lakehouse_merge",
     # NEW: information_schema breadth
