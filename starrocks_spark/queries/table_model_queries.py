@@ -622,3 +622,53 @@ ORDER BY o_orderpriority
 
 QUERIES["table_lakehouse_merge"] = table_lakehouse_merge
 ORACLE["table_lakehouse_merge"] = _LAKEHOUSE_MERGE_SQL
+
+
+def schema_scan_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit history as a queryable metadata view
+    (sources/infoschema.py snapshot_history; DESCRIBE HISTORY analog):
+    overwrite → append → merge on a lakehouse table, then the history
+    view must report each commit's operation and EXACT row count —
+    which the oracle derives from the same source predicates. File
+    counts are writer-parallelism-dependent and stay out of the
+    checked columns."""
+    import tempfile
+
+    from starrocks_spark.sources.infoschema import snapshot_history
+    from starrocks_spark.tables.lakehouse import SnapshotTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    t = SnapshotTable(
+        spark, tempfile.mkdtemp(prefix="lh_hist_", dir=scratch_root())
+    )
+    t.overwrite(orders.filter(F.col("o_orderkey") % 2 == 0)
+                .repartitionByRange(4, "o_orderkey"))
+    t.append(orders.filter(F.col("o_orderkey") % 2 == 1))
+    t.merge(
+        orders.filter(F.col("o_orderkey") < 50).select(
+            "o_orderkey", (F.col("o_totalprice") + 1.0)
+            .alias("o_totalprice"),
+        ),
+        "o_orderkey",
+    )
+    return snapshot_history(spark, t) \
+        .select("version", "operation", "n_rows").orderBy("version")
+
+
+_HISTORY_SQL = """
+SELECT CAST(0 AS BIGINT) AS version, 'overwrite' AS operation,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+        WHERE o_orderkey % 2 = 0) AS n_rows
+UNION ALL
+SELECT 1, 'append',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders)
+UNION ALL
+SELECT 2, 'merge',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders)
+ORDER BY version
+"""
+
+QUERIES["schema_scan_history"] = schema_scan_history
+ORACLE["schema_scan_history"] = _HISTORY_SQL

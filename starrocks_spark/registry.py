@@ -91,7 +91,6 @@ _MODULES = [
 _PRIORITY = [
     # search operators — two-phase top-k + stored index artifacts
     "ann_brute_force",
-    "ann_lsh_bucketed",
     "ann_lsh_multiprobe",
     "ann_ivf_probe",
     "ann_sq8_quantized",
@@ -150,6 +149,7 @@ _PRIORITY = [
     "schema_scan_tables",
     "schema_scan_partitions",
     "schema_scan_column_stats",
+    "schema_scan_history",
     # refined-quantizer IVF (new this round)
     "ann_ivf_kmeans",
 ]

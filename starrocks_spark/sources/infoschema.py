@@ -87,3 +87,16 @@ def schema_column_stats(spark: SparkSession, df: DataFrame,
             max_value=int(st["max"]),
         ))
     return spark.createDataFrame(rows)
+
+
+def snapshot_history(spark: SparkSession, table) -> DataFrame:
+    """DESCRIBE HISTORY analog over a lakehouse SnapshotTable: one row
+    per commit (version, operation, file/row counts) straight from the
+    commit log — pure metadata, no data I/O (reference: the
+    table-snapshot schema scanners; Delta's DESCRIBE HISTORY)."""
+    rows = [
+        Row(version=s.version, operation=s.operation,
+            n_files=len(s.files), n_rows=int(s.n_rows))
+        for s in table.history()
+    ]
+    return spark.createDataFrame(rows)
