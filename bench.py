@@ -136,6 +136,10 @@ TPCDS = [
     "tpcds_q54_revenue_buckets",
     "tpcds_q64_snowflake",
     "tpcds_q78_web_only_ratio",
+    "tpcds_q17_qty_stddev",
+    "tpcds_q23_frequent_best",
+    "tpcds_q35_demographic_stats",
+    "tpcds_q76_channel_union_nulls",
 ]
 
 

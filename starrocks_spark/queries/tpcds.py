@@ -29,6 +29,10 @@ Shapes covered (TPC-DS query number → what it exercises):
   q54 revenue-bucket customer segmentation
   q64 deep snowflake (two-hop dim chain + two first-hop dims)
   q78 exclusive-channel revenue via LEFT ANTI pairs
+  q17 variance-based stability filter (fixed-point closed-form stdev)
+  q23 frequent items ∩ best customers (two qualifying sets)
+  q35 multi-EXISTS demographic stats
+  q76 heterogeneous channel UNION with per-branch null columns
 
 Scale notes: lineitem⋈orders is the one fact-fact shuffle (AQE
 re-balances); part/customer joins broadcast; every double SUM goes
@@ -1093,3 +1097,220 @@ GROUP BY channel
 ORDER BY channel
 """
 QUERIES["tpcds_q14_cross_channel"] = tpcds_q14_cross_channel
+
+
+# ---------------------------------------------------------------------------
+# q17 shape: variance-based stability filter (portable stddev)
+
+def tpcds_q17_qty_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q17 shape: items whose quantity shows low relative
+    spread (stdev/mean ≤ threshold). Spark's stddev_samp merges
+    per-partition M2 states — order-dependent in the last bits — so
+    the spread is computed from FIXED-POINT sums (Σq, Σq²) in closed
+    form: deterministic, partitioning-independent, and bit-identical
+    in the oracle."""
+    s = _sales(spark, sf_dir)
+    per_item = (
+        s.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("l_quantity")).alias("qsum"),
+            dsum(F.col("l_quantity") * F.col("l_quantity")).alias("qsq"),
+        )
+        .filter(F.col("n") >= 20)
+    )
+    mean = F.col("qsum") / F.col("n")
+    var = (F.col("qsq") - F.col("qsum") * F.col("qsum") / F.col("n")) \
+        / (F.col("n") - 1)
+    cov = F.sqrt(var) / mean
+    return (
+        per_item.withColumn("qty_cov", cov)
+        .filter(F.col("qty_cov") <= 0.58)
+        .select("l_partkey", "n", "qty_cov")
+        .orderBy("l_partkey")
+    )
+
+
+_QS = sql_dsum("l_quantity")
+_QSQ = sql_dsum("l_quantity * l_quantity")
+ORACLE["tpcds_q17_qty_stddev"] = f"""
+WITH s AS ({_SQL_SALES}),
+per_item AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n,
+         {_QS} AS qsum, {_QSQ} AS qsq
+  FROM s GROUP BY l_partkey
+  HAVING COUNT(*) >= 20
+)
+SELECT l_partkey, n,
+       sqrt((qsq - qsum * qsum / n) / (n - 1)) / (qsum / n) AS qty_cov
+FROM per_item
+WHERE sqrt((qsq - qsum * qsum / n) / (n - 1)) / (qsum / n) <= 0.58
+ORDER BY l_partkey
+"""
+QUERIES["tpcds_q17_qty_stddev"] = tpcds_q17_qty_stddev
+
+
+# ---------------------------------------------------------------------------
+# q23 shape: frequent items ∩ best customers
+
+def tpcds_q23_frequent_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q23 shape: 'frequent' items (sold on ≥ 5 distinct days
+    in 1996) intersected with purchases by 'best' customers (top
+    spenders above a scalar-subquery threshold) — two independent
+    qualifying sets gating the fact scan."""
+    s = _sales(spark, sf_dir, with_cust=True)
+    y = s.filter(F.year("l_shipdate") == 1996)
+    frequent = (
+        y.groupBy("l_partkey")
+        .agg(F.countDistinct(F.to_date("l_shipdate")).alias("d"))
+        .filter(F.col("d") >= 5)
+        .select("l_partkey")
+    )
+    spend = s.groupBy("o_custkey").agg(
+        dsum(F.col("net_price")).alias("spend")
+    )
+    cutoff = spend.agg(
+        (dsum(F.col("spend")) / F.count(F.lit(1))).alias("_avg")
+    )
+    best = (
+        spend.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("spend") > F.col("_avg") * 1.5)
+        .select("o_custkey")
+    )
+    hits = y.join(frequent, "l_partkey").join(best, "o_custkey")
+    return hits.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        dsum(F.col("net_price")).alias("qualified_sales"),
+    )
+
+
+ORACLE["tpcds_q23_frequent_best"] = f"""
+WITH s AS ({_SQL_SALES_CUST}),
+y AS (SELECT * FROM s WHERE year(l_shipdate) = 1996),
+frequent AS (
+  SELECT l_partkey FROM y
+  GROUP BY l_partkey
+  HAVING COUNT(DISTINCT CAST(l_shipdate AS DATE)) >= 5
+),
+spend AS (
+  SELECT o_custkey, {sql_dsum('net_price')} AS spend
+  FROM s GROUP BY o_custkey
+),
+best AS (
+  SELECT o_custkey FROM spend
+  WHERE spend > (SELECT ({sql_dsum('spend')}) / COUNT(*) FROM spend) * 1.5
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       {sql_dsum('net_price')} AS qualified_sales
+FROM y
+JOIN frequent USING (l_partkey)
+JOIN best USING (o_custkey)
+"""
+QUERIES["tpcds_q23_frequent_best"] = tpcds_q23_frequent_best
+
+
+# ---------------------------------------------------------------------------
+# q35 shape: customer demographics gated by EXISTS, multi-agg
+
+def tpcds_q35_demographic_stats(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """TPC-DS q35 shape: per nation, stats (count / min / max / sum)
+    over account balances of customers who have store activity AND
+    (web OR catalog activity) — EXISTS gates feeding a multi-aggregate
+    rollup of the same column."""
+    s = _sales(spark, sf_dir, with_cust=True)
+    cust = load_table(spark, sf_dir, "customer")
+
+    def has(ch: str) -> DataFrame:
+        return s.filter(F.col("channel") == ch) \
+            .select("o_custkey").distinct()
+
+    gated = (
+        cust.join(has("store"),
+                  cust["c_custkey"] == F.col("o_custkey"), "left_semi")
+        .join(has("web").unionByName(has("catalog")).distinct()
+              .withColumnRenamed("o_custkey", "oc2"),
+              F.col("c_custkey") == F.col("oc2"), "left_semi")
+    )
+    return (
+        gated.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            dsum(F.col("c_acctbal")).alias("bal_sum"),
+            F.min("c_acctbal").alias("bal_min"),
+            F.max("c_acctbal").alias("bal_max"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+ORACLE["tpcds_q35_demographic_stats"] = f"""
+WITH s AS ({_SQL_SALES_CUST})
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust,
+       {sql_dsum('c_acctbal')} AS bal_sum,
+       MIN(c_acctbal) AS bal_min, MAX(c_acctbal) AS bal_max
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM s WHERE s.o_custkey = c.c_custkey
+              AND s.channel = 'store')
+  AND EXISTS (SELECT 1 FROM s WHERE s.o_custkey = c.c_custkey
+              AND s.channel IN ('web', 'catalog'))
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+QUERIES["tpcds_q35_demographic_stats"] = tpcds_q35_demographic_stats
+
+
+# ---------------------------------------------------------------------------
+# q76 shape: UNION of channel scans with per-channel null columns
+
+def tpcds_q76_channel_union_nulls(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """TPC-DS q76 shape: each channel contributes rows with a
+    DIFFERENT populated attribute column (the others NULL), UNION ALL,
+    then a count/sum report by (channel, year) — the heterogeneous
+    union-fact report q76 is known for."""
+    s = _sales(spark, sf_dir)
+
+    def branch(ch: str, attr) -> DataFrame:
+        return s.filter(F.col("channel") == ch).select(
+            F.lit(ch).alias("channel"),
+            F.year("l_shipdate").alias("yr"),
+            attr.alias("attr"),
+            "net_price",
+        )
+
+    u = (
+        branch("store", F.col("l_partkey").cast("string"))
+        .unionByName(branch("catalog", F.lit(None).cast("string")))
+        .unionByName(branch("web", F.col("l_suppkey").cast("string")))
+    )
+    return (
+        u.groupBy("channel", "yr")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("attr").alias("n_attr"),
+            dsum(F.col("net_price")).alias("sales_amt"),
+        )
+        .orderBy("channel", "yr")
+    )
+
+
+ORACLE["tpcds_q76_channel_union_nulls"] = f"""
+WITH s AS ({_SQL_SALES}),
+u AS (
+  SELECT 'store' AS channel, year(l_shipdate) AS yr,
+         CAST(l_partkey AS VARCHAR) AS attr, net_price
+  FROM s WHERE channel = 'store'
+  UNION ALL
+  SELECT 'catalog', year(l_shipdate), NULL, net_price
+  FROM s WHERE channel = 'catalog'
+  UNION ALL
+  SELECT 'web', year(l_shipdate), CAST(l_suppkey AS VARCHAR), net_price
+  FROM s WHERE channel = 'web'
+)
+SELECT channel, yr, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(attr) AS BIGINT) AS n_attr,
+       {sql_dsum('net_price')} AS sales_amt
+FROM u GROUP BY channel, yr ORDER BY channel, yr
+"""
+QUERIES["tpcds_q76_channel_union_nulls"] = tpcds_q76_channel_union_nulls
