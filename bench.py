@@ -140,6 +140,11 @@ TPCDS = [
     "tpcds_q23_frequent_best",
     "tpcds_q35_demographic_stats",
     "tpcds_q76_channel_union_nulls",
+    "tpcds_q87_except_count",
+    "tpcds_q66_monthly_matrix",
+    "tpcds_q48_or_bands",
+    "tpcds_q61_promo_ratio",
+    "tpcds_q99_delay_buckets",
 ]
 
 

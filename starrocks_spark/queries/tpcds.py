@@ -33,6 +33,11 @@ Shapes covered (TPC-DS query number → what it exercises):
   q23 frequent items ∩ best customers (two qualifying sets)
   q35 multi-EXISTS demographic stats
   q76 heterogeneous channel UNION with per-branch null columns
+  q87 chained EXCEPT of channel customer sets
+  q66 wide conditional-sum monthly matrix (pivot-by-CASE)
+  q48 OR of multi-column band predicates
+  q61 promotional-sales ratio via two scalar aggregates
+  q99 shipping-delay bucket matrix
 
 Scale notes: lineitem⋈orders is the one fact-fact shuffle (AQE
 re-balances); part/customer joins broadcast; every double SUM goes
@@ -1314,3 +1319,202 @@ SELECT channel, yr, CAST(COUNT(*) AS BIGINT) AS n_rows,
 FROM u GROUP BY channel, yr ORDER BY channel, yr
 """
 QUERIES["tpcds_q76_channel_union_nulls"] = tpcds_q76_channel_union_nulls
+
+
+# ---------------------------------------------------------------------------
+# q87 shape: EXCEPT-based customer count
+
+def tpcds_q87_except_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q87 shape: customers in the store channel EXCEPT those
+    in web EXCEPT those in catalog — chained set difference over
+    distinct key sets, then a count."""
+    s = _sales(spark, sf_dir, with_cust=True)
+
+    def custs(ch: str) -> DataFrame:
+        return s.filter(F.col("channel") == ch) \
+            .select("o_custkey").distinct()
+
+    only_store = custs("store").exceptAll(custs("web")) \
+        .exceptAll(custs("catalog"))
+    return only_store.agg(F.count(F.lit(1)).alias("n_store_only"))
+
+
+ORACLE["tpcds_q87_except_count"] = f"""
+WITH s AS ({_SQL_SALES_CUST})
+SELECT CAST(COUNT(*) AS BIGINT) AS n_store_only FROM (
+  SELECT DISTINCT o_custkey FROM s WHERE channel = 'store'
+  EXCEPT
+  SELECT DISTINCT o_custkey FROM s WHERE channel = 'web'
+  EXCEPT
+  SELECT DISTINCT o_custkey FROM s WHERE channel = 'catalog'
+)
+"""
+QUERIES["tpcds_q87_except_count"] = tpcds_q87_except_count
+
+
+# ---------------------------------------------------------------------------
+# q66 shape: wide conditional-sum matrix (shipping by month)
+
+def tpcds_q66_monthly_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q66 shape: one row per (supplier-region bucket, year)
+    with TWELVE conditional monthly sums — the wide pivot-by-CASE
+    matrix q66 is known for, all in one aggregation pass."""
+    s = _sales(spark, sf_dir)
+    base = s.withColumn("mon", F.month("l_shipdate")) \
+        .withColumn("yr", F.year("l_shipdate")) \
+        .withColumn("sbucket", (F.col("l_suppkey") % 4).cast("int"))
+    aggs = [
+        dsum(F.when(F.col("mon") == m, F.col("net_price"))
+             .otherwise(F.lit(0.0))).alias(f"m{m:02d}_sales")
+        for m in range(1, 13)
+    ]
+    return (
+        base.filter(F.col("yr") == 1997)
+        .groupBy("sbucket")
+        .agg(*aggs)
+        .orderBy("sbucket")
+    )
+
+
+_M_COLS = ",\n       ".join(
+    sql_dsum(f"CASE WHEN month(l_shipdate) = {m} THEN net_price "
+             "ELSE 0.0 END") + f" AS m{m:02d}_sales"
+    for m in range(1, 13)
+)
+ORACLE["tpcds_q66_monthly_matrix"] = f"""
+WITH s AS ({_SQL_SALES})
+SELECT CAST(l_suppkey % 4 AS INT) AS sbucket,
+       {_M_COLS}
+FROM s
+WHERE year(l_shipdate) = 1997
+GROUP BY l_suppkey % 4
+ORDER BY sbucket
+"""
+QUERIES["tpcds_q66_monthly_matrix"] = tpcds_q66_monthly_matrix
+
+
+# ---------------------------------------------------------------------------
+# q48 shape: OR of multi-column band predicates
+
+def tpcds_q48_or_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q48 shape: a disjunction of (quantity band AND price
+    band) conjuncts — the multi-band OR predicate the optimizer must
+    keep as one scan filter (no union split: bands overlap)."""
+    s = _sales(spark, sf_dir)
+    band = (
+        ((F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 10)
+         & (F.col("net_price") >= 1000) & (F.col("net_price") <= 30000))
+        | ((F.col("l_quantity") >= 11) & (F.col("l_quantity") <= 30)
+           & (F.col("net_price") >= 20000) & (F.col("net_price") <= 60000))
+        | ((F.col("l_quantity") >= 31)
+           & (F.col("net_price") >= 50000))
+    )
+    return s.filter(band).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        dsum(F.col("l_quantity")).alias("total_qty"),
+        dsum(F.col("net_price")).alias("total_sales"),
+    )
+
+
+ORACLE["tpcds_q48_or_bands"] = f"""
+WITH s AS ({_SQL_SALES})
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       {sql_dsum('l_quantity')} AS total_qty,
+       {sql_dsum('net_price')} AS total_sales
+FROM s
+WHERE (l_quantity BETWEEN 1 AND 10
+       AND net_price BETWEEN 1000 AND 30000)
+   OR (l_quantity BETWEEN 11 AND 30
+       AND net_price BETWEEN 20000 AND 60000)
+   OR (l_quantity >= 31 AND net_price >= 50000)
+"""
+QUERIES["tpcds_q48_or_bands"] = tpcds_q48_or_bands
+
+
+# ---------------------------------------------------------------------------
+# q61 shape: promotional-sales ratio via two scalar aggregates
+
+def tpcds_q61_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q61 shape: promotional sales (discount ≥ 5%) over total
+    sales as a percentage — two independent scalar aggregates
+    cross-joined into one ratio row."""
+    s = _sales(spark, sf_dir).filter(F.col("channel") == "store")
+    promo = s.filter(F.col("l_discount") >= 0.05).agg(
+        dsum(F.col("net_price")).alias("promo_sales")
+    )
+    total = s.agg(dsum(F.col("net_price")).alias("total_sales"))
+    return promo.crossJoin(total).select(
+        "promo_sales", "total_sales",
+        (F.col("promo_sales") / F.col("total_sales") * 100.0)
+        .alias("promo_pct"),
+    )
+
+
+ORACLE["tpcds_q61_promo_ratio"] = f"""
+WITH s AS ({_SQL_SALES}),
+promo AS (
+  SELECT {sql_dsum('net_price')} AS promo_sales
+  FROM s WHERE channel = 'store' AND l_discount >= 0.05
+),
+total AS (
+  SELECT {sql_dsum('net_price')} AS total_sales
+  FROM s WHERE channel = 'store'
+)
+SELECT promo_sales, total_sales,
+       promo_sales / total_sales * 100.0 AS promo_pct
+FROM promo CROSS JOIN total
+"""
+QUERIES["tpcds_q61_promo_ratio"] = tpcds_q61_promo_ratio
+
+
+# ---------------------------------------------------------------------------
+# q99 shape: shipping-delay bucket matrix
+
+def tpcds_q99_delay_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q99 shape: per shipping bucket (supplier mod), counts of
+    orders in delay bands (days between order and ship date) — the
+    CASE-bucket count matrix."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_orderdate")
+    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]) \
+        .withColumn(
+            "delay",
+            F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")),
+        ) \
+        .withColumn("sbucket", (F.col("l_suppkey") % 4).cast("int"))
+
+    def band(name, cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).alias(name)
+
+    return (
+        j.groupBy("sbucket")
+        .agg(
+            band("d_0_30", F.col("delay") <= 30),
+            band("d_31_60", (F.col("delay") > 30) & (F.col("delay") <= 60)),
+            band("d_61_90", (F.col("delay") > 60) & (F.col("delay") <= 90)),
+            band("d_over_90", F.col("delay") > 90),
+        )
+        .orderBy("sbucket")
+    )
+
+
+ORACLE["tpcds_q99_delay_buckets"] = """
+WITH j AS (
+  SELECT CAST(l_suppkey % 4 AS INT) AS sbucket,
+         date_diff('day', CAST(o_orderdate AS DATE),
+                   CAST(l_shipdate AS DATE)) AS delay
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT sbucket,
+       CAST(SUM(CASE WHEN delay <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+         AS d_0_30,
+       CAST(SUM(CASE WHEN delay > 30 AND delay <= 60 THEN 1 ELSE 0 END)
+         AS BIGINT) AS d_31_60,
+       CAST(SUM(CASE WHEN delay > 60 AND delay <= 90 THEN 1 ELSE 0 END)
+         AS BIGINT) AS d_61_90,
+       CAST(SUM(CASE WHEN delay > 90 THEN 1 ELSE 0 END) AS BIGINT)
+         AS d_over_90
+FROM j GROUP BY sbucket ORDER BY sbucket
+"""
+QUERIES["tpcds_q99_delay_buckets"] = tpcds_q99_delay_buckets
