@@ -566,3 +566,68 @@ ORACLE = {
     "agg_state_merge": _STATE_MERGE_SQL,
     "agg_any_value_mode": _ANY_VALUE_MODE_SQL,
 }
+
+
+def agg_corr_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation & sample covariance per market segment
+    (reference: corr / covar_samp / covar_pop in FunctionSet) computed
+    in CLOSED FORM from fixed-point sums (Σx, Σy, Σxy, Σx², n) — the
+    built-in corr()'s distributed co-moment merge is order-dependent
+    in the last bits, so this is the portable formulation both engines
+    reproduce exactly. Correlates order price with customer account
+    balance within each segment."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+    ).select(
+        "c_mktsegment",
+        F.col("o_totalprice").alias("x"),
+        F.col("c_acctbal").alias("y"),
+    )
+    agg = j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("x")).alias("sx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cov_s = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - 1)
+    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return agg.select(
+        "c_mktsegment", "n",
+        cov_s.alias("covar_samp"),
+        corr.alias("pearson_r"),
+    ).orderBy("c_mktsegment")
+
+
+_CORR_SQL = f"""
+WITH j AS (
+  SELECT c_mktsegment, o_totalprice AS x, c_acctbal AS y
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+agg AS (
+  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+         {sql_dsum('x')} AS sx, {sql_dsum('y')} AS sy,
+         {sql_dsum('x * y')} AS sxy,
+         {sql_dsum('x * x')} AS sxx,
+         {sql_dsum('y * y')} AS syy
+  FROM j GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, n,
+       (sxy - sx * sy / CAST(n AS DOUBLE))
+         / (CAST(n AS DOUBLE) - 1) AS covar_samp,
+       (CAST(n AS DOUBLE) * sxy - sx * sy)
+         / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                * (CAST(n AS DOUBLE) * syy - sy * sy)) AS pearson_r
+FROM agg
+ORDER BY c_mktsegment
+"""
+
+QUERIES["agg_corr_fixed"] = agg_corr_fixed
+ORACLE["agg_corr_fixed"] = _CORR_SQL
