@@ -677,3 +677,45 @@ ORACLE = {
     "values_inline_join": _VALUES_JOIN_SQL,
     "distinct_multi_agg": _DISTINCT_MULTI_SQL,
 }
+
+
+def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value/lag with IGNORE NULLS (reference:
+    window functions support [IGNORE NULLS] — FunctionSet window
+    family): a deterministically NULLed price column (every third
+    order) must resolve to the nearest non-null in frame order in
+    both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_custkey", "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 != 0, F.col("o_totalprice"))
+        .alias("p"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return base.select(
+        "o_custkey", "o_orderkey", "p",
+        F.first("p", ignorenulls=True).over(wf).alias("first_nn"),
+        F.last("p", ignorenulls=True).over(wf).alias("last_nn"),
+        F.lag("p", 1, None).over(w).alias("prev_any"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+_IGNORE_NULLS_SQL = """
+SELECT o_custkey, o_orderkey, p,
+       first_value(p IGNORE NULLS) OVER wf AS first_nn,
+       last_value(p IGNORE NULLS) OVER wf AS last_nn,
+       lag(p, 1) OVER w AS prev_any
+FROM (
+  SELECT o_custkey, o_orderkey,
+         CASE WHEN o_orderkey % 3 <> 0 THEN o_totalprice END AS p
+  FROM orders
+)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey),
+       wf AS (PARTITION BY o_custkey ORDER BY o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY o_custkey, o_orderkey
+"""
+
+QUERIES["window_ignore_nulls"] = window_ignore_nulls
+ORACLE["window_ignore_nulls"] = _IGNORE_NULLS_SQL
