@@ -456,3 +456,78 @@ def sql_mix_sample(weights: dict[str, float],
         f"SELECT * FROM {table} "
         f"WHERE {bucket} < (CASE {cases} ELSE 0.0 END)"
     )
+
+
+# ---------------------------------------------------------------------------
+# document chunking (overlapping token windows)
+
+def chunk_documents(docs: DataFrame, chunk_tokens: int = 64,
+                    stride: int = 48,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Split each document into OVERLAPPING word-token chunks of
+    ``chunk_tokens`` with step ``stride`` — the context-window
+    chunking step of a pretraining/RAG pipeline (packing's sibling:
+    packing concatenates short docs, chunking splits long ones).
+
+    Row-local: tokenization once per doc (materialized column — see
+    the HOF re-eval contract), chunk starts from a ``sequence``, one
+    explode. The final chunk is the remainder (shorter than
+    ``chunk_tokens``); documents shorter than one chunk yield exactly
+    one chunk. Linear in corpus size; no shuffle at all.
+
+    Returns (id, chunk_id, start_tok, n_tokens, chunk_text).
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    if stride > chunk_tokens:
+        raise ValueError("stride > chunk_tokens would drop tokens")
+    w = docs.select(
+        F.col(id_col), T.norm_words(F.col(text_col)).alias("_w")
+    )
+    n = F.size("_w")
+    # chunk starts: 1, 1+stride, ... while start <= max(n - chunk, 0)+1
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(n - F.lit(chunk_tokens), F.lit(0)) + 1,
+        F.lit(stride),
+    )
+    chunks = w.select(
+        id_col,
+        F.posexplode(starts).alias("chunk_id", "start_tok"),
+        F.col("_w"),
+    )
+    piece = F.slice(F.col("_w"), F.col("start_tok"), chunk_tokens)
+    return chunks.select(
+        id_col, "chunk_id", "start_tok",
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )
+
+
+def sql_chunk_documents(chunk_tokens: int = 64, stride: int = 48,
+                        table: str = "documents") -> str:
+    words = T.sql_norm_words("text")
+    return f"""
+WITH w AS (SELECT doc_id, {words} AS w FROM {table}),
+starts AS (
+  SELECT doc_id, w,
+         generate_subscripts(
+           [x FOR x IN generate_series(
+              1, greatest(len(w) - {chunk_tokens}, 0) + 1, {stride})],
+           1) - 1 AS chunk_id,
+         unnest([x FOR x IN generate_series(
+              1, greatest(len(w) - {chunk_tokens}, 0) + 1, {stride})])
+           AS start_tok
+  FROM w
+)
+SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(len(list_slice(w, start_tok,
+                           start_tok + {chunk_tokens} - 1)) AS BIGINT)
+         AS n_tokens,
+       array_to_string(list_slice(w, start_tok,
+                                  start_tok + {chunk_tokens} - 1), ' ')
+         AS chunk_text
+FROM starts
+"""

@@ -270,3 +270,48 @@ GROUP BY source
 ORDER BY source
 """
 QUERIES["corpus_mix_sample"] = corpus_mix_sample
+
+
+# ---------------------------------------------------------------------------
+# document chunking
+
+def chunk_overlap_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking (curation.chunk_documents):
+    64-token chunks, stride 48 — every document splits into ≥1 chunk,
+    consecutive chunks overlap by 16 tokens, the tail chunk carries
+    the remainder. Per-chunk stats keep the result compact while the
+    oracle still pins every chunk boundary: (doc_id, chunk count,
+    token total, md5-sum of chunk texts as a content checksum)."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = curation.chunk_documents(docs, chunk_tokens=64, stride=48)
+    from starrocks_spark.functions.text import hash60
+
+    return (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tokens").alias("chunk_tokens"),
+            F.sum(hash60(F.col("chunk_text"))).alias("content_sig"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_chunk_overlap() -> str:
+    from starrocks_spark.functions.text import sql_hash60
+
+    inner = curation.sql_chunk_documents(64, 48)
+    h = sql_hash60("chunk_text")
+    return f"""
+WITH chunks AS ({inner})
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens,
+       CAST(SUM({h}) AS BIGINT) AS content_sig
+FROM chunks
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+ORACLE["chunk_overlap_windows"] = _sql_chunk_overlap()
+QUERIES["chunk_overlap_windows"] = chunk_overlap_windows

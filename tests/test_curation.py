@@ -213,3 +213,32 @@ def test_star_pk_need_answered_from_fact(spark, sf_dir):
     assert "p_partkey" in out.columns
     sample = out.select("l_partkey", "p_partkey").limit(100).collect()
     assert all(r["l_partkey"] == r["p_partkey"] for r in sample)
+
+
+def test_chunk_documents_boundaries(spark):
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(10))),   # 10 words
+        (2, "a b"),                                   # shorter than one chunk
+        (3, ""),                                      # empty
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = curation.chunk_documents(df, chunk_tokens=4, stride=3)
+    got = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+    # doc 1: starts 1,4,7 (last start <= 10-4+1=7) -> 3 chunks
+    assert [k for k in got if k[0] == 1] == [(1, 0), (1, 1), (1, 2)]
+    assert got[(1, 0)]["chunk_text"] == "w0 w1 w2 w3"
+    assert got[(1, 1)]["chunk_text"] == "w3 w4 w5 w6"
+    assert got[(1, 2)]["chunk_text"] == "w6 w7 w8 w9"
+    assert all(got[(1, i)]["n_tokens"] == 4 for i in range(3))
+    # doc 2: one short chunk with the remainder
+    assert got[(2, 0)]["n_tokens"] == 2
+    assert got[(2, 0)]["chunk_text"] == "a b"
+    # doc 3: exactly one empty chunk (documents never vanish)
+    assert got[(3, 0)]["n_tokens"] == 0
+    # guards
+    import pytest
+
+    with pytest.raises(ValueError):
+        curation.chunk_documents(df, chunk_tokens=4, stride=5)
+    with pytest.raises(ValueError):
+        curation.chunk_documents(df, chunk_tokens=0)
