@@ -379,3 +379,81 @@ GROUP BY c.c_mktsegment
 
 QUERIES["stream_static_enrich"] = stream_static_enrich
 ORACLE["stream_static_enrich"] = _STATIC_ENRICH_SQL
+
+
+def stream_lakehouse_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous upsert INTO THE LAKEHOUSE: each micro-batch is
+    reduced to latest-per-key and MERGEd into a SnapshotTable via the
+    zone-map-pruned copy-on-write path (tables/lakehouse.py merge) —
+    Routine Load landing in a primary-key lakehouse table, with the
+    full commit history preserved (one 'merge' commit per batch after
+    the initial load; older snapshots stay readable). The settled
+    table must equal the batch latest-per-user aggregate."""
+    import tempfile as _tf
+
+    from starrocks_spark.streaming.ingest import read_events_stream_split
+    from starrocks_spark.tables.lakehouse import SnapshotTable
+
+    stream = read_events_stream_split(spark, sf_dir, n_splits=3).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    t = SnapshotTable(
+        spark, _tf.mkdtemp(prefix="lh_up_", dir=scratch_root())
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+
+    def _merge(batch_df: DataFrame, _eid: int) -> None:
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn")
+        )
+        if t.snapshot() is None:
+            t.overwrite(latest.repartitionByRange(4, "user_id"))
+        else:
+            # keep the incoming row only when it is NEWER than the
+            # stored one (merge replaces matches unconditionally)
+            cur = t.read().select(
+                F.col("user_id").alias("_k"),
+                F.col("ts").alias("_ts"),
+                F.col("event_id").alias("_eid"),
+            )
+            newer = latest.join(
+                cur, latest["user_id"] == F.col("_k"), "left"
+            ).filter(
+                F.col("_k").isNull()
+                | (F.struct("ts", "event_id") >
+                   F.struct(F.col("_ts").alias("ts"),
+                            F.col("_eid").alias("event_id")))
+            ).select("user_id", "ts", "event_id", "event_type")
+            t.merge(newer, "user_id")
+
+    ckpt = _tf.mkdtemp(prefix="sr_ckpt_lhup_", dir=scratch_root())
+    q = (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert t.snapshot().operation == "merge"  # history: load + merges
+    return t.read().select(
+        "user_id", F.unix_micros("ts").alias("last_us"),
+        "event_id", "event_type",
+    )
+
+
+_LH_UPSERT_SQL = """
+SELECT user_id, epoch_us(ts) AS last_us, event_id, event_type
+FROM (
+  SELECT user_id, ts, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+QUERIES["stream_lakehouse_upsert"] = stream_lakehouse_upsert
+ORACLE["stream_lakehouse_upsert"] = _LH_UPSERT_SQL
