@@ -173,3 +173,56 @@ def test_snapshot_index_artifacts_are_commit_logged(spark, emb, tmp_path):
     idx2 = Sq8Index(spark, path)
     assert idx2.table.snapshot().version == 1
     assert idx2.table.read(version=0).count() == corpus.count()
+
+
+def test_topk_layout_independent(spark, emb):
+    """Two-phase top-k must return IDENTICAL rows for any input
+    partitioning (1, 7, 32 partitions) and equal the naive
+    single-window ranking — partition ids participate only in phase 1,
+    never in the result."""
+    from pyspark.sql import Window
+
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    base = emb.filter(F.col("vec_id") >= 5)
+    results = []
+    for parts in (1, 7, 32):
+        out = similarity.brute_force_topk(q, base.repartition(parts), k=5)
+        results.append(sorted(_rows(out)))
+    assert results[0] == results[1] == results[2]
+
+    # naive single-window reference
+    from starrocks_spark.functions import vector as V
+
+    scored = F.broadcast(
+        q.select("q_id", F.col("embedding").alias("_qv"))
+    ).crossJoin(
+        base.select("vec_id", F.col("embedding").alias("_cv"))
+    ).select(
+        "q_id", "vec_id",
+        V.cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.col("vec_id"))
+    naive = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "rank", "vec_id", "cos_sim")
+    )
+    assert results[0] == sorted(_rows(naive))
+
+
+def test_sq8_codes_bounded_and_recon_in_range(spark, emb):
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    lo, hi = similarity.sq8_train_bounds(corpus, dim=64)
+    codes = similarity.sq8_encode(corpus, lo, hi)
+    mm = codes.select(
+        F.min(F.array_min("_code")).alias("lo"),
+        F.max(F.array_max("_code")).alias("hi"),
+    ).first()
+    assert 0 <= mm["lo"] and mm["hi"] <= 255
+    recon = similarity.sq8_reconstruct(codes, lo, hi)
+    bad = recon.select(F.explode("_rv").alias("x")).filter(
+        (F.col("x") < min(lo) - 1e-9) | (F.col("x") > max(hi) + 1e-9)
+    )
+    assert bad.count() == 0

@@ -257,3 +257,26 @@ def test_delete_cow_prunes_and_time_travels(spark, sf_dir, tmp_path):
     assert t.delete(
         F.col("o_orderkey") < -5, prune=("o_orderkey", -10, -5)
     ) == 0
+
+
+def test_merge_is_idempotent(spark, sf_dir, tmp_path):
+    """Re-applying the same merge batch yields the same table content
+    (replay safety — the property continuous ingestion relies on)."""
+    from pyspark.sql import functions as F
+
+    from starrocks_spark.catalog import load_table
+    from starrocks_spark.tables.lakehouse import SnapshotTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    t = SnapshotTable(spark, str(tmp_path / "idem"))
+    t.overwrite(orders.repartitionByRange(4, "o_orderkey"))
+    batch = orders.filter(F.col("o_orderkey") < 100).select(
+        "o_orderkey", (F.col("o_totalprice") + 7.0).alias("o_totalprice")
+    )
+    t.merge(batch, "o_orderkey")
+    first = sorted(tuple(r) for r in t.read().collect())
+    t.merge(batch, "o_orderkey")
+    second = sorted(tuple(r) for r in t.read().collect())
+    assert first == second
