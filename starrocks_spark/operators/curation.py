@@ -486,12 +486,15 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 64,
         F.col(id_col), T.norm_words(F.col(text_col)).alias("_w")
     )
     n = F.size("_w")
-    # chunk starts: 1, 1+stride, ... while start <= max(n - chunk, 0)+1
-    starts = F.sequence(
-        F.lit(1),
-        F.greatest(n - F.lit(chunk_tokens), F.lit(0)) + 1,
-        F.lit(stride),
-    )
+    # chunk starts: 1, 1+stride, ...; the LAST start is
+    # 1 + stride*ceil(max(n-chunk,0)/stride) so the tail is always
+    # covered (the final chunk is the remainder, shorter than
+    # chunk_tokens, whenever (n-chunk) % stride != 0).
+    overshoot = F.greatest(n - F.lit(chunk_tokens), F.lit(0))
+    last_start = F.lit(1) + F.lit(stride) * F.floor(
+        (overshoot + F.lit(stride - 1)) / F.lit(stride)
+    ).cast("int")
+    starts = F.sequence(F.lit(1), last_start, F.lit(stride))
     chunks = w.select(
         id_col,
         F.posexplode(starts).alias("chunk_id", "start_tok"),
@@ -508,16 +511,18 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 64,
 def sql_chunk_documents(chunk_tokens: int = 64, stride: int = 48,
                         table: str = "documents") -> str:
     words = T.sql_norm_words("text")
+    last = (
+        f"1 + {stride} * ((greatest(len(w) - {chunk_tokens}, 0)"
+        f" + {stride - 1}) // {stride})"
+    )
     return f"""
 WITH w AS (SELECT doc_id, {words} AS w FROM {table}),
 starts AS (
   SELECT doc_id, w,
          generate_subscripts(
-           [x FOR x IN generate_series(
-              1, greatest(len(w) - {chunk_tokens}, 0) + 1, {stride})],
+           [x FOR x IN generate_series(1, {last}, {stride})],
            1) - 1 AS chunk_id,
-         unnest([x FOR x IN generate_series(
-              1, greatest(len(w) - {chunk_tokens}, 0) + 1, {stride})])
+         unnest([x FOR x IN generate_series(1, {last}, {stride})])
            AS start_tok
   FROM w
 )

@@ -146,40 +146,47 @@ class FulltextIndex:
     predicates push to the parquet scan; the bucket clustering keeps a
     query's terms in few files)."""
 
-    N_BUCKETS = 64
-
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
         self.table = SnapshotTable(spark, os.path.join(path, "postings"))
-        self.n_docs: int = _read_meta(path)["n_docs"]
+        meta = _read_meta(path)
+        self.n_docs: int = meta["n_docs"]
+        # single source of truth is fulltext.N_BUCKETS at build time;
+        # persisted so an index built under a different bucket count is
+        # still queried with ITS hash space, not the current module's.
+        from starrocks_spark.operators import fulltext as _ft
+
+        self.n_buckets: int = meta.get("n_buckets", _ft.N_BUCKETS)
 
     @classmethod
     def build(cls, spark: SparkSession, docs: DataFrame, path: str,
               posting_files: int = 8) -> "FulltextIndex":
-        from starrocks_spark.operators.fulltext import build_posting_table
+        from starrocks_spark.operators.fulltext import (
+            N_BUCKETS, build_posting_table,
+        )
 
         postings = build_posting_table(docs) \
             .repartitionByRange(posting_files, "bucket", "term")
         SnapshotTable(spark, os.path.join(path, "postings")) \
             .overwrite(postings)
-        _write_meta(path, {"n_docs": docs.count()})
+        _write_meta(path, {"n_docs": docs.count(),
+                           "n_buckets": N_BUCKETS})
         return cls(spark, path)
 
     def match(self, query_terms: list[str], mode: str = "any",
               k: int = 20) -> DataFrame:
         from starrocks_spark.operators.fulltext import rank_postings
 
-        from starrocks_spark.operators.fulltext import N_BUCKETS
-
         terms = [t.lower() for t in query_terms]
-        # the query's bucket ids (same hash as the build) — a literal
+        # the query's bucket ids (same hash space the index was BUILT
+        # under — self.n_buckets from index_meta.json) — a literal
         # handful, computed engine-side in one metadata-scale job so
         # the stored layout's clustering is actually used for pruning
         buckets = [
             r[0] for r in self.spark.range(1).select(
                 F.explode(F.array(*[
-                    F.abs(F.hash(F.lit(t))) % N_BUCKETS
+                    F.abs(F.hash(F.lit(t))) % self.n_buckets
                     for t in sorted(set(terms))
                 ]))
             ).collect()

@@ -427,7 +427,9 @@ def stream_lakehouse_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.struct(F.col("_ts").alias("ts"),
                             F.col("_eid").alias("event_id")))
             ).select("user_id", "ts", "event_id", "event_type")
-            t.merge(newer, "user_id")
+            # already reduced to latest-per-key above: skip the
+            # duplicate-source validation pass per batch
+            t.merge(newer, "user_id", validate_source_unique=False)
 
     ckpt = _tf.mkdtemp(prefix="sr_ckpt_lhup_", dir=scratch_root())
     q = (

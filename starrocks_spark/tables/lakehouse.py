@@ -270,7 +270,14 @@ class SnapshotTable:
 
     # ------------------------------------------------------------ row DML
 
-    def merge(self, source: DataFrame, key_col: str) -> int:
+    # Above this many data files the zone-map interval list is shipped
+    # as a broadcast DataFrame instead of a literal array — Catalyst
+    # analysis is super-linear in literal-tree size, so at millions of
+    # files the literal plan itself would become the bottleneck.
+    MERGE_LITERAL_INTERVALS_MAX = 64
+
+    def merge(self, source: DataFrame, key_col: str,
+              validate_source_unique: bool = True) -> int:
         """Copy-on-write MERGE (upsert) by ``key_col``: matched rows
         are replaced by the source row, unmatched source rows append.
         The Delta/Iceberg row-level-operation shape (reference:
@@ -298,6 +305,23 @@ class SnapshotTable:
         snap = self.snapshot()
         if snap is None:
             raise ValueError("merge into empty table: use append()")
+        if validate_source_unique:
+            # A PK upsert target must get ONE row per key — appending
+            # every duplicate would silently multiply rows (Delta MERGE
+            # raises on multiple source matches for the same reason).
+            # Callers that pre-reduce (the streaming latest-per-key
+            # path) pass validate_source_unique=False to skip the pass.
+            dup = (
+                source.groupBy(key_col).count()
+                .filter(Fn.col("count") > 1).limit(1).collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"merge source has multiple rows for key "
+                    f"{dup[0][key_col]!r}; reduce to one row per "
+                    f"{key_col} first (or pass "
+                    "validate_source_unique=False after pre-reducing)"
+                )
         intervals = []  # (file_idx, lo, hi) from the commit log
         unprunable = []
         for i, f in enumerate(snap.files):
@@ -307,23 +331,42 @@ class SnapshotTable:
             else:
                 intervals.append((i, zm[0], zm[1]))
         if intervals:
-            # one aggregate pass over source keys: which intervals
-            # does any key fall into? (metadata-scale result)
-            ivl = Fn.array(*[
-                Fn.struct(Fn.lit(i).alias("i"),
-                          Fn.lit(lo).alias("lo"),
-                          Fn.lit(hi).alias("hi"))
-                for i, lo, hi in intervals
-            ])
-            touched_rows = (
-                source.select(Fn.col(key_col).alias("_k"))
-                .select(Fn.explode(Fn.filter(
-                    ivl,
-                    lambda s: (Fn.col("_k") >= s["lo"])
-                    & (Fn.col("_k") <= s["hi"]),
-                )).alias("_s"))
-                .select(Fn.col("_s.i").alias("i")).distinct().collect()
-            )
+            # one pass over source keys: which intervals does any key
+            # fall into? (metadata-scale result)
+            keys = source.select(Fn.col(key_col).alias("_k")).distinct()
+            if len(intervals) <= self.MERGE_LITERAL_INTERVALS_MAX:
+                ivl = Fn.array(*[
+                    Fn.struct(Fn.lit(i).alias("i"),
+                              Fn.lit(lo).alias("lo"),
+                              Fn.lit(hi).alias("hi"))
+                    for i, lo, hi in intervals
+                ])
+                touched_rows = (
+                    keys.select(Fn.explode(Fn.filter(
+                        ivl,
+                        lambda s: (Fn.col("_k") >= s["lo"])
+                        & (Fn.col("_k") <= s["hi"]),
+                    )).alias("_s"))
+                    .select(Fn.col("_s.i").alias("i"))
+                    .distinct().collect()
+                )
+            else:
+                # many files: ship the intervals as a small broadcast
+                # DataFrame and range-join — the plan stays O(1) in the
+                # file count instead of embedding one literal struct
+                # per file.
+                ivl_df = self.spark.createDataFrame(
+                    [(i, lo, hi) for i, lo, hi in intervals],
+                    ["i", "lo", "hi"],
+                )
+                touched_rows = (
+                    keys.join(
+                        Fn.broadcast(ivl_df),
+                        (Fn.col("_k") >= Fn.col("lo"))
+                        & (Fn.col("_k") <= Fn.col("hi")),
+                    )
+                    .select("i").distinct().collect()
+                )
             touched = sorted({int(r["i"]) for r in touched_rows}
                              | set(unprunable))
         else:
@@ -407,7 +450,12 @@ class SnapshotTable:
             )
         if not touched:
             return 0
-        kept = reader.parquet(*touched).filter(~condition)
+        # SQL DELETE semantics: remove only rows where the condition is
+        # TRUE — rows where it evaluates NULL (unknown) are KEPT, so
+        # ~condition alone is wrong (~NULL is NULL and would drop them).
+        kept = reader.parquet(*touched).filter(
+            condition.isNull() | ~condition
+        )
         files, n = self._write_files(kept)
 
         def entry(cur):

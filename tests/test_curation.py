@@ -242,3 +242,31 @@ def test_chunk_documents_boundaries(spark):
         curation.chunk_documents(df, chunk_tokens=4, stride=5)
     with pytest.raises(ValueError):
         curation.chunk_documents(df, chunk_tokens=0)
+
+
+def test_chunk_documents_misaligned_tail_covered(spark):
+    """(n - chunk) % stride != 0: the final (shorter) chunk must still
+    cover the tail tokens — every token appears in some chunk."""
+    rows = [(1, " ".join(f"w{i}" for i in range(11)))]  # 11 words
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = curation.chunk_documents(df, chunk_tokens=4, stride=3)
+    got = sorted(out.collect(), key=lambda r: r["chunk_id"])
+    # starts 1,4,7 then the tail start 10 (ceil(7/3)=3 -> 1+3*3=10)
+    assert [r["start_tok"] for r in got] == [1, 4, 7, 10]
+    assert got[-1]["chunk_text"] == "w9 w10"
+    assert got[-1]["n_tokens"] == 2
+    covered = set()
+    for r in got:
+        covered |= set(r["chunk_text"].split())
+    assert covered == {f"w{i}" for i in range(11)}
+    # oracle twin agrees on the misaligned case
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT 1 AS doc_id, '%s' AS text"
+        % " ".join(f"w{i}" for i in range(11))
+    )
+    osql = curation.sql_chunk_documents(chunk_tokens=4, stride=3)
+    orows = con.execute(osql).fetchall()
+    assert sorted(r[2] for r in orows) == [1, 4, 7, 10]

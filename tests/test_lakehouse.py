@@ -280,3 +280,68 @@ def test_merge_is_idempotent(spark, sf_dir, tmp_path):
     t.merge(batch, "o_orderkey")
     second = sorted(tuple(r) for r in t.read().collect())
     assert first == second
+
+
+def test_delete_keeps_rows_where_condition_is_null(spark, tmp_path):
+    """SQL DELETE removes only rows where the predicate is TRUE —
+    rows where it evaluates NULL (unknown) must be KEPT."""
+    from pyspark.sql import functions as F
+
+    from starrocks_spark.tables.lakehouse import SnapshotTable
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 3)], ["id", "x"]
+    )
+    t = SnapshotTable(spark, str(tmp_path / "dnull"))
+    t.overwrite(df)
+    t.delete(F.col("x") > 5)
+    kept = sorted(r["id"] for r in t.read().collect())
+    assert kept == [2, 3]  # NULL x survives; only x=10 deleted
+
+
+def test_merge_rejects_duplicate_source_keys(spark, tmp_path):
+    """A PK upsert source with >1 row per key is an error (Delta MERGE
+    raises on multiple source matches); pre-reduced callers opt out."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from starrocks_spark.tables.lakehouse import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "dupsrc"))
+    t.overwrite(spark.createDataFrame([(1, "a")], ["id", "v"]))
+    dup = spark.createDataFrame(
+        [(1, "b"), (1, "c"), (2, "d")], ["id", "v"]
+    )
+    with pytest.raises(ValueError, match="multiple rows"):
+        t.merge(dup, "id")
+    # opted out: caller takes responsibility (documented contract)
+    t.merge(dup.dropDuplicates(["id"]), "id",
+            validate_source_unique=False)
+    assert t.read().count() == 2
+
+
+def test_merge_overlap_delilteralized_at_high_file_count(
+        spark, sf_dir, tmp_path, monkeypatch):
+    """Past MERGE_LITERAL_INTERVALS_MAX files the zone-map overlap
+    test ships intervals as a broadcast-joined DataFrame, not one
+    literal struct per file — the plan stays O(1) in file count."""
+    from pyspark.sql import functions as F
+
+    from starrocks_spark.catalog import load_table
+    from starrocks_spark.tables.lakehouse import SnapshotTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    t = SnapshotTable(spark, str(tmp_path / "manyf"))
+    t.overwrite(orders.repartitionByRange(8, "o_orderkey"))
+    monkeypatch.setattr(SnapshotTable, "MERGE_LITERAL_INTERVALS_MAX", 4)
+    src = orders.filter(F.col("o_orderkey") < 100).select(
+        "o_orderkey", (F.col("o_totalprice") * 2).alias("o_totalprice")
+    )
+    rewritten = t.merge(src, "o_orderkey")
+    assert 0 < rewritten < 8  # pruning still effective via the join
+    # and the result is identical to the literal path
+    after = t.read().filter(F.col("o_orderkey") < 100)
+    base = orders.filter(F.col("o_orderkey") < 100)
+    assert after.count() == base.count()
