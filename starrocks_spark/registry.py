@@ -29,6 +29,7 @@ from starrocks_spark.queries import (
     sketch_queries,
     skew_queries,
     sources_queries,
+    sqltester_queries,
     ssb,
     streaming_queries,
     table_funcs,
@@ -58,6 +59,7 @@ _MODULES = [
     agg_pushdown_queries,
     misc2,
     skew_queries,
+    sqltester_queries,
     unnest_multi,
     bitmap_queries,
     sketch_queries,

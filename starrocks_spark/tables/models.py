@@ -219,7 +219,12 @@ class ManagedTable:
         return out
 
     def _latest_per_key(self, df: DataFrame) -> DataFrame:
-        order = [F.desc(c) for c in self.version_cols] or [F.lit(1)]
+        # without version_cols, arrival order within the batch breaks
+        # ties (StarRocks: the last row of a load wins); the id is
+        # monotone within each input partition, which is exact for the
+        # single-batch frames this is applied to
+        order = ([F.desc(c) for c in self.version_cols]
+                 or [F.desc(F.monotonically_increasing_id())])
         w = Window.partitionBy(*self.key_cols).orderBy(*order)
         return (
             df.withColumn("__rn", F.row_number().over(w))
@@ -263,15 +268,29 @@ class ManagedTable:
             parts = [r[0] for r in
                      batch.select(self.partition_by).distinct().collect()]
             current = self._current().filter(F.col(self.partition_by).isin(parts))
-            merged = self._latest_per_key(current.unionByName(batch))
+            merged = self._upsert(current, batch)
             merged.write.mode("overwrite") \
                 .option("partitionOverwriteMode", "dynamic") \
                 .partitionBy(self.partition_by) \
                 .parquet(self.path)  # per-writer option: correct even when
             # the session default is static overwrite
         else:
-            merged = self._latest_per_key(self._current().unionByName(batch))
+            merged = self._upsert(self._current(), batch)
             self._rewrite(merged)
+
+    def _upsert(self, current: DataFrame, batch: DataFrame) -> DataFrame:
+        """UNIQUE/PRIMARY merge of a load batch into the stored rows.
+        With ``version_cols`` the version decides regardless of load
+        order (StarRocks sequence column). WITHOUT a sequence column
+        StarRocks' rule is LOAD ORDER: the incoming batch replaces
+        stored rows on key match (fe docs: unique key table, later
+        load overrides) — a version-less union+window would pick an
+        arbitrary row instead."""
+        if self.version_cols:
+            return self._latest_per_key(current.unionByName(batch))
+        keys = batch.select(*self.key_cols).distinct()
+        survivors = current.join(keys, self.key_cols, "left_anti")
+        return survivors.unionByName(self._latest_per_key(batch))
 
     def _rebuild_rollups(self) -> None:
         """DML (delete/update/merge) rewrites base rows, which an
