@@ -492,6 +492,38 @@ class SnapshotTable:
             "compact", lambda cur: (files, n, df.schema.json())
         )
 
+    def maybe_compact(self, commit_threshold: int = 8,
+                      target_files: int = 4,
+                      cluster_by: str | None = None) -> bool:
+        """Commit-count-triggered compaction — the maintenance policy
+        continuous ingest needs (reference: cumulative compaction
+        picks rowsets by count/size, be/src/storage/compaction*.cpp;
+        Delta auto-optimize). When ``commit_threshold`` or more
+        commits have landed since the last compact/overwrite, rewrite
+        into ``target_files`` files; ``cluster_by`` range-partitions
+        the rewrite on that column so zone maps keep pruning merges
+        afterwards (a plain coalesce would slowly erode key
+        clustering). Older versions stay readable (time travel is a
+        log property, not a file-layout one); expire_versions+vacuum
+        reclaim space separately, under an explicit retention call.
+        Returns True when a compaction ran."""
+        since = 0
+        for s in reversed(self.history()):
+            if s.operation in ("compact", "overwrite"):
+                break
+            since += 1
+        if since < commit_threshold:
+            return False
+        if cluster_by is not None:
+            df = self.read().repartitionByRange(target_files, cluster_by)
+            files, n = self._write_files(df)
+            self._publish(
+                "compact", lambda cur: (files, n, df.schema.json())
+            )
+        else:
+            self.compact(target_files)
+        return True
+
     def expire_versions(self, keep_last: int = 1) -> list[int]:
         """Drop log entries older than the last ``keep_last`` (the
         retention step that makes vacuum() reclaim their files)."""

@@ -345,3 +345,36 @@ def test_merge_overlap_delilteralized_at_high_file_count(
     after = t.read().filter(F.col("o_orderkey") < 100)
     base = orders.filter(F.col("o_orderkey") < 100)
     assert after.count() == base.count()
+
+
+def test_maybe_compact_after_many_small_merges(spark, tmp_path):
+    """M small merge commits trigger ONE compaction; time travel
+    still works across it; zone-map clustering survives (the next
+    single-key merge still rewrites ≤1 file)."""
+    from pyspark.sql import functions as F
+
+    from starrocks_spark.tables.lakehouse import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "ac"))
+    base = spark.range(1000).select(
+        F.col("id").alias("k"), F.lit("v0").alias("v")
+    )
+    t.overwrite(base.repartitionByRange(4, "k"))
+    for i in range(5):
+        src = spark.createDataFrame([(i, f"v{i + 1}")], ["k", "v"])
+        t.merge(src, "k")
+        assert not t.maybe_compact(commit_threshold=5,
+                                   target_files=4, cluster_by="k") \
+            or i == 4
+    hist_ops = [s.operation for s in t.history()]
+    assert hist_ops.count("compact") == 1
+    assert hist_ops[-1] == "compact"
+    assert len(t.snapshot().files) == 4
+    # content identical to pre-compaction merge result
+    assert t.read().count() == 1000
+    assert t.read().filter(F.col("v") == "v5").count() == 1
+    # time travel across the compaction: version 0 is the initial load
+    assert t.read(version=0).filter(F.col("v") != "v0").count() == 0
+    # clustering survived: a single-key merge prunes to ≤1 file
+    t.merge(spark.createDataFrame([(500, "vx")], ["k", "v"]), "k")
+    assert t.last_files_rewritten <= 1
