@@ -1518,3 +1518,242 @@ SELECT sbucket,
 FROM j GROUP BY sbucket ORDER BY sbucket
 """
 QUERIES["tpcds_q99_delay_buckets"] = tpcds_q99_delay_buckets
+
+
+# ---------------------------------------------------------------------------
+# q1 / q30 / q81 shape: correlated scalar subquery — per-entity return
+# total compared against 1.2× the average over its group (reference
+# golden plans fe/fe-core/.../TPCDS1TTestBase.java:29; decorrelation in
+# fe SubqueryUtils / Spark's RewriteCorrelatedScalarSubquery). The
+# Spark side is the VERBATIM correlated form through spark.sql —
+# Catalyst decorrelates to aggregate+join (plan-asserted in
+# tests/test_tpcds_plans.py), exercising the optimizer path no other
+# query hits.
+#
+# Determinism: the per-entity total stays an EXACT fixed-point
+# DECIMAL(38,0) until the final comparison; avg is CAST(SUM AS
+# DOUBLE)/COUNT (dec2dbl on the DuckDB side) so both engines compare
+# bit-identical doubles.
+
+_SP_FIXED_NET = ("CAST(FLOOR((l_extendedprice * (1 - l_discount)) * "
+                 "10000.0 + 0.5) AS DECIMAL(38,0))")
+_DK_FIXED_NET = sql_fixed("l_extendedprice * (1 - l_discount)")
+
+
+def tpcds_q1_store_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q1: customers whose yearly return total at a store
+    exceeds 1.2× that store's average customer return total
+    (store := supplier; state gate := s_nationkey < 5)."""
+    from starrocks_spark.catalog import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.sql(f"""
+WITH ctr AS (
+  SELECT o_custkey AS ctr_cust, l_suppkey AS ctr_store,
+         SUM({_SP_FIXED_NET}) AS ctr_ret
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R' AND year(l_shipdate) = 1995
+  GROUP BY 1, 2
+)
+SELECT c_custkey, ctr_store,
+       CAST(ctr_ret AS DOUBLE) / 10000.0 AS total_return
+FROM ctr JOIN customer ON ctr_cust = c_custkey
+         JOIN supplier ON ctr_store = s_suppkey
+WHERE s_nationkey < 5
+  AND CAST(ctr_ret AS DOUBLE) >
+      (SELECT 1.2 * (CAST(SUM(ctr2.ctr_ret) AS DOUBLE) / COUNT(*))
+       FROM ctr ctr2 WHERE ctr2.ctr_store = ctr.ctr_store)
+ORDER BY c_custkey, ctr_store LIMIT 100
+""")
+
+
+ORACLE["tpcds_q1_store_returns"] = f"""
+WITH ctr AS (
+  SELECT o_custkey AS ctr_cust, l_suppkey AS ctr_store,
+         SUM({_DK_FIXED_NET}) AS ctr_ret
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R' AND year(l_shipdate) = 1995
+  GROUP BY 1, 2
+)
+SELECT c_custkey, CAST(ctr_store AS BIGINT) AS ctr_store,
+       {sql_dec2dbl('ctr_ret')} / 10000.0 AS total_return
+FROM ctr JOIN customer ON ctr_cust = c_custkey
+         JOIN supplier ON ctr_store = s_suppkey
+WHERE s_nationkey < 5
+  AND {sql_dec2dbl('ctr_ret')} >
+      (SELECT 1.2 * ({sql_dec2dbl('SUM(ctr2.ctr_ret)')} / COUNT(*))
+       FROM ctr ctr2 WHERE ctr2.ctr_store = ctr.ctr_store)
+ORDER BY c_custkey, ctr_store LIMIT 100
+"""
+QUERIES["tpcds_q1_store_returns"] = tpcds_q1_store_returns
+
+
+def tpcds_q30_web_state_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q30: web-channel return total per customer vs 1.2× the
+    average over the customer's STATE (nation), returning customer
+    attributes with the total."""
+    from starrocks_spark.catalog import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.sql(f"""
+WITH wr AS (
+  SELECT o_custkey AS wr_cust, c_nationkey AS wr_state,
+         SUM({_SP_FIXED_NET}) AS wr_ret
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE l_returnflag = 'R' AND l_linenumber % 3 = 2
+  GROUP BY 1, 2
+)
+SELECT c_custkey, c_name, c_mktsegment,
+       CAST(wr_ret AS DOUBLE) / 10000.0 AS total_return
+FROM wr JOIN customer ON wr_cust = c_custkey
+WHERE CAST(wr_ret AS DOUBLE) >
+      (SELECT 1.2 * (CAST(SUM(wr2.wr_ret) AS DOUBLE) / COUNT(*))
+       FROM wr wr2 WHERE wr2.wr_state = wr.wr_state)
+ORDER BY c_custkey LIMIT 100
+""")
+
+
+ORACLE["tpcds_q30_web_state_returns"] = f"""
+WITH wr AS (
+  SELECT o_custkey AS wr_cust, c_nationkey AS wr_state,
+         SUM({_DK_FIXED_NET}) AS wr_ret
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE l_returnflag = 'R' AND l_linenumber % 3 = 2
+  GROUP BY 1, 2
+)
+SELECT c_custkey, c_name, c_mktsegment,
+       {sql_dec2dbl('wr_ret')} / 10000.0 AS total_return
+FROM wr JOIN customer ON wr_cust = c_custkey
+WHERE {sql_dec2dbl('wr_ret')} >
+      (SELECT 1.2 * ({sql_dec2dbl('SUM(wr2.wr_ret)')} / COUNT(*))
+       FROM wr wr2 WHERE wr2.wr_state = wr.wr_state)
+ORDER BY c_custkey LIMIT 100
+"""
+QUERIES["tpcds_q30_web_state_returns"] = tpcds_q30_web_state_returns
+
+
+def tpcds_q81_catalog_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q81: catalog-channel returns per (customer, supplier
+    nation) vs 1.2× the nation average — the q1 skeleton on a second
+    channel with the supplier-side dimension, ordered by the return
+    amount (the reference's output ordering)."""
+    from starrocks_spark.catalog import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.sql(f"""
+WITH cr AS (
+  SELECT o_custkey AS cr_cust, s_nationkey AS cr_nation,
+         SUM({_SP_FIXED_NET}) AS cr_ret
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE l_returnflag = 'R' AND l_linenumber % 3 = 1
+  GROUP BY 1, 2
+)
+SELECT cr_cust, cr_nation,
+       CAST(cr_ret AS DOUBLE) / 10000.0 AS total_return
+FROM cr
+WHERE CAST(cr_ret AS DOUBLE) >
+      (SELECT 1.2 * (CAST(SUM(cr2.cr_ret) AS DOUBLE) / COUNT(*))
+       FROM cr cr2 WHERE cr2.cr_nation = cr.cr_nation)
+ORDER BY total_return DESC, cr_cust, cr_nation LIMIT 100
+""")
+
+
+ORACLE["tpcds_q81_catalog_returns"] = f"""
+WITH cr AS (
+  SELECT o_custkey AS cr_cust, s_nationkey AS cr_nation,
+         SUM({_DK_FIXED_NET}) AS cr_ret
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE l_returnflag = 'R' AND l_linenumber % 3 = 1
+  GROUP BY 1, 2
+)
+SELECT cr_cust, CAST(cr_nation AS INT) AS cr_nation,
+       {sql_dec2dbl('cr_ret')} / 10000.0 AS total_return
+FROM cr
+WHERE {sql_dec2dbl('cr_ret')} >
+      (SELECT 1.2 * ({sql_dec2dbl('SUM(cr2.cr_ret)')} / COUNT(*))
+       FROM cr cr2 WHERE cr2.cr_nation = cr.cr_nation)
+ORDER BY total_return DESC, cr_cust, cr_nation LIMIT 100
+"""
+QUERIES["tpcds_q81_catalog_returns"] = tpcds_q81_catalog_returns
+
+
+# ---------------------------------------------------------------------------
+# q4 shape: the full 3-channel × 2-year CTE chain (q11's big sibling):
+# one yearly per-customer-per-channel total CTE self-joined SIX ways;
+# keep customers whose catalog growth beats BOTH store and web growth.
+
+def tpcds_q4_growth_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from starrocks_spark.catalog import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.sql(f"""
+WITH yt AS (
+  SELECT o_custkey AS cust, year(l_shipdate) AS yr,
+         CASE WHEN l_linenumber % 3 = 0 THEN 'store'
+              WHEN l_linenumber % 3 = 1 THEN 'catalog'
+              ELSE 'web' END AS channel,
+         SUM({_SP_FIXED_NET}) AS tot
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE year(l_shipdate) IN (1994, 1995)
+  GROUP BY 1, 2, 3
+)
+SELECT s1.cust,
+       CAST(c2.tot AS DOUBLE) / CAST(c1.tot AS DOUBLE) AS catalog_growth,
+       CAST(s2.tot AS DOUBLE) / CAST(s1.tot AS DOUBLE) AS store_growth,
+       CAST(w2.tot AS DOUBLE) / CAST(w1.tot AS DOUBLE) AS web_growth
+FROM yt s1 JOIN yt s2 ON s1.cust = s2.cust
+ JOIN yt c1 ON s1.cust = c1.cust JOIN yt c2 ON s1.cust = c2.cust
+ JOIN yt w1 ON s1.cust = w1.cust JOIN yt w2 ON s1.cust = w2.cust
+WHERE s1.channel = 'store'   AND s1.yr = 1994 AND s2.channel = 'store'
+  AND s2.yr = 1995 AND c1.channel = 'catalog' AND c1.yr = 1994
+  AND c2.channel = 'catalog' AND c2.yr = 1995 AND w1.channel = 'web'
+  AND w1.yr = 1994 AND w2.channel = 'web' AND w2.yr = 1995
+  AND c1.tot > 0 AND s1.tot > 0 AND w1.tot > 0
+  AND CAST(c2.tot AS DOUBLE) / CAST(c1.tot AS DOUBLE)
+      > CAST(s2.tot AS DOUBLE) / CAST(s1.tot AS DOUBLE)
+  AND CAST(c2.tot AS DOUBLE) / CAST(c1.tot AS DOUBLE)
+      > CAST(w2.tot AS DOUBLE) / CAST(w1.tot AS DOUBLE)
+ORDER BY s1.cust LIMIT 100
+""")
+
+
+def _dk_q4_ratio(a: str, b: str) -> str:
+    return f"{sql_dec2dbl(a)} / {sql_dec2dbl(b)}"
+
+
+ORACLE["tpcds_q4_growth_chain"] = f"""
+WITH yt AS (
+  SELECT o_custkey AS cust, year(l_shipdate) AS yr,
+         CASE WHEN l_linenumber % 3 = 0 THEN 'store'
+              WHEN l_linenumber % 3 = 1 THEN 'catalog'
+              ELSE 'web' END AS channel,
+         SUM({_DK_FIXED_NET}) AS tot
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE year(l_shipdate) IN (1994, 1995)
+  GROUP BY 1, 2, 3
+)
+SELECT s1.cust,
+       {_dk_q4_ratio('c2.tot', 'c1.tot')} AS catalog_growth,
+       {_dk_q4_ratio('s2.tot', 's1.tot')} AS store_growth,
+       {_dk_q4_ratio('w2.tot', 'w1.tot')} AS web_growth
+FROM yt s1 JOIN yt s2 ON s1.cust = s2.cust
+ JOIN yt c1 ON s1.cust = c1.cust JOIN yt c2 ON s1.cust = c2.cust
+ JOIN yt w1 ON s1.cust = w1.cust JOIN yt w2 ON s1.cust = w2.cust
+WHERE s1.channel = 'store'   AND s1.yr = 1994 AND s2.channel = 'store'
+  AND s2.yr = 1995 AND c1.channel = 'catalog' AND c1.yr = 1994
+  AND c2.channel = 'catalog' AND c2.yr = 1995 AND w1.channel = 'web'
+  AND w1.yr = 1994 AND w2.channel = 'web' AND w2.yr = 1995
+  AND c1.tot > 0 AND s1.tot > 0 AND w1.tot > 0
+  AND {_dk_q4_ratio('c2.tot', 'c1.tot')} > {_dk_q4_ratio('s2.tot', 's1.tot')}
+  AND {_dk_q4_ratio('c2.tot', 'c1.tot')} > {_dk_q4_ratio('w2.tot', 'w1.tot')}
+ORDER BY s1.cust LIMIT 100
+"""
+QUERIES["tpcds_q4_growth_chain"] = tpcds_q4_growth_chain

@@ -49,3 +49,30 @@ def test_q38_intersect_aggregates_before_join(spark, sf_dir):
     assert "HashAggregate" in p
     # intersect plans as left-semi joins over the distinct sets
     assert "LeftSemi" in p
+
+
+def test_q1_correlated_subquery_decorrelates_to_agg_join(spark, sf_dir):
+    """The q1/q30/q81 correlated scalar subquery ('> 1.2× the group
+    average') must decorrelate into a per-group HashAggregate joined
+    back to the outer rows — NOT a per-row subquery execution. A
+    per-row plan re-runs the inner aggregate once per outer row: the
+    difference between one shuffle and |outer| jobs at scale."""
+    df = tpcds.tpcds_q1_store_returns(spark, sf_dir)
+    p = plan_str(df)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "Subquery" not in phys  # no scalar-subquery nodes survive
+    # the decorrelated inner aggregate: a per-store avg...
+    assert "HashAggregate" in p
+    # ...joined to the outer ctr rows on the correlation key
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p \
+        or "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_q4_six_way_chain_reuses_yearly_cte_exchange(spark, sf_dir):
+    """The 6-way self-join of the yearly CTE must not nested-loop and
+    must keep every branch as a hash join on the customer key."""
+    p = plan_str(tpcds.tpcds_q4_growth_chain(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
