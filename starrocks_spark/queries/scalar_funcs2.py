@@ -244,6 +244,163 @@ FROM h
 """
 
 
+def json_path_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``$.items[*].pk`` wildcard path (jsonpath.cpp): build one JSON
+    document per order (items = array of line structs), extract every
+    item's partkey through the wildcard, explode back to rows. The
+    oracle wildcard-extracts with DuckDB's own json_extract — a
+    value-hash match proves the path semantics, not just the
+    plumbing."""
+    from starrocks_spark.functions.jsonpath import json_path_values
+
+    li = load_table(spark, sf_dir, "lineitem") \
+        .filter(F.col("l_orderkey") < 1000)
+    built = li.groupBy("l_orderkey").agg(
+        F.to_json(F.struct(
+            F.collect_list(F.struct(
+                F.col("l_partkey").alias("pk"),
+                F.col("l_quantity").alias("qty"),
+            )).alias("items")
+        )).alias("j")
+    )
+    return built.select(
+        "l_orderkey",
+        F.explode(
+            json_path_values(F.col("j"), "$.items[*].pk", "bigint")
+        ).alias("pk"),
+    )
+
+
+_JSON_WILDCARD_SQL = """
+WITH built AS (
+  SELECT l_orderkey,
+         to_json(struct_pack(items := list(struct_pack(
+             pk := l_partkey, qty := l_quantity)))) AS j
+  FROM lineitem WHERE l_orderkey < 1000 GROUP BY l_orderkey
+)
+SELECT l_orderkey, CAST(u AS BIGINT) AS pk
+FROM built, UNNEST(json_extract(j, '$.items[*].pk')) AS t(u)
+"""
+
+
+def json_path_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``$..name`` recursive descent (jsonpath.cpp recursive member
+    access): a 3-level nested document per nation; the descent
+    collects the name at EVERY depth. Desugared to a scalar-value
+    regex over the document (functions/jsonpath.py — the documented
+    subset); the oracle runs the identical regex in DuckDB."""
+    from starrocks_spark.functions.jsonpath import json_path_values
+
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    built = nation.join(
+        F.broadcast(region),
+        nation["n_regionkey"] == region["r_regionkey"],
+    ).select(
+        "n_nationkey",
+        F.to_json(F.struct(
+            F.col("n_name").alias("name"),
+            F.struct(
+                F.col("r_name").alias("name"),
+                F.struct(
+                    F.concat(F.lit("meta_"), F.col("r_name"))
+                    .alias("name"),
+                ).alias("meta"),
+            ).alias("region"),
+        )).alias("j"),
+    )
+    return built.select(
+        "n_nationkey",
+        F.explode(
+            json_path_values(F.col("j"), "$..name", "string")
+        ).alias("nm"),
+    )
+
+
+from starrocks_spark.functions.jsonpath import _descent_regex  # noqa: E402
+
+_JSON_DESCENT_SQL = f"""
+WITH built AS (
+  SELECT n_nationkey,
+         to_json(struct_pack(
+             name := n_name,
+             region := struct_pack(
+                 name := r_name,
+                 meta := struct_pack(name := concat('meta_', r_name))
+             ))) AS j
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+)
+SELECT n_nationkey, trim(u, '"') AS nm
+FROM built,
+     UNNEST(regexp_extract_all(j, '{_descent_regex("name")}', 1))
+       AS t(u)
+"""
+
+
+# three fixture polygons: triangle, axis-aligned box, concave arrow
+_POLYGONS: dict[str, list[tuple[float, float]]] = {
+    "triangle": [(-50.0, -50.0), (50.0, -50.0), (0.0, 60.0)],
+    "box": [(-170.0, -40.0), (-60.0, -40.0), (-60.0, 40.0),
+            (-170.0, 40.0)],
+    "arrow": [(60.0, -60.0), (175.0, -60.0), (175.0, 60.0),
+              (115.0, 0.0), (60.0, 60.0)],
+}
+
+
+def func_geo_st_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Contains over synthetic points × 3 fixture polygons
+    (geo_functions.cpp st_contains; triangle / box / concave ring).
+    Ray-cast crossing count as one HOF aggregate per (point, polygon)
+    — row-local, division-free (see functions/geo.py). The oracle
+    runs the identical product-chain test over an unnested edge
+    list."""
+    from starrocks_spark.functions.geo import st_contains, st_polygon
+
+    nation = load_table(spark, sf_dir, "nation")
+    pts = nation.select(
+        "n_name",
+        ((F.col("n_nationkey") * 13.7) % 360 - 180).alias("lon"),
+        ((F.col("n_nationkey") * 7.3) % 170 - 85).alias("lat"),
+    )
+    out = None
+    for pid, coords in _POLYGONS.items():
+        part = pts.select(
+            "n_name", F.lit(pid).alias("poly_id"),
+            st_contains(st_polygon(coords), F.col("lon"), F.col("lat"))
+            .alias("inside"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def _sql_geo_st_contains() -> str:
+    edges = []
+    for pid, coords in _POLYGONS.items():
+        for i, (xi, yi) in enumerate(coords):
+            xj, yj = coords[(i + 1) % len(coords)]
+            edges.append(f"('{pid}', {xi!r}::DOUBLE, {yi!r}::DOUBLE, "
+                         f"{xj!r}::DOUBLE, {yj!r}::DOUBLE)")
+    return f"""
+WITH pts AS (
+  SELECT n_name,
+         (n_nationkey * 13.7::DOUBLE) % 360.0::DOUBLE - 180.0 AS lon,
+         (n_nationkey * 7.3::DOUBLE) % 170.0::DOUBLE - 85.0 AS lat
+  FROM nation
+), edges(poly_id, xi, yi, xj, yj) AS (VALUES {', '.join(edges)}),
+crossings AS (
+  SELECT n_name, poly_id,
+         SUM(CASE WHEN ((yi > lat) != (yj > lat)) AND
+                  ((lon - xi) * (yj - yi) - (xj - xi) * (lat - yi))
+                  * (CASE WHEN yj - yi > 0 THEN 1.0 ELSE -1.0 END)
+                  < 0.0
+             THEN 1 ELSE 0 END) AS c
+  FROM pts CROSS JOIN edges
+  GROUP BY n_name, poly_id
+)
+SELECT n_name, poly_id, c % 2 = 1 AS inside FROM crossings
+"""
+
+
 QUERIES = {
     "func_conditional_family": func_conditional_family,
     "func_bit_ops": func_bit_ops,
@@ -251,6 +408,9 @@ QUERIES = {
     "func_string_advanced": func_string_advanced,
     "func_json_construct": func_json_construct,
     "func_geo_haversine": func_geo_haversine,
+    "func_geo_st_contains": func_geo_st_contains,
+    "json_path_wildcard": json_path_wildcard,
+    "json_path_descent": json_path_descent,
 }
 
 ORACLE = {
@@ -260,6 +420,9 @@ ORACLE = {
     "func_string_advanced": _STRING_ADV_SQL,
     "func_json_construct": _JSON_CONSTRUCT_SQL,
     "func_geo_haversine": _sql_geo_haversine(),
+    "func_geo_st_contains": _sql_geo_st_contains(),
+    "json_path_wildcard": _JSON_WILDCARD_SQL,
+    "json_path_descent": _JSON_DESCENT_SQL,
 }
 
 

@@ -82,3 +82,68 @@ def test_coverage_ledger_is_total_and_consistent():
         derived = sorted(set(
             re.findall(r"\[\d+,\s*'?\"?([a-z0-9_]+)", src)))
         assert sorted(ref_set) == derived, "snapshot drifted"
+
+
+def test_st_contains_known_points(spark):
+    """Ray-cast containment on hand-checked points, including the
+    concave notch of the arrow polygon."""
+    from pyspark.sql import functions as F
+
+    from starrocks_spark.functions.geo import st_contains, st_polygon
+
+    tri = [(-50.0, -50.0), (50.0, -50.0), (0.0, 60.0)]
+    arrow = [(60.0, -60.0), (175.0, -60.0), (175.0, 60.0),
+             (115.0, 0.0), (60.0, 60.0)]
+    cases = [
+        # (x, y, polygon, expected)
+        (0.0, 0.0, tri, True),
+        (49.0, 59.0, tri, False),
+        (-100.0, 0.0, tri, False),
+        (100.0, -30.0, arrow, True),     # in the body
+        (100.0, 50.0, arrow, False),     # inside the concave notch
+        (170.0, 50.0, arrow, True),      # upper-right arm
+        (65.0, 50.0, arrow, True),       # upper-left arm
+        (200.0, 0.0, arrow, False),
+    ]
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y, _, _) in enumerate(cases)],
+        "i long, x double, y double",
+    )
+    for i, (x, y, poly, want) in enumerate(cases):
+        got = df.filter(F.col("i") == i).select(
+            st_contains(st_polygon(poly), F.col("x"), F.col("y"))
+            .alias("c")
+        ).collect()[0]["c"]
+        assert got == want, (x, y, want)
+
+
+def test_json_path_subset(spark):
+    from pyspark.sql import functions as F
+
+    from starrocks_spark.functions.jsonpath import (
+        json_path, json_path_values,
+    )
+
+    j = ('{"a": [{"b": 1, "c": {"b": 9}}, {"b": 2}], '
+         '"d": {"b": 3, "s": "x"}}')
+    df = spark.createDataFrame([(j,)], ["j"])
+
+    def got(col):
+        return df.select(col.alias("r")).collect()[0]["r"]
+
+    assert got(json_path(F.col("j"), "$.a[0].b")) == "1"
+    assert got(json_path(F.col("j"), "$.a[*].b")) == "[1,2]"
+    # recursive descent: every b at any depth, document order
+    assert got(json_path(F.col("j"), "$..b")) == "[1,9,2,3]"
+    assert got(json_path_values(F.col("j"), "$..b", "int")) \
+        == [1, 9, 2, 3]
+    # single wildcard match comes back as a 1-element array
+    one = '{"a": [{"b": 7}]}'
+    d1 = spark.createDataFrame([(one,)], ["j"])
+    assert d1.select(
+        json_path_values(F.col("j"), "$.a[*].b", "bigint").alias("r")
+    ).collect()[0]["r"] == [7]
+    # string values lose their quotes through the typed variant
+    assert got(json_path_values(F.col("j"), "$..s", "string")) == ["x"]
+    # missing path -> null, not a crash
+    assert got(json_path_values(F.col("j"), "$.zzz[*].q", "int")) is None
