@@ -228,6 +228,43 @@ _SIMPLE_WRAPS = {
     "years_sub": lambda a: f"(({a[0]}) - INTERVAL {a[1]} YEAR)",
     "ucase": lambda a: f"upper({', '.join(a)})",
     "lcase": lambda a: f"lower({', '.join(a)})",
+    # array family names the reference spells differently
+    # (gensrc/script/functions.py; be/src/exprs/array_functions.cpp)
+    "array_length": lambda a: f"cardinality({', '.join(a)})",
+    "array_map": lambda a: f"transform({', '.join(a)})",
+    "array_sum": lambda a: (
+        f"aggregate({a[0]}, CAST(0.0 AS DOUBLE), "
+        f"(acc, e) -> acc + CAST(e AS DOUBLE))"
+    ),
+    "array_avg": lambda a: (
+        f"(aggregate({a[0]}, CAST(0.0 AS DOUBLE), "
+        f"(acc, e) -> acc + CAST(e AS DOUBLE))"
+        f" / CAST(size(filter({a[0]}, e -> e IS NOT NULL)) AS DOUBLE))"
+    ),
+    # array_remove(arr, NULL) removes the null elements in StarRocks;
+    # Spark's returns NULL — desugar the null-target form to a filter
+    "array_remove": lambda a: (
+        f"filter({a[0]}, e -> e IS NOT NULL)"
+        if len(a) == 2 and a[1].strip().upper() == "NULL" else None
+    ),
+    "array_generate": lambda a: (
+        f"sequence(1, {a[0]})" if len(a) == 1
+        else f"sequence({', '.join(a)})"
+    ),
+    # StarRocks percentile_xxx(col, p) call form → ANSI WITHIN GROUP
+    # (Spark 4 implements the ANSI form only). The \0 markers stop
+    # rewrite_calls from re-matching its own single-arg output.
+    "percentile_disc": lambda a: (
+        f"\0percentile_disc\0({a[1]}) WITHIN GROUP (ORDER BY {a[0]})"
+        if len(a) == 2 else None
+    ),
+    "percentile_cont": lambda a: (
+        f"\0percentile_cont\0({a[1]}) WITHIN GROUP (ORDER BY {a[0]})"
+        if len(a) == 2 else None
+    ),
+    # low-cardinality-dict variant: same result, different storage path
+    "percentile_disc_lc": lambda a:
+        f"\0percentile_disc\0({a[1]}) WITHIN GROUP (ORDER BY {a[0]})",
 }
 
 

@@ -71,7 +71,10 @@ REFERENCE_SQL_ROOT = "/root/reference/test/sql"
 # script scanning
 # ---------------------------------------------------------------------------
 
-_TAG_RE = re.compile(r"^\[[A-Za-z0-9_]+\]\s*")
+# ONLY the runner's real mode tags (sr_sql_lib UNCHECK/ORDER/REGEX
+# flags) — a permissive [WORD] pattern would eat array literals like
+# "[NULL]," on INSERT continuation lines
+_TAG_RE = re.compile(r"^\[(UC|ORDER|REGEX)\]\s*", re.IGNORECASE)
 _DIRECTIVE_RE = re.compile(r"^(function|shell|trino|spark|hive)\s*:", re.I)
 
 
@@ -274,9 +277,14 @@ def _map_type(sr: str, table: dict[str, str], varchar: str,
     base = re.match(r"^(\w+)", sr).group(1)
     if base in ("varchar", "char"):
         return varchar
-    if base == "decimal":
-        dm = re.match(r"decimal\((\d+),\s*(\d+)\)", sr)
-        return f"DECIMAL({dm.group(1)},{dm.group(2)})" if dm \
+    if base in ("decimal", "decimal32", "decimal64", "decimal128",
+                "decimalv2"):
+        # decimalv2 / decimal32/64/128 are the reference's storage
+        # width variants (be/src/types/) — same logical DECIMAL(p,s)
+        dm = re.match(r"\w+\((\d+),\s*(\d+)\)", sr)
+        if dm:
+            return f"DECIMAL({dm.group(1)},{dm.group(2)})"
+        return "DECIMAL(27,9)" if base == "decimalv2" \
             else "DECIMAL(38,9)"
     if base == "array":
         inner = _map_type(sr[len("array<"):-1], table, varchar, array_fmt)
@@ -574,6 +582,19 @@ def translate_select_duck(sql: str) -> str:
 _NOOP_RE = re.compile(
     r"^\s*(SET|ADMIN\s|ANALYZE\s|ALTER\s+SYSTEM)", re.IGNORECASE
 )
+_SETVAR_RE = re.compile(
+    r"^\s*SET\s+@(\w+)\s*=\s*(.+)$", re.IGNORECASE | re.DOTALL
+)
+
+
+def _substitute_vars(stmt: str, env: dict[str, str]) -> str:
+    """Replace ``@name`` references with the variable's defining
+    expression (parenthesized). StarRocks evaluates SET @x = expr once
+    and reuses the value; for the pure expressions the suites assign,
+    textual substitution is semantics-preserving."""
+    for name in sorted(env, key=len, reverse=True):
+        stmt = re.sub(rf"@{name}\b", f"({env[name]})", stmt)
+    return stmt
 _INSERT_RE = re.compile(
     r"^\s*INSERT\s+INTO\s+`?(\w+)`?\s*(?:\(([^)]*)\)\s*)?(.*)$",
     re.IGNORECASE | re.DOTALL,
@@ -622,6 +643,7 @@ class ScriptRunner:
         self.strict = strict
         self.defs: dict[str, TableDef] = {}
         self.tables: dict[str, ManagedTable] = {}
+        self.vars: dict[str, str] = {}   # SET @name = expr
 
     # -------------------------------------------------------------- views
 
@@ -643,6 +665,11 @@ class ScriptRunner:
         return [self.execute(s) for s in split_statements(script)]
 
     def execute(self, stmt: str) -> StatementResult:
+        vm = _SETVAR_RE.match(stmt)
+        if vm:
+            self.vars[vm.group(1)] = vm.group(2).strip()
+            return StatementResult(stmt, "noop")
+        stmt = _substitute_vars(stmt, self.vars)
         kind = classify(stmt)
         try:
             if kind == "create":
@@ -675,11 +702,83 @@ class ScriptRunner:
             df = self.spark.sql(sql)
             df.schema  # force analysis now, not at first action
             return df
-        except AnalysisException:
-            # MySQL ORDER BY alias rule (see desugar_orderby_aliases):
-            # retry with alias references substituted. Retry-only so
-            # Spark-native resolution stays authoritative when it works.
-            return self.spark.sql(desugar_orderby_aliases(sql))
+        except AnalysisException as e:
+            # Retry ladder for StarRocks resolution/coercion rules that
+            # Spark's analyzer rejects — retry-only so Spark-native
+            # resolution stays authoritative when it works:
+            # 1. MySQL ORDER BY alias rule (desugar_orderby_aliases);
+            # 2. implicit numeric-literal → array-element-type casts
+            #    (StarRocks coerces array_remove(arr_float, 1.1); Spark
+            #    types the literal DECIMAL and refuses).
+            if "DATATYPE_MISMATCH" in str(e):
+                sql = self._coerce_array_literals(sql)
+            else:
+                sql = desugar_orderby_aliases(sql)
+            df = self.spark.sql(sql)
+            df.schema
+            return df
+
+    _ARRAY_FNS = ("array_remove", "array_intersect", "array_contains",
+                  "array_position", "arrays_overlap", "array_append",
+                  "array_union", "array_except")
+
+    def _elem_type(self, col: str) -> str | None:
+        """Spark element type of array column ``col`` if exactly one
+        registered table defines it."""
+        hits = {
+            c.sr_type for d in self.defs.values() for c in d.cols
+            if c.name == col and c.sr_type.startswith("array<")
+        }
+        if len(hits) != 1:
+            return None
+        return spark_type(next(iter(hits))[len("array<"):-1])
+
+    def _coerce_array_literals(self, sql: str) -> str:
+        """StarRocks implicitly widens BOTH arguments of an array
+        function to their common supertype (fe TypeManager
+        getCommonSuperType): float/double element + decimal literal →
+        DOUBLE; decimal element + decimal literal → decimal at the
+        max scale. Spark types bare numeric literals as DECIMAL and
+        raises DATATYPE_MISMATCH instead. Using the DDL the runner
+        already parsed, cast both sides to the supertype explicitly —
+        which also reproduces the reference's comparison semantics
+        (a float32 1.23 widened to double does NOT equal the literal
+        1.23, so it is not removed/intersected)."""
+        def rw(name):
+            def fix(args):
+                if len(args) < 2:
+                    return None
+                col = args[0].strip().strip("`")
+                elem = self._elem_type(col)
+                if elem is None:
+                    return None
+                lit_text = ", ".join(args[1:])
+                lit_scales = [len(m) for m in
+                              re.findall(r"\d+\.(\d+)", lit_text)]
+                e = elem.upper()
+                if e in ("FLOAT", "DOUBLE"):
+                    target = "DOUBLE"
+                elif e.startswith("DECIMAL"):
+                    es = int(re.match(r"DECIMAL\(\d+,(\d+)\)", e)
+                             .group(1))
+                    target = f"DECIMAL(38,{max([es] + lit_scales)})"
+                else:
+                    target = e
+                head = (args[0] if target == e
+                        else f"CAST({args[0]} AS ARRAY<{target}>)")
+                rest = [
+                    f"CAST({a} AS ARRAY<{target}>)"
+                    if a.strip().lower().startswith("array(")
+                    else f"CAST({a} AS {target})"
+                    for a in args[1:]
+                ]
+                return (f"\0{name}\0({head}, {', '.join(rest)})")
+
+            return fix
+
+        for name in self._ARRAY_FNS:
+            sql = dialect.rewrite_calls(sql, name, rw(name))
+        return dialect._restore_markers(sql)
 
     def _create(self, stmt: str) -> None:
         d = parse_create_table(stmt)
@@ -698,7 +797,8 @@ class ScriptRunner:
                   if col_list else [c.name for c in d.cols])
         tail = tail.strip()
         if tail.upper().startswith("VALUES"):
-            vals = tail[len("VALUES"):].strip()
+            # bracket array literals appear inside VALUES rows too
+            vals = _rw_bracket_arrays(tail[len("VALUES"):].strip())
             vnames = [f"c{i}" for i in range(len(listed))]
             proj = ", ".join(
                 f"CAST(v.{vnames[listed.index(c.name)]} AS "
@@ -758,8 +858,14 @@ def duckdb_oracle(script: str, final_select: str | None = None) -> str:
     the designated SELECT (default: the script's last) is the body."""
     defs: dict[str, TableDef] = {}
     inserts: dict[str, list[str]] = {}
+    env: dict[str, str] = {}
     last_select = None
     for stmt in split_statements(script):
+        vm = _SETVAR_RE.match(stmt)
+        if vm:
+            env[vm.group(1)] = vm.group(2).strip()
+            continue
+        stmt = _substitute_vars(stmt, env)
         kind = classify(stmt)
         if kind == "create":
             d = parse_create_table(stmt)
@@ -793,6 +899,7 @@ def duckdb_oracle(script: str, final_select: str | None = None) -> str:
     chosen = final_select if final_select is not None else last_select
     if chosen is None:
         raise ValueError("script has no SELECT to designate")
+    chosen = _substitute_vars(chosen, env)
     # DuckDB resolves an alias nested in an ORDER BY expression to the
     # base column (same as Spark) — apply the same StarRocks-rule
     # desugar so the oracle ranks exactly like the engine under test.
@@ -873,29 +980,88 @@ def parse_r_file(text: str) -> list[tuple[str, list[str]]]:
     return out
 
 
-def _render_cell(v) -> str:
+def _render_cell(v, dt=None) -> str:
     """Render a Spark result value the way the reference's MySQL-client
-    harness prints it (None for NULL, ISO dates)."""
+    harness prints it (None for NULL, ISO dates). ``dt``: the Spark
+    DataType of the column, used to print FLOAT columns at float32
+    precision (Python widens them to double — 1.23 would otherwise
+    print as 1.2300000190734863)."""
     import datetime
     import decimal
+
+    from pyspark.sql import types as T
 
     if v is None:
         return "None"
     if isinstance(v, bool):
         return "1" if v else "0"
+    if isinstance(v, float) and isinstance(dt, T.FloatType):
+        import numpy as np
+
+        return repr(np.float32(v))
     if isinstance(v, decimal.Decimal):
         return str(v.normalize()) if v == v.to_integral_value() \
             else str(v)
     if isinstance(v, (datetime.date, datetime.datetime)):
         return str(v)
     if isinstance(v, list):
-        return "[" + ",".join(_render_cell(x) for x in v) + "]"
+        el = dt.elementType if isinstance(dt, T.ArrayType) else None
+        return "[" + ",".join(_render_array_el(x, el) for x in v) + "]"
     return str(v)
+
+
+def _render_array_el(v, dt=None) -> str:
+    """INSIDE arrays the reference prints JSON-ish: null lowercase,
+    strings/dates double-quoted, numbers bare."""
+    import datetime
+
+    if v is None:
+        return "null"
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return f'"{v}"'
+    if isinstance(v, str):
+        return f'"{v}"'
+    return _render_cell(v, dt)
+
+
+def _split_array_cell(s: str) -> list[str] | None:
+    if not (s.startswith("[") and s.endswith("]")):
+        return None
+    inner, parts, cur, i = s[1:-1], [], [], 0
+    while i < len(inner):
+        ch = inner[i]
+        if ch == '"':
+            j = i + 1
+            while j < len(inner) and inner[j] != '"':
+                j += 1
+            cur.append(inner[i:j + 1])
+            i = j + 1
+            continue
+        if ch == ",":
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    parts.append("".join(cur))
+    return parts if inner else []
 
 
 def _cells_match(exp: str, act: str) -> bool:
     if exp == act:
         return True
+    # array cells: element-wise with the numeric fallback (the C++
+    # float renderer prints 999, Python prints 999.0); if positional
+    # compare fails, fall back to MULTISET equality — element order of
+    # set-producing array functions (array_intersect/array_distinct)
+    # is unspecified in both engines
+    ea, aa = _split_array_cell(exp), _split_array_cell(act)
+    if ea is not None and aa is not None:
+        if len(ea) != len(aa):
+            return False
+        if all(_cells_match(x, y) for x, y in zip(ea, aa)):
+            return True
+        return sorted(ea) == sorted(aa)
     try:
         import math
 
@@ -953,7 +1119,9 @@ def run_suite_expected(spark: SparkSession, suite: str, case: str,
             continue
         if res.kind != "select":
             continue
-        actual = ["\t".join(_render_cell(v) for v in row)
+        dts = [f.dataType for f in res.df.schema.fields]
+        actual = ["\t".join(_render_cell(v, dt)
+                            for v, dt in zip(row, dts))
                   for row in res.df.collect()]
         checked += 1
         if _rows_match(expected, actual):

@@ -89,8 +89,8 @@ def _suite_query(suite: str, case: str, idx: int, out_names: list[str]):
         for stmt in split_statements(script):
             if classify(stmt) != "select":
                 runner.execute(stmt)
-        runner._refresh_views()
-        return runner._select(target).toDF(*out_names)
+        # through execute() so session-var substitution applies
+        return runner.execute(target).df.toDF(*out_names)
 
     return run
 

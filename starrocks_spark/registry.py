@@ -81,79 +81,76 @@ _MODULES = [
 # (3) freed slots go to never-driver-checked queries, oldest families
 #     first. Keep the list at ~50 entries.
 #
-# r6 window: everything whose engine code or oracle changed this round
-# (the search-index overhaul: two-phase top-k, stored SQ8/IVF/fulltext
-# indexes, row-local IVF assignment; the portable ai_embed embedder;
-# curation contract fixes; scratch-root relocation of managed tables),
-# the two formerly rows-only queries now carrying hard oracles
-# (ai_embed_similarity, func_geo_haversine), the NEW tpcds/mv-join/
-# information_schema families, and the last never-driver-checked
-# stragglers (6 SSB siblings + dedup_boilerplate_report). After this
-# window every registered query has had a driver row in some round.
+# r7 window: the NEW families first (the SQL-tester acceptance tier
+# running real reference test/sql suites, the TPC-DS correlated-
+# subquery family, st_contains, jsonpath wildcard/descent), then every
+# query whose engine code changed this round (chunking tail fix,
+# lakehouse merge dup-guard/de-literalized overlap/DELETE null
+# semantics, the streaming CoW upsert rework + auto-compaction, the
+# fulltext index metadata, and the ManagedTable no-version upsert
+# load-order change), then the ~25 STALEST driver rows (r1/r2-era
+# TPC-H/window/setop/asof/funnel families) whose shared engine core
+# moved since their last driver check.
 _PRIORITY = [
-    # search operators — two-phase top-k + stored index artifacts
-    "ann_brute_force",
-    "ann_lsh_multiprobe",
-    "ann_ivf_probe",
-    "ann_sq8_quantized",
+    # --- r7 new: SQL-tester acceptance tier (reference suites verbatim)
+    "dialect_sqltester_case_when",
+    "dialect_sqltester_agg_limit",
+    "dialect_sqltester_grouping_set",
+    "dialect_sqltester_orderby_agg",
+    "dialect_sqltester_tinyint_agg",
+    # --- r7 new: TPC-DS correlated-subquery family + q4 chain
+    "tpcds_q1_store_returns",
+    "tpcds_q30_web_state_returns",
+    "tpcds_q81_catalog_returns",
+    "tpcds_q4_growth_chain",
+    # --- r7 new: geo + jsonpath
+    "func_geo_st_contains",
+    "json_path_wildcard",
+    "json_path_descent",
+    # --- r7 changed code: chunking tail fix
+    "chunk_overlap_windows",
+    # --- r7 changed code: lakehouse merge (dup guard, de-literalized
+    # overlap, DELETE null semantics) + streaming CoW upsert rework
+    "table_lakehouse_merge",
+    "stream_upsert_latest",
+    "stream_lakehouse_upsert",
+    # --- r7 changed code: fulltext index meta (persisted n_buckets)
     "fulltext_match_any",
     "fulltext_match_all",
-    # formerly rows-only, now hard-oracled
-    "ai_embed_similarity",
-    "func_geo_haversine",
-    # curation changes: fixed eval-set demo, gopher absent-row fix,
-    # split-label escaping; siblings in the same touched module
-    "decontaminate_eval_overlap",
-    "quality_gopher_repetition",
-    # NEW: stream-static dimension enrichment
-    "stream_static_enrich",
-    # dedup family now reads the stored SignatureIndex (code changed)
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_cluster_keepers",
-    # never-driver-checked stragglers — closes the ledger
-    "dedup_boilerplate_report",
-    "ssb_q1_2",
-    "ssb_q2_3",
-    "ssb_q3_2",
-    "ssb_q3_3",
-    "ssb_q3_4",
-    "ssb_q4_1",
-    # NEW: TPC-DS-shaped family
-    "tpcds_q5_channel_rollup",
-    "tpcds_q11_yoy_growth",
-    "tpcds_q21_before_after",
-    "tpcds_q34_basket_counts",
-    "tpcds_q36_margin_rank",
-    "tpcds_q38_channel_intersect",
-    "tpcds_q45_or_subquery",
-    "tpcds_q51_cumulative_compare",
-    "tpcds_q59_weekly_yoy",
-    "tpcds_q67_rollup_topn",
-    "tpcds_q88_time_bands",
-    "tpcds_q93_returns_adjusted",
-    "tpcds_q97_channel_overlap",
-    "tpcds_q10_exists_profile",
-    "tpcds_q14_cross_channel",
-    "tpcds_q33_union_by_brand",
-    "tpcds_q49_return_ranks",
-    "tpcds_q54_revenue_buckets",
-    "tpcds_q64_snowflake",
-    "tpcds_q78_web_only_ratio",
-    # NEW: multi-table MV rewrite (+ MV siblings whose catalog changed)
-    "mv_join_rewrite",
-    # NEW: colocate bucketed join (first driver row for the family)
-    "join_colocate_bucketed",
-    # NEW: lakehouse copy-on-write MERGE with zone-map file pruning
-    "table_lakehouse_merge",
-    # NEW: information_schema breadth
-    "schema_scan_tables",
-    "schema_scan_partitions",
-    "schema_scan_column_stats",
-    "schema_scan_history",
-    # refined-quantizer IVF (new this round)
-    "ann_ivf_kmeans",
+    # --- r7 changed code: ManagedTable no-version upsert = load order
+    "table_primary_upsert_delete",
+    "table_merge_into_customers",
+    "table_merge_conditional",
+    "table_agg_keys_rollup",
+    "table_dup_keys_batches",
+    "table_rollup_autoselect",
+    # --- stalest rows whose engine core moved since their last check
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q18_large_volume_customer",
+    "tpch_q19_discounted_revenue",
+    "subquery_correlated_avg",
+    "subquery_not_in",
+    "qualify_top_order",
+    "window_rank",
+    "window_running_total",
+    "grouping_rollup",
+    "grouping_cube",
+    "setop_intersect",
+    "asof_purchase_view",
+    "asof_inner_tolerance",
+    "funnel_counts",
+    "retention_weekly",
+    "sessionize_stats",
+    "point_lookup_pk",
+    "join_nonequi_range",
+    "large_in_list_join",
+    "dialect_qualify_topn",
+    "recursive_cte_months",
+    "agg_percentile_exact",
+    "agg_state_merge",
 ]
 
 

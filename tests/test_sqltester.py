@@ -29,6 +29,15 @@ _SUITES = [
     ("test_agg", "test_grouping_set", 6, 0),
     ("test_agg", "test_orderby_agg", 7, 0),
     ("test_agg", "test_tinyint_agg", 2, 0),
+    ("test_agg", "test_agg_with_limit_seq", 2, 0),
+    ("test_agg", "test_streaming_agg", 3, 0),
+    ("test_agg", "test_serialize_key_agg", 4, 1),
+    ("test_agg", "test_agg_split_two_phase", 2, 1),
+    ("test_agg", "test_empty_input", 10, 0),
+    ("test_array_fn", "test_array_min_max", 88, 0),
+    ("test_array_fn", "test_array_remove", 45, 0),
+    ("test_array_fn", "test_array_intersect", 15, 0),
+    ("test_array_fn", "test_array_sum_avg", 2, 0),
 ]
 
 
