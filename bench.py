@@ -145,6 +145,11 @@ TPCDS = [
     "tpcds_q48_or_bands",
     "tpcds_q61_promo_ratio",
     "tpcds_q99_delay_buckets",
+    # r7: correlated-scalar-subquery family (decorrelation path)
+    "tpcds_q1_store_returns",
+    "tpcds_q30_web_state_returns",
+    "tpcds_q81_catalog_returns",
+    "tpcds_q4_growth_chain",
 ]
 
 
