@@ -209,9 +209,43 @@ def _rw_fmt_func(name: str):
     return rw
 
 
+def _rw_split_literal(args: list[str]):
+    if len(args) != 2:
+        return None
+    d = args[1].strip()
+    if not (d.startswith("'") and d.endswith("'")) or "'" in d[1:-1]:
+        return None  # non-literal delimiter: leave Spark-native
+    lit = d[1:-1]
+    if lit == "":
+        # character split, dropping the zero-width artifacts
+        return (f"filter(\0split\0({args[0]}, ''), "
+                "x -> x != '')")
+    esc = re.escape(lit).replace("\\", "\\\\")
+    return f"\0split\0({args[0]}, '{esc}')"
+
+
+def _rw_yearweek(args: list[str]):
+    """MySQL/StarRocks yearweek(d) mode 0 (be time_functions
+    year_week): weeks start Sunday; week 1 starts at the FIRST Sunday
+    of the year, days before it belong to the previous year's last
+    week. With ws = the Sunday starting d's week, the result is
+    year(ws)*100 + 1 + (ws - first_sunday(year(ws)))/7. Invalid dates
+    → NULL (arg goes through try_to_date, MySQL null-on-bad-date)."""
+    if len(args) != 1:
+        return None  # explicit-mode form not supported
+    d = f"\0try_to_date\0(TRY_CAST({args[0]} AS STRING))"
+    ws = f"\0date_sub\0({d}, \0dayofweek\0({d}) - 1)"
+    fs = (f"\0next_day\0(\0make_date\0(\0year\0({ws}) - 1, 12, 31), "
+          f"'SU')")
+    return (f"(\0year\0({ws}) * 100 + "
+            f"CAST(\0floor\0(\0datediff\0({ws}, {fs}) / 7) AS INT)"
+            f" + 1)")
+
+
 _SIMPLE_WRAPS = {
     # StarRocks name → template over args
     "dayname": lambda a: f"\0date_format\0({a[0]}, 'EEEE')",
+    "yearweek": _rw_yearweek,
     "monthname": lambda a: f"\0date_format\0({a[0]}, 'MMMM')",
     "money_format": lambda a: f"format_number(CAST({a[0]} AS DOUBLE), 2)",
     "curdate": lambda a: "current_date()",
@@ -241,6 +275,8 @@ _SIMPLE_WRAPS = {
         f"(acc, e) -> acc + CAST(e AS DOUBLE))"
         f" / CAST(size(filter({a[0]}, e -> e IS NOT NULL)) AS DOUBLE))"
     ),
+    # row(a, b) value constructor (MySQL/StarRocks) → struct
+    "row": lambda a: f"struct({', '.join(a)})",
     # array_remove(arr, NULL) removes the null elements in StarRocks;
     # Spark's returns NULL — desugar the null-target form to a filter
     "array_remove": lambda a: (
@@ -251,6 +287,10 @@ _SIMPLE_WRAPS = {
         f"sequence(1, {a[0]})" if len(a) == 1
         else f"sequence({', '.join(a)})"
     ),
+    # StarRocks split() treats the delimiter LITERALLY ('' = split
+    # into characters, no empties); Spark's is a Java regex — escape
+    # literal delimiters (string_functions.cpp split)
+    "split": lambda a: _rw_split_literal(a),
     # StarRocks percentile_xxx(col, p) call form → ANSI WITHIN GROUP
     # (Spark 4 implements the ANSI form only). The \0 markers stop
     # rewrite_calls from re-matching its own single-arg output.

@@ -222,8 +222,14 @@ def parse_create_table(stmt: str) -> TableDef:
         first_rest = rest.split(None, 1)[0].upper() if rest.strip() else ""
         if first_rest in _AGG_TYPES:
             agg = first_rest
-        cols.append(ColumnDef(cname, re.sub(r"\s+", "", ctype.lower()),
-                              agg))
+        # collapse (don't strip) whitespace: struct<a int, b int>
+        # needs the space between field name and type
+        cols.append(ColumnDef(
+            cname,
+            re.sub(r"\s*([<>,()])\s*", r"\1",
+                   re.sub(r"\s+", " ", ctype.lower())).strip(),
+            agg,
+        ))
     tail = stmt[after:]
     d = TableDef(name, cols)
     km = re.search(r"\b(DUPLICATE|AGGREGATE|UNIQUE|PRIMARY)\s+KEY\s*\(",
@@ -289,6 +295,18 @@ def _map_type(sr: str, table: dict[str, str], varchar: str,
     if base == "array":
         inner = _map_type(sr[len("array<"):-1], table, varchar, array_fmt)
         return array_fmt.format(inner)
+    if base == "struct":
+        fields = []
+        for f in _split_angle_fields(sr[len("struct<"):-1]):
+            fname, ftype = f.split(" ", 1)
+            fields.append(
+                (fname, _map_type(ftype, table, varchar, array_fmt))
+            )
+        if array_fmt == "{}[]":  # duck
+            return ("STRUCT(" + ", ".join(f"{n} {t}" for n, t in fields)
+                    + ")")
+        return ("STRUCT<" + ", ".join(f"{n}: {t}" for n, t in fields)
+                + ">")
     if base in ("tinyint", "smallint", "int", "integer", "bigint"):
         return table[base]  # (n) display width ignored, MySQL-style
     if base in table:
@@ -296,8 +314,38 @@ def _map_type(sr: str, table: dict[str, str], varchar: str,
     raise ValueError(f"unmapped StarRocks type: {sr}")
 
 
+def _split_angle_fields(s: str) -> list[str]:
+    """Split struct field defs on commas outside <> and ()."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur).strip())
+    return parts
+
+
 def spark_type(sr: str) -> str:
     return _map_type(sr, _SPARK_TYPES, "STRING", "ARRAY<{}>")
+
+
+_SPARK_TO_SR = {"timestamp": "datetime", "binary": "varbinary"}
+
+
+def _sr_from_spark(simple: str) -> str:
+    """Spark ``DataType.simpleString()`` → StarRocks type name (CTAS
+    result schemas). Spark's lowercase names coincide with StarRocks'
+    except the few mapped here; composites recurse element-wise."""
+    simple = simple.strip()
+    if simple.startswith("array<"):
+        return f"array<{_sr_from_spark(simple[6:-1])}>"
+    return _SPARK_TO_SR.get(simple, simple)
 
 
 def duck_type(sr: str) -> str:
@@ -374,9 +422,145 @@ def _strip_parens_bracket(text: str, start: int) -> tuple[str, int]:
     raise ValueError("unbalanced brackets")
 
 
+# StarRocks type words that appear inside CAST targets but are not
+# Spark type names
+_CAST_TYPE_WORDS = [
+    (re.compile(r"\bAS\s+LARGEINT\b", re.IGNORECASE),
+     "AS DECIMAL(38,0)"),
+    (re.compile(r"\bAS\s+DATETIME\b", re.IGNORECASE), "AS TIMESTAMP"),
+]
+
+
+def _rw_numeric_datetime(sql: str) -> str:
+    """StarRocks CAST(<integer literal> AS DATETIME) reads the DIGITS
+    as a packed yyyyMMdd[HHmmss] datetime (be time_types cast — NOT
+    unix seconds, which is what Spark's long→timestamp cast does).
+    Must run before the generic AS DATETIME → AS TIMESTAMP mapping."""
+    def sub(m):
+        d = m.group(1)
+        fmt = "yyyyMMdd" if len(d.lstrip("-")) == 8 else "yyyyMMddHHmmss"
+        return f"\0try_to_timestamp\0('{d}', '{fmt}')"
+
+    return re.sub(r"\bCAST\s*\(\s*(-?\d+)\s+AS\s+DATETIME\s*\)", sub,
+                  sql, flags=re.IGNORECASE)
+
+
+# `::` shorthand cast: type token (word, optional (args) / <...> args)
+_DCOLON_TYPE_RE = re.compile(
+    r"\s*(\w+(?:\s*\([^()]*\))?(?:\s*<[^<>]*(?:<[^<>]*>)?[^<>]*>)?)"
+)
+_IDENT_CHARS = set("abcdefghijklmnopqrstuvwxyz"
+                   "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_.`")
+
+
+def _find_outside_quotes(s: str, needle: str, start: int = 0) -> int:
+    i, n = start, len(s)
+    while i < n:
+        ch = s[i]
+        if ch in ("'", '"'):
+            j = i + 1
+            while j < n and s[j] != ch:
+                j += 2 if s[j] == "\\" else 1
+            i = j + 1
+            continue
+        if s.startswith(needle, i):
+            return i
+        i += 1
+    return -1
+
+
+def _rw_double_colon(sql: str) -> str:
+    """StarRocks ``expr::type`` shorthand cast → TRY_CAST. Two
+    semantic gaps vs letting Spark parse ``::`` natively:
+
+    - precedence: StarRocks binds ``::`` tighter than unary minus
+      (``-2147483648::int`` is ``-(2147483648::int)`` → NULL on
+      overflow; Spark negates the literal first), so the operand scan
+      deliberately stops before a sign;
+    - string → array<T> casts parse the string as JSON (be
+      cast_expr): desugared to from_json, with a directly-following
+      ``[i]`` subscript mapped to 1-based element_at (StarRocks
+      subscripts are 1-based; Spark ``[]`` is 0-based)."""
+    i = 0
+    while True:
+        i = _find_outside_quotes(sql, "::", i)
+        if i < 0:
+            return sql
+        tm = _DCOLON_TYPE_RE.match(sql, i + 2)
+        if not tm:
+            i += 2
+            continue
+        ty = re.sub(r"\s+", "", tm.group(1)).lower()
+        try:
+            sty = spark_type(ty)
+        except (ValueError, KeyError):
+            i = tm.end()
+            continue
+        # back-scan the operand
+        j = i - 1
+        while j >= 0 and sql[j].isspace():
+            j -= 1
+        if j < 0:
+            i += 2
+            continue
+        if sql[j] in ")]":
+            close, opener = sql[j], "(" if sql[j] == ")" else "["
+            depth, k = 0, j
+            while k >= 0:
+                if sql[k] == close:
+                    depth += 1
+                elif sql[k] == opener:
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k -= 1
+            # absorb a function name / qualified ident before '('
+            while k > 0 and sql[k - 1] in _IDENT_CHARS:
+                k -= 1
+            start = k
+        elif sql[j] in ("'", '"'):
+            q, k = sql[j], j - 1
+            while k >= 0 and sql[k] != q:
+                k -= 1
+            start = k
+        elif sql[j] in _IDENT_CHARS:
+            k = j
+            while k > 0 and sql[k - 1] in _IDENT_CHARS:
+                k -= 1
+            start = k
+        else:
+            i = tm.end()
+            continue
+        op = sql[start:i].strip()
+        if sty.startswith("ARRAY<"):
+            repl = f"\0from_json\0({op}, '{sty}')"
+            rest = sql[tm.end():]
+            sub = re.match(r"\s*\[\s*(\d+)\s*\]", rest)
+            if sub:
+                repl = f"\0element_at\0({repl}, {sub.group(1)})"
+                rest = rest[sub.end():]
+            sql = sql[:start] + repl + rest
+        else:
+            repl = f"TRY_CAST({op} AS {sty})"
+            sql = sql[:start] + repl + sql[tm.end():]
+        i = start + len(repl)
+
+
 def translate_select_spark(sql: str) -> str:
     sql = _rw_generate_series_spark(sql)
+    sql = _rw_numeric_datetime(sql)
+    # :: before bracket-array rewriting: a subscript directly after a
+    # ::array<T> cast ([1]) must reach the 1-based element_at desugar,
+    # not be misread as an array literal
+    sql = _rw_double_colon(sql)
     sql = _rw_bracket_arrays(sql)
+    # StarRocks CAST is MySQL-style null-on-failure (cast('-' AS INT)
+    # → NULL); Spark's ANSI cast raises — TRY_CAST is the faithful
+    # translation (identical for every valid cast)
+    sql = re.sub(r"\bCAST\s*\(", "TRY_CAST(", sql,
+                 flags=re.IGNORECASE)
+    for pat, repl in _CAST_TYPE_WORDS:
+        sql = pat.sub(repl, sql)
     return dialect.translate(sql)
 
 
@@ -580,7 +764,11 @@ def translate_select_duck(sql: str) -> str:
 # ---------------------------------------------------------------------------
 
 _NOOP_RE = re.compile(
-    r"^\s*(SET|ADMIN\s|ANALYZE\s|ALTER\s+SYSTEM)", re.IGNORECASE
+    r"^\s*(SET|ADMIN\s|ANALYZE\s|ALTER\s+SYSTEM"
+    # database namespacing: the tester keeps a single flat namespace
+    # (scripts create a uuid-suffixed scratch db, use it, drop it —
+    # run.py does the same substitution dance; sr_sql_lib `${uuid}`)
+    r"|CREATE\s+DATABASE|USE\s|DROP\s+DATABASE)", re.IGNORECASE
 )
 _SETVAR_RE = re.compile(
     r"^\s*SET\s+@(\w+)\s*=\s*(.+)$", re.IGNORECASE | re.DOTALL
@@ -594,7 +782,9 @@ def _substitute_vars(stmt: str, env: dict[str, str]) -> str:
     textual substitution is semantics-preserving."""
     for name in sorted(env, key=len, reverse=True):
         stmt = re.sub(rf"@{name}\b", f"({env[name]})", stmt)
-    return stmt
+    # run.py-style ${uuid0} template vars: the value only needs to be
+    # a stable unique token within the script (db/table name suffixes)
+    return re.sub(r"\$\{(\w+)\}", r"_\1_", stmt)
 _INSERT_RE = re.compile(
     r"^\s*INSERT\s+INTO\s+`?(\w+)`?\s*(?:\(([^)]*)\)\s*)?(.*)$",
     re.IGNORECASE | re.DOTALL,
@@ -780,7 +970,31 @@ class ScriptRunner:
             sql = dialect.rewrite_calls(sql, name, rw(name))
         return dialect._restore_markers(sql)
 
+    _CTAS_RE = re.compile(
+        r"^\s*CREATE\s+TABLE\s+`?(\w+)`?\s*"
+        r"(?:PROPERTIES\s*\([^)]*\)\s*)?AS\s+(SELECT|WITH)\b",
+        re.IGNORECASE | re.DOTALL,
+    )
+
     def _create(self, stmt: str) -> None:
+        cm = self._CTAS_RE.match(stmt)
+        if cm:
+            # CTAS (StarRocks.g4 createTableAsSelectStatement): the
+            # result schema defines the table; model defaults to
+            # duplicate-key on the leading column
+            sel = stmt[cm.start(2):]
+            self._refresh_views()
+            df = self.spark.sql(translate_select_spark(sel))
+            d = TableDef(cm.group(1), [
+                ColumnDef(f.name, _sr_from_spark(f.dataType.simpleString()))
+                for f in df.schema.fields
+            ])
+            d.key_cols = [d.cols[0].name]
+            self.tables[d.name] = ManagedTable.create(
+                self.spark, d.model, d.key_cols)
+            self.defs[d.name] = d
+            self.tables[d.name].insert(df)
+            return
         d = parse_create_table(stmt)
         agg_spec = {c.name: c.agg.lower() for c in d.cols if c.agg}
         self.tables[d.name] = ManagedTable.create(

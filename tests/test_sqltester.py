@@ -35,6 +35,12 @@ _SUITES = [
     ("test_agg", "test_agg_split_two_phase", 2, 1),
     ("test_agg", "test_empty_input", 10, 0),
     ("test_array_fn", "test_array_min_max", 88, 0),
+    ("test_function", "test_split", 9, 0),
+    ("test_cast", "test_cast_string_to_int", 10, 0),
+    ("test_cast", "test_cast_to_datetime", 5, 0),
+    # 1 skip: the JSON-typed statement (StarRocks JSON renders
+    # `{"a": 1}` — no Spark-side normalized-JSON string type)
+    ("test_cast", "test_shorthand_cast", 20, 1),
     ("test_array_fn", "test_array_remove", 45, 0),
     ("test_array_fn", "test_array_intersect", 15, 0),
     ("test_array_fn", "test_array_sum_avg", 2, 0),
