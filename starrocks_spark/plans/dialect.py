@@ -160,6 +160,50 @@ def rewrite_calls(sql: str, name: str, fn) -> str:
     # unreachable
 
 
+def rewrite_calls_over(sql: str, name: str, fn) -> str:
+    """Like rewrite_calls, but also captures a directly-following
+    ``OVER ( ... )`` clause; fn(args, over_text_or_None) must emit the
+    COMPLETE replacement (including the window) so it can wrap outside
+    the window function — needed when an aggregate's StarRocks result
+    shape differs from Spark's (e.g. bool_or's null/false contract)."""
+    pat = re.compile(rf"\b{name}\s*\(", re.IGNORECASE)
+    while True:
+        m = pat.search(sql)
+        if m is None:
+            return sql
+        depth, i = 1, m.end()
+        while i < len(sql) and depth:
+            ch = sql[i]
+            if ch == "'":
+                j = i + 1
+                while j < len(sql) and sql[j] != "'":
+                    j += 1
+                i = j
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            i += 1
+        inner = sql[m.end():i - 1]
+        over = None
+        end = i
+        om = re.match(r"\s*OVER\s*\(", sql[i:], re.IGNORECASE)
+        if om:
+            depth, j = 1, i + om.end()
+            while j < len(sql) and depth:
+                if sql[j] == "(":
+                    depth += 1
+                elif sql[j] == ")":
+                    depth -= 1
+                j += 1
+            over = sql[i + om.end():j - 1]
+            end = j
+        repl = fn(_split_top_level(inner), over)
+        if repl is None:
+            repl = f"\0{name}\0({inner})" + sql[i:end]
+        sql = sql[:m.start()] + repl + sql[end:]
+
+
 def _restore_markers(sql: str) -> str:
     return sql.replace("\0", "")
 
@@ -242,10 +286,100 @@ def _rw_yearweek(args: list[str]):
             f" + 1)")
 
 
+def _rw_bool_coerce(name: str):
+    """StarRocks implicitly coerces the numeric/string argument of
+    boolean aggregates (count_if(v2), bool_or(c0) on ints —
+    FunctionSet implicit cast); Spark requires BOOLEAN. TRY_CAST
+    keeps MySQL null-on-bad-string semantics (count_if('') counts
+    nothing)."""
+    def rw(a):
+        if len(a) != 1:
+            return None
+        return f"\0{name}\0(TRY_CAST({a[0]} AS BOOLEAN))"
+    return rw
+
+
+def _rw_bool_agg(name: str):
+    """bool_or / booland_agg (be/src/exprs/agg/any_value.h boolor):
+    result is TINYINT 1/0, NULL only for a truly EMPTY input — a
+    group whose values are all NULL still yields 0/1 (Spark's
+    bool_or null-skips to NULL there, and types the result BOOLEAN,
+    which sum() then refuses). Wrapped OUTSIDE any OVER clause."""
+    def rw(a, over):
+        if len(a) != 1:
+            return None
+        inner = f"\0{name}\0(TRY_CAST({a[0]} AS BOOLEAN))"
+        if over is not None:
+            return (f"CAST(coalesce({inner} OVER ({over}), false) "
+                    f"AS INT)")
+        return (f"CAST(CASE WHEN count(*) = 0 THEN NULL "
+                f"ELSE coalesce({inner}, false) END AS INT)")
+    return rw
+
+
+def _rw_string_agg(args: list[str]):
+    """string_agg(expr, delim [order by ...]) — StarRocks puts the
+    ORDER BY inside the call args (grammar aggregationFunction);
+    Spark 4's listagg takes it as WITHIN GROUP. The order-by tail
+    starts in args[1] and spans the remaining comma-split parts.
+    Ordinal order keys reference the call's own args (ORDER BY 1 =
+    the aggregated expr — fe group_concat analysis); for DISTINCT,
+    keys other than the distinct expr itself only break ties between
+    equal (collapsed) values, so they are dropped — which is also
+    what Spark's listagg DISTINCT contract requires."""
+    if not args:
+        return None
+    expr = args[0]
+    dm = re.match(r"distinct\s+(.*)$", expr,
+                  re.IGNORECASE | re.DOTALL)
+    if len(args) == 1:
+        return f"\0listagg\0({expr})"
+    tail = ", ".join(args[1:])
+    m = re.search(r"\border\s+by\b", tail, re.IGNORECASE)
+    if not m:
+        return f"\0listagg\0({expr}, {tail})"
+    delim, order = tail[:m.start()].strip(), tail[m.end():].strip()
+    bare = (dm.group(1) if dm else expr).strip()
+    keys = []
+    for k in _split_top_level(order):
+        k = k.strip()
+        if k == "1":
+            k = bare
+        if dm and re.sub(r"\s+(?:asc|desc)$", "", k,
+                         flags=re.IGNORECASE) != bare:
+            continue  # ties between collapsed duplicates — no-op
+        if k not in keys:
+            keys.append(k)
+    if not keys:
+        keys = [bare]
+    if dm:
+        # Spark's listagg(DISTINCT x) implicitly casts x to STRING
+        # and then refuses an ORDER BY on the original — sort the
+        # distinct values in their NATIVE type instead (array_sort
+        # of collect_set), stringify, join. Empty → NULL, matching
+        # group_concat.
+        arr = f"\0array_sort\0(\0collect_set\0({bare}))"
+        if keys and re.search(r"\bdesc$", keys[0], re.IGNORECASE):
+            arr = f"\0reverse\0({arr})"
+        return (f"nullif(\0array_join\0(\0transform\0({arr}, "
+                f"_v -> CAST(_v AS STRING)), {delim}), '')")
+    return (f"\0listagg\0({expr}, {delim}) "
+            f"WITHIN GROUP (ORDER BY {', '.join(keys)})")
+
+
 _SIMPLE_WRAPS = {
     # StarRocks name → template over args
     "dayname": lambda a: f"\0date_format\0({a[0]}, 'EEEE')",
     "yearweek": _rw_yearweek,
+    # convert_tz(dt, from, to): reinterpret dt from one zone into
+    # another (be time_functions convert_tz) — via UTC round-trip
+    "convert_tz": lambda a: (
+        f"\0from_utc_timestamp\0(\0to_utc_timestamp\0("
+        f"TRY_CAST({a[0]} AS TIMESTAMP), {a[1]}), {a[2]})"
+        if len(a) == 3 else None
+    ),
+    "count_if": _rw_bool_coerce("count_if"),
+    "string_agg": _rw_string_agg,
     "monthname": lambda a: f"\0date_format\0({a[0]}, 'MMMM')",
     "money_format": lambda a: f"format_number(CAST({a[0]} AS DOUBLE), 2)",
     "curdate": lambda a: "current_date()",
@@ -377,6 +511,10 @@ def translate(sql: str) -> str:
         sql = rewrite_calls(sql, name, _rw_fmt_func(name))
     for name, tmpl in _SIMPLE_WRAPS.items():
         sql = rewrite_calls(sql, name, lambda a, t=tmpl: t(a))
+    for sr_name, spark_name in (("boolor_agg", "bool_or"),
+                                ("bool_or", "bool_or"),
+                                ("booland_agg", "bool_and")):
+        sql = rewrite_calls_over(sql, sr_name, _rw_bool_agg(spark_name))
     return _restore_markers(sql)
 
 

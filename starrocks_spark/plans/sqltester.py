@@ -190,6 +190,41 @@ def _strip_parens_block(text: str, start: int) -> tuple[str, int]:
     raise ValueError("unbalanced parens in DDL")
 
 
+def _split_coldefs(body: str) -> list[str]:
+    """Split a CREATE TABLE column-def list on top-level commas,
+    tracking () AND the <> of generic types (struct<a int, b int> is
+    one def — dialect._split_top_level only tracks parens). A ``<``
+    opens a generic only when glued to a type word (array< / map< /
+    struct<), which cannot be confused with comparisons in DDL."""
+    parts, cur, depth, i, n = [], [], 0, 0, len(body)
+    while i < n:
+        ch = body[i]
+        if ch in ("'", '"'):
+            j = i + 1
+            while j < n and body[j] != ch:
+                j += 1
+            cur.append(body[i:j + 1])
+            i = j + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "<" and cur and cur[-1] and cur[-1][-1].isalnum():
+            depth += 1
+        elif ch == ">" and depth > 0:
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    if "".join(cur).strip():
+        parts.append("".join(cur).strip())
+    return parts
+
+
 _CREATE_RE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?\s*",
     re.IGNORECASE,
@@ -210,7 +245,7 @@ def parse_create_table(stmt: str) -> TableDef:
     open_paren = stmt.index("(", m.end() - 1)
     body, after = _strip_parens_block(stmt, open_paren)
     cols = []
-    for entry in dialect._split_top_level(body):
+    for entry in _split_coldefs(body):
         head = entry.split(None, 1)[0].upper().strip("`")
         if head in ("INDEX", "KEY", "CONSTRAINT"):
             continue  # secondary index defs — not table columns
@@ -307,6 +342,13 @@ def _map_type(sr: str, table: dict[str, str], varchar: str,
                     + ")")
         return ("STRUCT<" + ", ".join(f"{n}: {t}" for n, t in fields)
                 + ">")
+    if base == "map":
+        k, v = _split_angle_fields(sr[len("map<"):-1])
+        mk = _map_type(k, table, varchar, array_fmt)
+        mv = _map_type(v, table, varchar, array_fmt)
+        if array_fmt == "{}[]":  # duck
+            return f"MAP({mk}, {mv})"
+        return f"MAP<{mk}, {mv}>"
     if base in ("tinyint", "smallint", "int", "integer", "bigint"):
         return table[base]  # (n) display width ignored, MySQL-style
     if base in table:
@@ -445,9 +487,11 @@ def _rw_numeric_datetime(sql: str) -> str:
                   sql, flags=re.IGNORECASE)
 
 
-# `::` shorthand cast: type token (word, optional (args) / <...> args)
+# `::` shorthand cast: type token (word, optional (args) / <...> args
+# with one nesting level)
 _DCOLON_TYPE_RE = re.compile(
-    r"\s*(\w+(?:\s*\([^()]*\))?(?:\s*<[^<>]*(?:<[^<>]*>)?[^<>]*>)?)"
+    r"\s*(\w+(?:\s*\([^()]*\))?"
+    r"(?:\s*<(?:[^<>]|<(?:[^<>]|<[^<>]*>)*>)*>)?)"
 )
 _IDENT_CHARS = set("abcdefghijklmnopqrstuvwxyz"
                    "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_.`")
@@ -490,7 +534,7 @@ def _rw_double_colon(sql: str) -> str:
         if not tm:
             i += 2
             continue
-        ty = re.sub(r"\s+", "", tm.group(1)).lower()
+        ty = _norm_type(tm.group(1))
         try:
             sty = spark_type(ty)
         except (ValueError, KeyError):
@@ -546,9 +590,142 @@ def _rw_double_colon(sql: str) -> str:
         i = start + len(repl)
 
 
+# StarRocks join-strategy hints (StarRocks.g4 joinHint: [shuffle] /
+# [broadcast] / [bucket] / [colocate]): strategy directives, not
+# semantics — Spark's planner (AQE) picks the physical join itself,
+# so the faithful translation is to drop them.
+_JOIN_HINT_RE = re.compile(
+    r"(\bjoin\s*)\[\s*(?:shuffle|broadcast|bucket|colocate)\s*\]",
+    re.IGNORECASE,
+)
+
+# StarRocks string→float parsing rejects NaN/Infinity spellings
+# (be string_parser strict mode → NULL); Spark's cast accepts them
+_NAN_CAST_RE = re.compile(
+    r"TRY_CAST\s*\(\s*'[-+]?(?:NaN|Infinity)'\s+AS\s+"
+    r"(FLOAT|DOUBLE|REAL)\b", re.IGNORECASE,
+)
+
+# (?<!:) — `expr::array<int>[1]` is a shorthand CAST followed by a
+# SUBSCRIPT, owned by _rw_double_colon, not a typed array literal.
+# The <...> body allows two levels of nested generics
+# (array<struct<c1 int, c2 int>> / array<map<string, int>>).
+_TYPED_ARRAY_RE = re.compile(
+    r"(?<!:)\bARRAY\s*<((?:[^<>]|<(?:[^<>]|<[^<>]*>)*>)*)>\s*\[",
+    re.IGNORECASE,
+)
+
+
+def _norm_type(t: str) -> str:
+    """Normalize SQL-text type spelling the way parse_create_table
+    does: collapse runs of whitespace, strip it around punctuation
+    (keeps the single space between a struct field name and type)."""
+    return re.sub(r"\s*([<>,()])\s*", r"\1",
+                  re.sub(r"\s+", " ", t.lower())).strip()
+
+
+def _rw_typed_array_literals(sql: str) -> str:
+    """``ARRAY<INT>[1, NULL]`` typed array literals (StarRocks.g4
+    arrayType primaryExpression) → CAST(array(...) AS ARRAY<T>)."""
+    while True:
+        m = _TYPED_ARRAY_RE.search(sql)
+        if not m:
+            return sql
+        inner, after = _strip_parens_bracket(sql, m.end() - 1)
+        sty = spark_type(_norm_type(m.group(1)))
+        sql = (f"{sql[:m.start()]}CAST(\0array\0({inner}) AS "
+               f"ARRAY<{sty}>){sql[after:]}")
+
+
+_MAP_LIT_RE = re.compile(r"\bmap\s*\{", re.IGNORECASE)
+
+
+def _rw_map_literals(sql: str) -> str:
+    """``map{'a':1,'b':2}`` literals (StarRocks.g4 mapExpression) →
+    map('a', 1, 'b', 2)."""
+    while True:
+        m = _MAP_LIT_RE.search(sql)
+        if not m:
+            return sql
+        depth, i = 1, m.end()
+        while i < len(sql) and depth:
+            ch = sql[i]
+            if ch == "'":
+                j = i + 1
+                while j < len(sql) and sql[j] != "'":
+                    j += 1
+                i = j
+            elif ch == "{":
+                depth += 1
+            elif ch == "}":
+                depth -= 1
+            i += 1
+        pairs = []
+        for entry in dialect._split_top_level(sql[m.end():i - 1]):
+            k, v = entry.split(":", 1)
+            pairs.extend((k.strip(), v.strip()))
+        sql = (f"{sql[:m.start()]}\0map\0({', '.join(pairs)})"
+               f"{sql[i:]}")
+
+
+_TABLE_UNNEST_RE = re.compile(r"\bTABLE\s*\(\s*unnest\s*\(",
+                              re.IGNORECASE)
+
+
+def _rw_table_unnest(sql: str) -> str:
+    """``TABLE(unnest(arr)) t(x)`` table function in FROM →
+    ``(SELECT explode(arr) AS x) t`` (Spark models lateral expansion
+    as explode over a subquery). NULL elements pass through both
+    (explode drops only empty/NULL ARRAYS, matching the reference's
+    unnest). Un-aliased form: the output column is named ``unnest``
+    (fe TableFunction unnest default). Two-array form zips with NULL
+    padding to the longer side — exactly zip_with's contract."""
+    while True:
+        m = _TABLE_UNNEST_RE.search(sql)
+        if not m:
+            return sql
+        # inner parens of unnest(...)
+        arr, after_unnest = _strip_parens_block(sql, m.end() - 1)
+        arrs = dialect._split_top_level(arr)
+        # close of TABLE( ... )
+        rest = sql[after_unnest:]
+        cm = re.match(
+            r"\s*\)\s*(?:AS\s+)?(\w+)\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\)",
+            rest, re.IGNORECASE)
+        if cm:
+            alias = cm.group(1)
+            cols = [c.strip() for c in cm.group(2).split(",")]
+            tail = rest[cm.end():]
+        else:
+            bm = re.match(r"\s*\)", rest)
+            if not bm:
+                return sql
+            alias, cols, tail = "", ["unnest"], rest[bm.end():]
+        if len(arrs) == 1 and len(cols) == 1:
+            repl = f"(SELECT \0explode\0({arrs[0]}) AS {cols[0]})"
+        elif len(arrs) == 2 and len(cols) == 2:
+            c1, c2 = cols
+            repl = (
+                f"(SELECT _zc.{c1} AS {c1}, _zc.{c2} AS {c2} FROM "
+                f"(SELECT \0explode\0(\0zip_with\0({arrs[0]}, "
+                f"{arrs[1]}, (_l, _r) -> \0named_struct\0("
+                f"'{c1}', _l, '{c2}', _r))) AS _zc))"
+            )
+        else:
+            return sql  # >2-array zip — not desugared
+        sql = f"{sql[:m.start()]}{repl} {alias}{tail}"
+
+
 def translate_select_spark(sql: str) -> str:
     sql = _rw_generate_series_spark(sql)
     sql = _rw_numeric_datetime(sql)
+    sql = _JOIN_HINT_RE.sub(r"\1", sql)
+    # map literals before typed arrays (they nest inside them); typed
+    # array literals before unnest: their commas are top-level until
+    # [..] becomes array(..), which the unnest arg-split relies on
+    sql = _rw_map_literals(sql)
+    sql = _rw_typed_array_literals(sql)
+    sql = _rw_table_unnest(sql)
     # :: before bracket-array rewriting: a subscript directly after a
     # ::array<T> cast ([1]) must reach the 1-based element_at desugar,
     # not be misread as an array literal
@@ -559,6 +736,7 @@ def translate_select_spark(sql: str) -> str:
     # translation (identical for every valid cast)
     sql = re.sub(r"\bCAST\s*\(", "TRY_CAST(", sql,
                  flags=re.IGNORECASE)
+    sql = _NAN_CAST_RE.sub(r"TRY_CAST(NULL AS \1", sql)
     for pat, repl in _CAST_TYPE_WORDS:
         sql = pat.sub(repl, sql)
     return dialect.translate(sql)
@@ -798,6 +976,10 @@ def classify(stmt: str) -> str:
     s = stmt.lstrip().upper()
     if s.startswith("CREATE TABLE"):
         return "create"
+    if re.match(r"CREATE\s+VIEW\s", s):
+        return "createview"
+    if re.match(r"DROP\s+VIEW\s", s):
+        return "dropview"
     if _NOOP_RE.match(stmt):
         return "noop"
     if _DROP_RE.match(stmt):
@@ -834,6 +1016,8 @@ class ScriptRunner:
         self.defs: dict[str, TableDef] = {}
         self.tables: dict[str, ManagedTable] = {}
         self.vars: dict[str, str] = {}   # SET @name = expr
+        self.dbs: set[str] = set()       # CREATE DATABASE / USE names
+        self.views: set[str] = set()     # CREATE VIEW temp views
 
     # -------------------------------------------------------------- views
 
@@ -860,6 +1044,11 @@ class ScriptRunner:
             self.vars[vm.group(1)] = vm.group(2).strip()
             return StatementResult(stmt, "noop")
         stmt = _substitute_vars(stmt, self.vars)
+        dbm = re.match(r"\s*(?:CREATE\s+DATABASE\s+(?:IF\s+NOT\s+"
+                       r"EXISTS\s+)?|USE\s+)`?(\w+)`?", stmt,
+                       re.IGNORECASE)
+        if dbm:
+            self.dbs.add(dbm.group(1))
         kind = classify(stmt)
         try:
             if kind == "create":
@@ -874,6 +1063,23 @@ class ScriptRunner:
             elif kind == "select":
                 self._refresh_views()
                 return StatementResult(stmt, "select", self._select(stmt))
+            elif kind == "createview":
+                vm2 = re.match(
+                    r"\s*CREATE\s+VIEW\s+`?(\w+)`?\s+AS\s+(.*)$",
+                    stmt, re.IGNORECASE | re.DOTALL)
+                self._refresh_views()
+                # materialize through the runner's select path, then
+                # re-register as a view over the captured result (the
+                # tester's views are over literal/table-func bodies)
+                self._select(vm2.group(2)).createOrReplaceTempView(
+                    vm2.group(1))
+                self.views.add(vm2.group(1))
+            elif kind == "dropview":
+                name = re.match(r"\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?"
+                                r"`?(\w+)`?", stmt, re.IGNORECASE
+                                ).group(1)
+                self.spark.catalog.dropTempView(name)
+                self.views.discard(name)
             elif kind == "noop":
                 pass
             else:
@@ -887,6 +1093,10 @@ class ScriptRunner:
     def _select(self, stmt: str) -> DataFrame:
         from pyspark.errors import AnalysisException
 
+        # the tester's namespace is flat (CREATE DATABASE/USE are
+        # no-ops) — drop db qualifiers from db.table.col references
+        for db in self.dbs:
+            stmt = re.sub(rf"\b{re.escape(db)}\.", "", stmt)
         sql = translate_select_spark(stmt)
         try:
             df = self.spark.sql(sql)

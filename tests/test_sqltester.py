@@ -41,6 +41,23 @@ _SUITES = [
     # 1 skip: the JSON-typed statement (StarRocks JSON renders
     # `{"a": 1}` — no Spark-side normalized-JSON string type)
     ("test_cast", "test_shorthand_cast", 20, 1),
+    ("test_join", "test_null_safe_equal", 16, 0),
+    ("test_time_fn", "test_convert_tz", 4, 0),
+    # 1 skip: count_if(DISTINCT ...) — an expected-error statement
+    ("test_agg_function", "test_count_if", 8, 1),
+    ("test_agg_function", "test_bool_or", 4, 0),
+    # 2 skips: 'order by 1,2' forms — expected-error statements
+    ("test_agg_function", "test_string_agg", 7, 2),
+    # 1 skip: the json-typed unnest (-> operator over JSON values)
+    ("test_unnest", "test_unnest", 16, 1),
+    ("test_semi", "test_uppercase", 3, 0),
+    ("test_number", "test_invalid_floating_point_number", 3, 0),
+    ("test_union", "test_intersect", 1, 0),
+    # 1 skip: JSON_OBJECT build in an insert-select (JSON type)
+    ("test_set_operation", "test_except", 1, 1),
+    ("test_sort", "test_topn_with_agg_tbl", 5, 0),
+    ("test_sum_rewrite", "test_sum_rewrite", 12, 0),
+    ("test_subquery", "test_complex_in", 1, 0),
     ("test_array_fn", "test_array_remove", 45, 0),
     ("test_array_fn", "test_array_intersect", 15, 0),
     ("test_array_fn", "test_array_sum_avg", 2, 0),
