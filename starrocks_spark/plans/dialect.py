@@ -380,6 +380,14 @@ _SIMPLE_WRAPS = {
     ),
     "count_if": _rw_bool_coerce("count_if"),
     "string_agg": _rw_string_agg,
+    # multi-arg GROUPING(a, b) is the bit-vector form — Spark names
+    # that grouping_id (FunctionSet GROUPING_ID; same MSB-first order)
+    "grouping": lambda a: (None if len(a) == 1 else
+                           f"\0grouping_id\0({', '.join(a)})"),
+    # single-pass multi-distinct aggregates are an execution detail
+    # (be/src/exprs/agg/distinct.h) — semantics are DISTINCT aggs
+    "multi_distinct_count": lambda a: f"count(DISTINCT {', '.join(a)})",
+    "multi_distinct_sum": lambda a: f"sum(DISTINCT {a[0]})",
     "monthname": lambda a: f"\0date_format\0({a[0]}, 'MMMM')",
     "money_format": lambda a: f"format_number(CAST({a[0]} AS DOUBLE), 2)",
     "curdate": lambda a: "current_date()",

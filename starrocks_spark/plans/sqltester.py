@@ -399,15 +399,62 @@ def duck_type(sr: str) -> str:
 # ---------------------------------------------------------------------------
 
 _GS_RE = re.compile(
-    r"\bTABLE\s*\(\s*generate_series\s*\(([^()]*)\)\s*\)",
+    r"\bTABLE\s*\(\s*generate_series\s*\("
+    r"((?:[^()]|\([^()]*\))*)\)\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _series_expr(args_text: str) -> str:
+    """generate_series args → a Spark sequence() expression with the
+    pg/StarRocks boundary contract: empty (not an error) when the
+    step walks away from stop, 2-arg step is FIXED +1 (Spark infers
+    -1 for descending bounds), step 0 raises with the reference's
+    message text."""
+    args = dialect._split_top_level(args_text)
+    if len(args) == 3:
+        a, b, s = args
+        return (f"CASE WHEN ({s}) = 0 THEN "
+                f"array(CAST(raise_error('generate_series step size "
+                f"cannot equal zero') AS BIGINT)) "
+                f"WHEN (({s}) > 0 AND ({a}) <= ({b})) OR "
+                f"(({s}) < 0 AND ({a}) >= ({b})) "
+                f"THEN sequence({a}, {b}, {s}) "
+                f"ELSE array() END")
+    if len(args) == 2:
+        a, b = args
+        return (f"CASE WHEN ({a}) <= ({b}) THEN sequence({a}, {b}) "
+                f"ELSE array() END")
+    return f"sequence({args_text})"
+
+
+# LATERAL generate_series(x, y) [t(col)] — correlated TVF in FROM
+_LATERAL_GS_RE = re.compile(
+    r"\bLATERAL\s+generate_series\s*\(((?:[^()]|\([^()]*\))*)\)"
+    r"(?:\s+(\w+)\s*\(\s*(\w+)\s*\))?",
     re.IGNORECASE,
 )
 
 
 def _rw_generate_series_spark(sql: str) -> str:
-    return _GS_RE.sub(
-        r"(SELECT explode(sequence(\1)) AS generate_series)", sql
-    )
+    def sub(m):
+        return (f"(SELECT explode({_series_expr(m.group(1))}) "
+                f"AS generate_series)")
+
+    def sub_lateral(m):
+        col = m.group(3) or "generate_series"
+        alias = m.group(2) or ""
+        return (f"LATERAL (SELECT explode({_series_expr(m.group(1))})"
+                f" AS {col}) {alias}")
+
+    sql = _GS_RE.sub(sub, sql)
+    return _LATERAL_GS_RE.sub(sub_lateral, sql)
+
+
+# StarRocks optimizer/session hints (/*+ SET_VAR(k=v) */) are
+# environment directives; Spark's parser rejects the k=v body
+_SETVAR_HINT_RE = re.compile(r"/\*\+\s*SET_VAR\s*\([^)]*\)\s*\*/",
+                             re.IGNORECASE)
 
 
 def _rw_generate_series_duck(sql: str) -> str:
@@ -513,7 +560,7 @@ def _find_outside_quotes(s: str, needle: str, start: int = 0) -> int:
     return -1
 
 
-def _rw_double_colon(sql: str) -> str:
+def _rw_double_colon(sql: str, duck: bool = False) -> str:
     """StarRocks ``expr::type`` shorthand cast → TRY_CAST. Two
     semantic gaps vs letting Spark parse ``::`` natively:
 
@@ -524,7 +571,11 @@ def _rw_double_colon(sql: str) -> str:
     - string → array<T> casts parse the string as JSON (be
       cast_expr): desugared to from_json, with a directly-following
       ``[i]`` subscript mapped to 1-based element_at (StarRocks
-      subscripts are 1-based; Spark ``[]`` is 0-based)."""
+      subscripts are 1-based; Spark ``[]`` is 0-based).
+
+    ``duck=True`` emits the DuckDB spellings for the oracle twin:
+    TRY_CAST handles string→INT[] natively and subscripts are already
+    1-based, so both array special cases collapse away."""
     i = 0
     while True:
         i = _find_outside_quotes(sql, "::", i)
@@ -536,7 +587,7 @@ def _rw_double_colon(sql: str) -> str:
             continue
         ty = _norm_type(tm.group(1))
         try:
-            sty = spark_type(ty)
+            sty = duck_type(ty) if duck else spark_type(ty)
         except (ValueError, KeyError):
             i = tm.end()
             continue
@@ -576,7 +627,7 @@ def _rw_double_colon(sql: str) -> str:
             i = tm.end()
             continue
         op = sql[start:i].strip()
-        if sty.startswith("ARRAY<"):
+        if sty.startswith("ARRAY<") and not duck:
             repl = f"\0from_json\0({op}, '{sty}')"
             rest = sql[tm.end():]
             sub = re.match(r"\s*\[\s*(\d+)\s*\]", rest)
@@ -672,7 +723,7 @@ _TABLE_UNNEST_RE = re.compile(r"\bTABLE\s*\(\s*unnest\s*\(",
                               re.IGNORECASE)
 
 
-def _rw_table_unnest(sql: str) -> str:
+def _rw_table_unnest(sql: str, duck: bool = False) -> str:
     """``TABLE(unnest(arr)) t(x)`` table function in FROM →
     ``(SELECT explode(arr) AS x) t`` (Spark models lateral expansion
     as explode over a subquery). NULL elements pass through both
@@ -701,7 +752,13 @@ def _rw_table_unnest(sql: str) -> str:
             if not bm:
                 return sql
             alias, cols, tail = "", ["unnest"], rest[bm.end():]
-        if len(arrs) == 1 and len(cols) == 1:
+        if duck:
+            # DuckDB: unnest in SELECT; several unnests in one select
+            # zip positionally with NULL padding — same contract
+            repl = ("(SELECT " + ", ".join(
+                f"unnest({a}) AS {c}" for a, c in zip(arrs, cols))
+                + ")") if len(arrs) == len(cols) else None
+        elif len(arrs) == 1 and len(cols) == 1:
             repl = f"(SELECT \0explode\0({arrs[0]}) AS {cols[0]})"
         elif len(arrs) == 2 and len(cols) == 2:
             c1, c2 = cols
@@ -712,11 +769,14 @@ def _rw_table_unnest(sql: str) -> str:
                 f"'{c1}', _l, '{c2}', _r))) AS _zc))"
             )
         else:
+            repl = None
+        if repl is None:
             return sql  # >2-array zip — not desugared
         sql = f"{sql[:m.start()]}{repl} {alias}{tail}"
 
 
 def translate_select_spark(sql: str) -> str:
+    sql = _SETVAR_HINT_RE.sub("", sql)
     sql = _rw_generate_series_spark(sql)
     sql = _rw_numeric_datetime(sql)
     sql = _JOIN_HINT_RE.sub(r"\1", sql)
@@ -929,10 +989,28 @@ def _dq_to_sq(sql: str) -> str:
     return "".join(out)
 
 
+def _rw_typed_array_duck(sql: str) -> str:
+    """``ARRAY<INT>[...]`` → CAST([...] AS INT[]) (DuckDB reads the
+    bracket literal natively)."""
+    while True:
+        m = _TYPED_ARRAY_RE.search(sql)
+        if not m:
+            return sql
+        inner, after = _strip_parens_bracket(sql, m.end() - 1)
+        dty = duck_type(f"array<{_norm_type(m.group(1))}>")
+        sql = (f"{sql[:m.start()]}CAST([{inner}] AS {dty})"
+               f"{sql[after:]}")
+
+
 def translate_select_duck(sql: str) -> str:
+    sql = _SETVAR_HINT_RE.sub("", sql)
     sql = sql.replace("`", "")
     sql = _dq_to_sq(sql)
     sql = _rw_generate_series_duck(sql)
+    sql = _JOIN_HINT_RE.sub(r"\1", sql)
+    sql = _rw_typed_array_duck(sql)
+    sql = _rw_table_unnest(sql, duck=True)
+    sql = _rw_double_colon(sql, duck=True)
     sql = re.sub(r"<=>", " IS NOT DISTINCT FROM ", sql)
     return sql
 
@@ -1233,7 +1311,9 @@ class ScriptRunner:
             )
             sql = (f"SELECT {proj} FROM VALUES {vals} "
                    f"AS v({', '.join(vnames)})")
-            batch = self.spark.sql(sql)
+            # VALUES rows may use dialect constructors (row(), map{})
+            batch = self.spark.sql(
+                dialect.translate(_rw_map_literals(sql)))
         else:  # INSERT INTO ... SELECT
             self._refresh_views()
             src = self.spark.sql(translate_select_spark(tail))
@@ -1282,6 +1362,7 @@ def duckdb_oracle(script: str, final_select: str | None = None) -> str:
     the designated SELECT (default: the script's last) is the body."""
     defs: dict[str, TableDef] = {}
     inserts: dict[str, list[str]] = {}
+    ctas: dict[str, str] = {}
     env: dict[str, str] = {}
     last_select = None
     for stmt in split_statements(script):
@@ -1292,6 +1373,13 @@ def duckdb_oracle(script: str, final_select: str | None = None) -> str:
         stmt = _substitute_vars(stmt, env)
         kind = classify(stmt)
         if kind == "create":
+            cm = ScriptRunner._CTAS_RE.match(stmt)
+            if cm:
+                # CTAS → a CTE over its (translated) select; WITH
+                # items may reference earlier items in DuckDB
+                ctas[cm.group(1)] = translate_select_duck(
+                    stmt[cm.start(2):])
+                continue
             d = parse_create_table(stmt)
             defs[d.name] = d
             inserts[d.name] = []
@@ -1318,6 +1406,10 @@ def duckdb_oracle(script: str, final_select: str | None = None) -> str:
             inserts[name].append(
                 f"SELECT {proj} FROM {src} AS v({', '.join(vnames)})"
             )
+        elif kind == "createview":
+            vm = re.match(r"\s*CREATE\s+VIEW\s+`?(\w+)`?\s+AS\s+(.*)$",
+                          stmt, re.IGNORECASE | re.DOTALL)
+            ctas[vm.group(1)] = translate_select_duck(vm.group(2))
         elif kind == "select":
             last_select = stmt
     chosen = final_select if final_select is not None else last_select
@@ -1340,6 +1432,8 @@ def duckdb_oracle(script: str, final_select: str | None = None) -> str:
             )
             cte_body = f"SELECT {cols} WHERE 1 = 0"
         ctes.append(f"{name} AS (\n{cte_body}\n)")
+    for name, sel in ctas.items():
+        ctes.append(f"{name} AS (\n{sel}\n)")
     inner_ctes, body = _split_with(body)
     if inner_ctes:
         ctes.append(inner_ctes)
@@ -1537,18 +1631,39 @@ def run_suite_expected(spark: SparkSession, suite: str, case: str,
         if expected and expected[0].startswith("E:"):
             skipped.append((stmt, "expected-error statement"))
             continue
+        # [REGEX] expectation: the recorded "result" is a pattern the
+        # output — or, for expected failures, the ERROR MESSAGE —
+        # must match (sr_sql_lib.py REGEX_FLAG handling)
+        rx = (expected[0][len("[REGEX]"):]
+              if len(expected) == 1 and expected[0].startswith("[REGEX]")
+              else None)
         res = runner.execute(stmt)
         if res.kind == "skipped":
-            skipped.append((stmt, res.reason or ""))
+            if rx and re.search(rx, res.reason or "", re.DOTALL):
+                checked += 1
+                matched += 1
+            else:
+                skipped.append((stmt, res.reason or ""))
             continue
         if res.kind != "select":
             continue
-        dts = [f.dataType for f in res.df.schema.fields]
-        actual = ["\t".join(_render_cell(v, dt)
-                            for v, dt in zip(row, dts))
-                  for row in res.df.collect()]
+        try:
+            dts = [f.dataType for f in res.df.schema.fields]
+            actual = ["\t".join(_render_cell(v, dt)
+                                for v, dt in zip(row, dts))
+                      for row in res.df.collect()]
+        except Exception as e:  # noqa: BLE001 — runtime (post-
+            # analysis) failure of one SELECT must not abort the
+            # suite; it is an honest per-statement skip
+            if rx and re.search(rx, str(e), re.DOTALL):
+                checked += 1
+                matched += 1
+            else:
+                skipped.append((stmt, f"runtime: {str(e)[:180]}"))
+            continue
         checked += 1
-        if _rows_match(expected, actual):
+        if (re.search(rx, "\n".join(actual), re.DOTALL) if rx
+                else _rows_match(expected, actual)):
             matched += 1
         else:
             mismatches.append((stmt, expected, actual))

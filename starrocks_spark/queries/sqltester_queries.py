@@ -72,6 +72,33 @@ _SUITES: dict[str, tuple] = {
         ["n"],
         {},
     ),
+    # r7 additions: the new statement surfaces (join hints + <=>,
+    # sum-over-outer-join rewrite, unnest TVF, :: shorthand casts
+    # with CTAS) each proven end-to-end against the DuckDB twin
+    "dialect_sqltester_null_safe_equal": (
+        # join [bucket] + two-key <=> join, full * projection
+        "test_join", "test_null_safe_equal", 2,
+        ["a1", "a2", "a3", "a4", "b1", "b2", "b3", "b4"],
+        {},
+    ),
+    "dialect_sqltester_sum_rewrite": (
+        # sum(expr) pushed through a right outer join, grouped+ordered
+        "test_sum_rewrite", "test_sum_rewrite", -1,
+        ["c0", "s1", "s2"],
+        {"s1": "BIGINT", "s2": "BIGINT"},
+    ),
+    "dialect_sqltester_unnest": (
+        # cartesian of two unnest TVFs with NULL elements
+        "test_unnest", "test_unnest", 3,
+        ["x0", "x1"],
+        {},
+    ),
+    "dialect_sqltester_shorthand_cast": (
+        # src.x::int = dim.y::int join over CTAS-era tables
+        "test_cast", "test_shorthand_cast", -2,
+        ["id", "xi", "k"],
+        {},
+    ),
 }
 
 

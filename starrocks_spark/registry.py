@@ -98,6 +98,12 @@ _PRIORITY = [
     "dialect_sqltester_grouping_set",
     "dialect_sqltester_orderby_agg",
     "dialect_sqltester_tinyint_agg",
+    # --- r7 new (late-round): join-hint/<=>, outer-join sum rewrite,
+    # unnest TVF, :: shorthand + CTAS — the session-2 suite batch
+    "dialect_sqltester_null_safe_equal",
+    "dialect_sqltester_sum_rewrite",
+    "dialect_sqltester_unnest",
+    "dialect_sqltester_shorthand_cast",
     # --- r7 new: TPC-DS correlated-subquery family + q4 chain
     "tpcds_q1_store_returns",
     "tpcds_q30_web_state_returns",
@@ -144,13 +150,9 @@ _PRIORITY = [
     "funnel_counts",
     "retention_weekly",
     "sessionize_stats",
-    "point_lookup_pk",
     "join_nonequi_range",
-    "large_in_list_join",
     "dialect_qualify_topn",
     "recursive_cte_months",
-    "agg_percentile_exact",
-    "agg_state_merge",
 ]
 
 

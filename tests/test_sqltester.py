@@ -56,6 +56,15 @@ _SUITES = [
     # 1 skip: JSON_OBJECT build in an insert-select (JSON type)
     ("test_set_operation", "test_except", 1, 1),
     ("test_sort", "test_topn_with_agg_tbl", 5, 0),
+    # 1 skip: implicit-lateral generate_series over columns named
+    # start/end (Spark reserves both words)
+    ("test_generate_series", "test_generate_series", 58, 1),
+    ("test_grouping_sets", "test_grouping_sets_struct", 5, 0),
+    ("test_grouping_sets", "test_grouping_sets_v1", 11, 0),
+    # 2 skips: LIKE 'a\\b' constant patterns — Spark validates the
+    # pattern eagerly (ESC_IN_THE_MIDDLE) where StarRocks matches
+    ("test_like_escape_backslash", "test_like_escape_backslash",
+     39, 2),
     ("test_sum_rewrite", "test_sum_rewrite", 12, 0),
     ("test_subquery", "test_complex_in", 1, 0),
     ("test_array_fn", "test_array_remove", 45, 0),
