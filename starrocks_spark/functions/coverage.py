@@ -124,7 +124,10 @@ MAPPED: dict[str, str] = {
     "bit_shift_right_logical": "shiftrightunsigned",
     "bitand": "the & operator", "bitor": "the | operator",
     "bitxor": "the ^ operator", "bitnot": "the ~ operator",
-    "convert_tz": "convert_timezone", "crc32_hash": "crc32",
+    "convert_tz": ("from_utc_timestamp(to_utc_timestamp(t, f), to) — "
+                   "dialect-translated (plans/dialect.py, "
+                   "sqltester-proven vs test_time_fn/test_convert_tz)"),
+    "crc32_hash": "crc32",
     "curtime": "date_format(current_timestamp(), 'HH:mm:ss')",
     "current_time": "date_format(current_timestamp(), 'HH:mm:ss')",
     "date": "to_date", "dayofweek_iso": "weekday(d) + 1",
@@ -228,7 +231,8 @@ MAPPED: dict[str, str] = {
     "utc_timestamp": "to_utc_timestamp(current_timestamp(), tz)",
     "week": "weekofyear (mode 0 default; other modes via extract)",
     "week_iso": "weekofyear",
-    "yearweek": "year * 100 + weekofyear composition",
+    "yearweek": ("mode-0 Sunday-week composition, dialect-translated "
+                 "(plans/dialect.py _rw_yearweek; sqltester-proven)"),
     "xx_hash64": "xxhash64", "xx_hash3_64": "xxhash64 (xx64 variant)",
     "cardinality": "size",
 }

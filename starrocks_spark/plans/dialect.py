@@ -367,6 +367,27 @@ def _rw_string_agg(args: list[str]):
             f"WITHIN GROUP (ORDER BY {', '.join(keys)})")
 
 
+def _rw_session_number(a: list[str], over: str | None):
+    """session_number(x, gap) OVER (...) — sessionization window
+    function (be/src/exprs/agg/window.h SessionNumberWindowFunction):
+    session id starts at 1 and increments when the ordered value
+    jumps by MORE than gap from the previous row. Desugared to a
+    running sum of boundary flags over the same window."""
+    if len(a) != 2 or over is None:
+        return None
+    x, gap = a
+    if not re.fullmatch(r"-?\d+|null", gap.strip(), re.IGNORECASE):
+        # fe analyzer: the step must be a constant
+        raise ValueError(
+            "session_number: analyzing error: the gap argument must "
+            "be a constant integer")
+    flag = (f"CASE WHEN {x} - \0lag\0({x}) OVER ({over}) > ({gap}) "
+            f"THEN 1 ELSE 0 END")
+    # a NULL ordered value yields a NULL session id for that row
+    return (f"(CASE WHEN ({x}) IS NULL THEN CAST(NULL AS BIGINT) "
+            f"ELSE \0sum\0({flag}) OVER ({over}) + 1 END)")
+
+
 _SIMPLE_WRAPS = {
     # StarRocks name → template over args
     "dayname": lambda a: f"\0date_format\0({a[0]}, 'EEEE')",
@@ -388,6 +409,11 @@ _SIMPLE_WRAPS = {
     # (be/src/exprs/agg/distinct.h) — semantics are DISTINCT aggs
     "multi_distinct_count": lambda a: f"count(DISTINCT {', '.join(a)})",
     "multi_distinct_sum": lambda a: f"sum(DISTINCT {a[0]})",
+    "get_json_int": lambda a: (
+        f"CAST(\0get_json_object\0({', '.join(a)}) AS BIGINT)"),
+    "get_json_double": lambda a: (
+        f"CAST(\0get_json_object\0({', '.join(a)}) AS DOUBLE)"),
+    "get_json_string": lambda a: f"\0get_json_object\0({', '.join(a)})",
     "monthname": lambda a: f"\0date_format\0({a[0]}, 'MMMM')",
     "money_format": lambda a: f"format_number(CAST({a[0]} AS DOUBLE), 2)",
     "curdate": lambda a: "current_date()",
@@ -510,9 +536,26 @@ def desugar_qualify(sql: str) -> str:
 # ---------------------------------------------------------------------------
 
 
+# StarRocks accepts IGNORE NULLS *inside* the call parens
+# (first_value(x IGNORE NULLS)); ANSI/Spark put it after the call
+_INNER_IGNORE_NULLS = ("first_value", "last_value", "lead", "lag")
+
+
+def _rw_inner_ignore_nulls(name: str):
+    def rw(a):
+        pat = re.compile(r"\s*\bIGNORE\s+NULLS\s*$", re.IGNORECASE)
+        if not any(pat.search(x) for x in a):
+            return None
+        args = [pat.sub("", x) for x in a]
+        return f"\0{name}\0({', '.join(args)}) IGNORE NULLS"
+    return rw
+
+
 def translate(sql: str) -> str:
     """StarRocks/MySQL-flavored SQL → Spark SQL."""
     sql = desugar_qualify(sql)
+    for name in _INNER_IGNORE_NULLS:
+        sql = rewrite_calls(sql, name, _rw_inner_ignore_nulls(name))
     sql = rewrite_calls(sql, "date_add", _rw_date_addsub("+"))
     sql = rewrite_calls(sql, "date_sub", _rw_date_addsub("-"))
     for name in sorted(_FMT_FUNCS):
@@ -523,6 +566,7 @@ def translate(sql: str) -> str:
                                 ("bool_or", "bool_or"),
                                 ("booland_agg", "bool_and")):
         sql = rewrite_calls_over(sql, sr_name, _rw_bool_agg(spark_name))
+    sql = rewrite_calls_over(sql, "session_number", _rw_session_number)
     return _restore_markers(sql)
 
 

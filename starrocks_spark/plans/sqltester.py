@@ -67,6 +67,10 @@ from starrocks_spark.tables.models import ManagedTable, TableModel
 
 REFERENCE_SQL_ROOT = "/root/reference/test/sql"
 
+# hidden version columns carrying the script's load order into
+# REPLACE-model tables (never visible to the script's SELECTs)
+_LOAD_COLS = ("_load_batch", "_load_pos")
+
 # ---------------------------------------------------------------------------
 # script scanning
 # ---------------------------------------------------------------------------
@@ -517,7 +521,18 @@ _CAST_TYPE_WORDS = [
     (re.compile(r"\bAS\s+LARGEINT\b", re.IGNORECASE),
      "AS DECIMAL(38,0)"),
     (re.compile(r"\bAS\s+DATETIME\b", re.IGNORECASE), "AS TIMESTAMP"),
+    # bare VARCHAR (no length) is legal StarRocks; Spark wants STRING
+    (re.compile(r"\bAS\s+VARCHAR\s*(?=\))", re.IGNORECASE),
+     "AS STRING"),
 ]
+
+# StarRocks LIMIT is a bigint; Spark's must fit in an int
+_HUGE_LIMIT_RE = re.compile(r"\b(LIMIT\s+)(\d{10,})\b", re.IGNORECASE)
+
+
+def _clamp_limit(m: re.Match) -> str:
+    n = min(int(m.group(2)), 2147483647)
+    return f"{m.group(1)}{n}"
 
 
 def _rw_numeric_datetime(sql: str) -> str:
@@ -775,6 +790,55 @@ def _rw_table_unnest(sql: str, duck: bool = False) -> str:
         sql = f"{sql[:m.start()]}{repl} {alias}{tail}"
 
 
+def _rw_subscripts(sql: str) -> str:
+    """Attached subscripts ``expr[i]`` → element_at(expr, i).
+    StarRocks arrays are 1-BASED (be array_element) and map access is
+    by key — element_at has exactly those semantics for both; Spark's
+    ``[]`` is 0-based for arrays. Runs after _rw_bracket_arrays, so
+    every remaining bracket IS a subscript."""
+    i = 0
+    while True:
+        i = _find_outside_quotes(sql, "[", i)
+        if i < 0:
+            return sql
+        j = i - 1
+        if j < 0 or not (sql[j] in _IDENT_CHARS or sql[j] in ")]"):
+            i += 1
+            continue
+        # operand back-scan (same rules as the :: cast)
+        if sql[j] in ")]":
+            close, opener = sql[j], "(" if sql[j] == ")" else "["
+            depth, k = 0, j
+            while k >= 0:
+                if sql[k] == close:
+                    depth += 1
+                elif sql[k] == opener:
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k -= 1
+            while k > 0 and sql[k - 1] in _IDENT_CHARS:
+                k -= 1
+            start = k
+        else:
+            k = j
+            while k > 0 and sql[k - 1] in _IDENT_CHARS:
+                k -= 1
+            start = k
+        op = sql[start:i]
+        if op.strip().upper() in _SQL_KEYWORDS_BEFORE_BRACKET:
+            i += 1
+            continue
+        inner, after = _strip_parens_bracket(sql, i)
+        repl = f"\0element_at\0({op}, {inner})"
+        sql = sql[:start] + repl + sql[after:]
+        i = start
+
+
+# words that can directly precede '[' without being a subscript base
+_SQL_KEYWORDS_BEFORE_BRACKET = {"ARRAY", "MAP"}
+
+
 def translate_select_spark(sql: str) -> str:
     sql = _SETVAR_HINT_RE.sub("", sql)
     sql = _rw_generate_series_spark(sql)
@@ -791,12 +855,14 @@ def translate_select_spark(sql: str) -> str:
     # not be misread as an array literal
     sql = _rw_double_colon(sql)
     sql = _rw_bracket_arrays(sql)
+    sql = _rw_subscripts(sql)
     # StarRocks CAST is MySQL-style null-on-failure (cast('-' AS INT)
     # → NULL); Spark's ANSI cast raises — TRY_CAST is the faithful
     # translation (identical for every valid cast)
     sql = re.sub(r"\bCAST\s*\(", "TRY_CAST(", sql,
                  flags=re.IGNORECASE)
     sql = _NAN_CAST_RE.sub(r"TRY_CAST(NULL AS \1", sql)
+    sql = _HUGE_LIMIT_RE.sub(_clamp_limit, sql)
     for pat, repl in _CAST_TYPE_WORDS:
         sql = pat.sub(repl, sql)
     return dialect.translate(sql)
@@ -1096,6 +1162,7 @@ class ScriptRunner:
         self.vars: dict[str, str] = {}   # SET @name = expr
         self.dbs: set[str] = set()       # CREATE DATABASE / USE names
         self.views: set[str] = set()     # CREATE VIEW temp views
+        self._load_seq = 0               # REPLACE load-order stamp
 
     # -------------------------------------------------------------- views
 
@@ -1103,7 +1170,7 @@ class ScriptRunner:
         for name, d in self.defs.items():
             t = self.tables[name]
             if t._exists():
-                df = t.read()
+                df = t.read().drop(*_LOAD_COLS)
             else:
                 schema = ", ".join(
                     f"{c.name} {spark_type(c.sr_type)}" for c in d.cols
@@ -1264,7 +1331,26 @@ class ScriptRunner:
         re.IGNORECASE | re.DOTALL,
     )
 
+    _LIKE_RE = re.compile(
+        r"^\s*CREATE\s+TABLE\s+`?(\w+)`?\s+LIKE\s+`?(\w+)`?",
+        re.IGNORECASE,
+    )
+
     def _create(self, stmt: str) -> None:
+        lm = self._LIKE_RE.match(stmt)
+        if lm:
+            import copy
+
+            src = self.defs[lm.group(2)]
+            d = copy.deepcopy(src)
+            d.name = lm.group(1)
+            agg_spec = {c.name: c.agg.lower() for c in d.cols if c.agg}
+            self.tables[d.name] = ManagedTable.create(
+                self.spark, d.model, d.key_cols,
+                agg_spec=agg_spec or None,
+            )
+            self.defs[d.name] = d
+            return
         cm = self._CTAS_RE.match(stmt)
         if cm:
             # CTAS (StarRocks.g4 createTableAsSelectStatement): the
@@ -1285,9 +1371,16 @@ class ScriptRunner:
             return
         d = parse_create_table(stmt)
         agg_spec = {c.name: c.agg.lower() for c in d.cols if c.agg}
+        version = None
+        if "replace" in agg_spec.values():
+            # the reference's REPLACE is load-order-defined; the
+            # tester KNOWS the load order (statement sequence + VALUES
+            # row position), so it supplies it as hidden version cols
+            # (_refresh_views hides them from the script's SELECTs)
+            version = list(_LOAD_COLS)
         self.tables[d.name] = ManagedTable.create(
             self.spark, d.model, d.key_cols,
-            agg_spec=agg_spec or None,
+            agg_spec=agg_spec or None, version_cols=version,
         )
         self.defs[d.name] = d
 
@@ -1328,7 +1421,24 @@ class ScriptRunner:
                 else F.lit(None).cast(spark_type(c.sr_type)).alias(c.name)
                 for c in d.cols
             ])
-        self.tables[name].insert(batch)
+        self.tables[name].insert(self._stamp_load_order(name, batch))
+
+    def _stamp_load_order(self, name: str, batch: DataFrame) -> DataFrame:
+        """REPLACE tables get the script's real load order as hidden
+        version columns: statement sequence, then row position within
+        the batch (VALUES order / select emission order — a
+        LocalRelation keeps it; the reference's own order for a
+        distributed SELECT source is equally arbitrary)."""
+        from pyspark.sql import functions as F
+
+        t = self.tables[name]
+        if _LOAD_COLS[0] not in (t.version_cols or []):
+            return batch
+        self._load_seq += 1
+        return (batch
+                .withColumn(_LOAD_COLS[0], F.lit(self._load_seq))
+                .withColumn(_LOAD_COLS[1],
+                            F.monotonically_increasing_id()))
 
 
 # ---------------------------------------------------------------------------

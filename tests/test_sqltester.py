@@ -65,6 +65,23 @@ _SUITES = [
     # pattern eagerly (ESC_IN_THE_MIDDLE) where StarRocks matches
     ("test_like_escape_backslash", "test_like_escape_backslash",
      39, 2),
+    ("test_window_function", "test_cume_window_function", 56, 0),
+    ("test_window_function", "test_session_number_window_function",
+     11, 0),
+    ("test_window_function", "test_window_with_null_child", 1, 0),
+    # 1 skip: RANGE offset frame over a non-orderable-by-range key
+    ("test_window_function", "test_range_offset_window", 20, 1),
+    ("test_window_function", "test_ignore_nulls", 18, 0),
+    ("test_window_function", "test_minmax_by_window_function", 15, 0),
+    ("test_window_function", "test_leadlag_window_function", 6, 0),
+    ("test_map", "test_map_function_cow", 2, 0),
+    ("test_sort", "test_topn_with_large_limit", 1, 0),
+    ("test_sort", "test_rank_topn_chunk_boundary", 8, 0),
+    ("test_agg_function", "test_avg_over_flow", 1, 0),
+    ("test_agg_function", "test_corvariance_constant_args", 8, 0),
+    # 14 skips: the DATE-typed percentile_cont family (Spark's
+    # percentile_cont is numeric-only; the numeric half is green)
+    ("test_agg_function", "test_percentile_cont", 14, 14),
     ("test_sum_rewrite", "test_sum_rewrite", 12, 0),
     ("test_subquery", "test_complex_in", 1, 0),
     ("test_array_fn", "test_array_remove", 45, 0),
