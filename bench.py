@@ -150,6 +150,24 @@ TPCDS = [
     "tpcds_q30_web_state_returns",
     "tpcds_q81_catalog_returns",
     "tpcds_q4_growth_chain",
+    # r7 second batch (queries/tpcds2.py): window-deviation,
+    # ratio-to-report, correlated-scalar, EXISTS-gate, band-stat,
+    # rank-join, growth-compare, union-decline, pivot shapes
+    "tpcds_q47_monthly_deviation",
+    "tpcds_q89_type_deviation",
+    "tpcds_q98_class_share",
+    "tpcds_q32_excess_discount",
+    "tpcds_q16_multi_supplier_clean",
+    "tpcds_q9_case_buckets",
+    "tpcds_q28_band_stats",
+    "tpcds_q41_item_exists",
+    "tpcds_q44_best_worst",
+    "tpcds_q31_nation_growth",
+    "tpcds_q46_nation_mismatch",
+    "tpcds_q65_underperformers",
+    "tpcds_q75_brand_decline",
+    "tpcds_q43_weekday_pivot",
+    "tpcds_q58_balanced_items",
 ]
 
 

@@ -35,6 +35,7 @@ from starrocks_spark.queries import (
     table_funcs,
     table_model_queries,
     tpcds,
+    tpcds2,
     tpch,
     tpch2,
     unnest_multi,
@@ -67,6 +68,7 @@ _MODULES = [
     curation_queries,
     ssb,
     tpcds,
+    tpcds2,
 ]
 
 # The driver's correctness gate checks the FIRST ~50 registered queries

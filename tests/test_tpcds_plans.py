@@ -76,3 +76,53 @@ def test_q4_six_way_chain_reuses_yearly_cte_exchange(spark, sf_dir):
     p = plan_str(tpcds.tpcds_q4_growth_chain(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+# ---------------------------------------------------------------------------
+# second batch (queries/tpcds2.py)
+
+def test_q32_excess_discount_decorrelates(spark, sf_dir):
+    """q32/q92's '> 1.3× the per-item average' correlated scalar
+    subquery must decorrelate to a per-item aggregate + equi-join on
+    l_partkey — one shuffle, not |lineitem| subquery executions."""
+    from starrocks_spark.queries import tpcds2
+
+    df = tpcds2.tpcds_q32_excess_discount(spark, sf_dir)
+    p = plan_str(df)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "Subquery" not in phys
+    assert "HashAggregate" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_q16_exists_gates_become_semi_and_anti_joins(spark, sf_dir):
+    """q16/q94's EXISTS other-supplier / NOT EXISTS returned-line must
+    plan as one left-semi and one left-anti join on l_orderkey."""
+    from starrocks_spark.queries import tpcds2
+
+    p = plan_str(tpcds2.tpcds_q16_multi_supplier_clean(spark, sf_dir))
+    assert "LeftSemi" in p
+    assert "LeftAnti" in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q44_topn_is_distributed_take_ordered(spark, sf_dir):
+    """q44's best/worst rankings must come from a distributed TopN
+    (TakeOrderedAndProject) over the per-part aggregate, never a
+    single-reducer window over the full frame."""
+    from starrocks_spark.queries import tpcds2
+
+    p = plan_str(tpcds2.tpcds_q44_best_worst(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_q47_windows_share_one_grouped_frame(spark, sf_dir):
+    """q47's avg + lag + lead all run over the (brand, yr) partitions
+    of ONE grouped frame: a single fact scan feeds one aggregate, and
+    no window re-shuffles the raw fact."""
+    from starrocks_spark.queries import tpcds2
+
+    p = plan_str(tpcds2.tpcds_q47_monthly_deviation(spark, sf_dir))
+    assert p.count("Location: InMemoryFileIndex") == 2  # fact + part
+    assert "Window" in p
