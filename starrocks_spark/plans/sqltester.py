@@ -82,11 +82,12 @@ _TAG_RE = re.compile(r"^\[(UC|ORDER|REGEX)\]\s*", re.IGNORECASE)
 _DIRECTIVE_RE = re.compile(r"^(function|shell|trino|spark|hive)\s*:", re.I)
 
 
-def split_statements(script: str) -> list[str]:
+def split_statements(script: str, keep_tags: bool = False) -> list[str]:
     """Split a T-file script into statements: strip full-line comments
     and runner directives, drop leading ``[TAG]`` markers (run-mode
     hints like [UC]/[ORDER] — sr_sql_lib consumes them the same way),
-    then split on ``;`` outside quotes."""
+    then split on ``;`` outside quotes. ``keep_tags=True`` preserves
+    the markers so R-file parsing can honor per-statement [UC]."""
     lines = []
     for ln in script.splitlines():
         s = ln.strip()
@@ -94,7 +95,8 @@ def split_statements(script: str) -> list[str]:
             continue
         if _DIRECTIVE_RE.match(s):
             continue
-        lines.append(_TAG_RE.sub("", ln.lstrip()) if s.startswith("[")
+        lines.append(ln if keep_tags
+                     else _TAG_RE.sub("", ln.lstrip()) if s.startswith("[")
                      else ln)
     text = "\n".join(lines)
     stmts, cur, i, n = [], [], 0, len(text)
@@ -113,17 +115,27 @@ def split_statements(script: str) -> list[str]:
             i = j + 1
             continue
         if ch == ";":
-            s = "".join(cur).strip()
+            s = _finalize_stmt("".join(cur))
             if s:
                 stmts.append(s)
             cur = []
         else:
             cur.append(ch)
         i += 1
-    s = "".join(cur).strip()
+    s = _finalize_stmt("".join(cur))
     if s:
         stmts.append(s)
     return stmts
+
+
+def _finalize_stmt(s: str) -> str:
+    """Strip leading comment fragments: when ``;`` and ``--`` share a
+    line (``insert ...; -- 20000``), the comment tail lands at the
+    head of the NEXT statement and must not poison it."""
+    lines = s.strip().splitlines()
+    while lines and lines[0].lstrip().startswith("--"):
+        lines.pop(0)
+    return "\n".join(lines).strip()
 
 
 def read_suite(suite: str, case: str,
@@ -665,6 +677,19 @@ _JOIN_HINT_RE = re.compile(
     re.IGNORECASE,
 )
 
+# StarRocks RIGHT SEMI/ANTI JOIN (fe SqlParser joinType) ≡ Spark's
+# LEFT SEMI/ANTI with the operands swapped. Conservative: only when
+# the left operand is a single (optionally aliased) table reference —
+# a preceding join tree stays unsupported and surfaces as a skip.
+_RIGHT_SEMIANTI_RE = re.compile(
+    r"(\bFROM\s+)"
+    r"(`?\w+`?(?:\s+(?!RIGHT\b)\w+)?)"
+    r"\s+RIGHT\s+(SEMI|ANTI)\s+JOIN\s+"
+    r"(`?\w+`?(?:\s+(?!ON\b)\w+)?)"
+    r"\s+ON\b",
+    re.IGNORECASE,
+)
+
 # StarRocks string→float parsing rejects NaN/Infinity spellings
 # (be string_parser strict mode → NULL); Spark's cast accepts them
 _NAN_CAST_RE = re.compile(
@@ -844,6 +869,7 @@ def translate_select_spark(sql: str) -> str:
     sql = _rw_generate_series_spark(sql)
     sql = _rw_numeric_datetime(sql)
     sql = _JOIN_HINT_RE.sub(r"\1", sql)
+    sql = _RIGHT_SEMIANTI_RE.sub(r"\1\4 LEFT \3 JOIN \2 ON", sql)
     # map literals before typed arrays (they nest inside them); typed
     # array literals before unnest: their commas are top-level until
     # [..] becomes array(..), which the unnest arg-split relies on
@@ -1579,23 +1605,40 @@ def _pos_name(i: int) -> str:
 # R-file (expected results) comparison — the reference's own check
 # ---------------------------------------------------------------------------
 
-def parse_r_file(text: str) -> list[tuple[str, list[str]]]:
-    """Parse an R script into (statement, expected-lines) pairs.
-    Format (sr_sql_lib.py record mode): statement text, then
+def parse_r_file(text: str) -> list[tuple[str, list[str], bool]]:
+    """Parse an R script into (statement, expected-lines, unchecked)
+    triples. Format (sr_sql_lib.py record mode): statement text, then
     ``-- result:`` ... ``-- !result`` with one tab-separated line per
-    row (``None`` for NULL)."""
-    out: list[tuple[str, list[str]]] = []
+    row (``None`` for NULL). ``unchecked`` is True for ``[UC]``-tagged
+    statements (sr_sql_lib UNCHECK_FLAG): execute, ignore output."""
+    out: list[tuple[str, list[str], bool]] = []
     stmt_lines: list[str] = []
     expected: list[str] | None = None
+
+    def _emit(stmt: str, exp: list[str]) -> None:
+        uc = stmt[:4].upper() == "[UC]"
+        s = _TAG_RE.sub("", stmt) if stmt.startswith("[") else stmt
+        out.append((s, [] if uc else exp, uc))
+
     for ln in text.splitlines():
         s = ln.strip()
         if s == "-- result:":
             expected = []
             continue
         if s == "-- !result":
-            stmt = "\n".join(stmt_lines).strip().rstrip(";")
-            if stmt:
-                out.append((stmt, expected or []))
+            # a block may hold SEVERAL ;-separated statements (the
+            # reference records result markers only for some): execute
+            # the leading ones unchecked, attach the expectation to
+            # the last — and reuse the T-file scanner so `; -- tail`
+            # comment fragments can't fuse two statements together.
+            # [UC] tags survive into the parts so each statement keeps
+            # its own unchecked-ness.
+            parts = split_statements("\n".join(stmt_lines),
+                                     keep_tags=True)
+            for p in parts[:-1]:
+                _emit(p, [])
+            if parts:
+                _emit(parts[-1], expected or [])
             stmt_lines, expected = [], None
             continue
         if expected is not None:
@@ -1603,8 +1646,7 @@ def parse_r_file(text: str) -> list[tuple[str, list[str]]]:
             continue
         if s.startswith("--") or _DIRECTIVE_RE.match(s):
             continue
-        stmt_lines.append(_TAG_RE.sub("", ln.lstrip())
-                          if s.startswith("[") else ln)
+        stmt_lines.append(ln)
     return out
 
 
@@ -1737,7 +1779,17 @@ def run_suite_expected(spark: SparkSession, suite: str, case: str,
     checked = matched = 0
     mismatches: list[tuple[str, list[str], list[str]]] = []
     skipped: list[tuple[str, str]] = []
-    for stmt, expected in pairs:
+    for stmt, expected, unchecked in pairs:
+        if unchecked:
+            # [UC]: the reference runner executes these purely for
+            # side effects / engine exercise and ignores the outcome
+            try:
+                res = runner.execute(stmt)
+                if res.kind == "select":
+                    res.df.collect()
+            except Exception:  # noqa: BLE001 — unchecked by contract
+                pass
+            continue
         if expected and expected[0].startswith("E:"):
             skipped.append((stmt, "expected-error statement"))
             continue

@@ -87,6 +87,51 @@ _SUITES = [
     ("test_array_fn", "test_array_remove", 45, 0),
     ("test_array_fn", "test_array_intersect", 15, 0),
     ("test_array_fn", "test_array_sum_avg", 2, 0),
+    # --- r7 session-3: bulk-scan clean passes (scan over all 234
+    #     reference suites; each case matched every recorded result)
+    ("test_agg", "test_agg_set_prefetch", 6, 0),
+    ("test_agg", "test_bucket_agg", 24, 0),
+    ("test_agg", "test_jit_largeint_literal", 3, 0),
+    ("test_analyzer", "test_cte_in_where_subquery", 11, 0),
+    ("test_automatic_partition", "test_automatic_partition_list_name_collision", 6, 0),
+    ("test_cacheselect", "test_shared_data_cache_select", 1, 0),
+    ("test_colocate_range", "test_colocate_range_basic_create", 2, 0),
+    ("test_colocate_range", "test_colocate_range_group_by_prefix", 3, 0),
+    ("test_colocate_range", "test_colocate_range_self_join_on_prefix", 2, 0),
+    ("test_colocate_range", "test_colocate_range_three_way_join", 2, 0),
+    ("test_consolidate_multi_likes", "test_consolidate_multi_likes", 2, 0),
+    ("test_create_table", "test_keyword_column_name", 4, 0),
+    ("test_exchange_hash_function", "test_exchange_hash_function_version", 8, 0),
+    ("test_function", "test_date_trunc", 22, 0),
+    ("test_function", "test_str_to_map", 1, 0),
+    ("test_group_execution", "test_group_execution_prune", 22, 0),
+    ("test_jit", "test_jit_case_when_mixed_types", 1, 0),
+    ("test_jit", "test_jit_dict", 3, 0),
+    ("test_join", "test_fold_constants_after_project_merge", 2, 0),
+    ("test_join", "test_interleaving_join", 64, 0),
+    ("test_join", "test_join_with_other_predicate", 4, 0),
+    ("test_join", "test_null_aware_anti_join", 22, 0),
+    ("test_join", "test_pruned_right_outer_local_bucket_shuffle_join", 4, 0),
+    ("test_low_cardinality", "test_dict_lookup_batch", 12, 0),
+    ("test_max_min_by_not_filter_nulls_with_nulls", "test_max_min_by_with_empty_table", 2, 0),
+    ("test_multilane_operator_missing_runtime_filter", "test_multilane_operator_missing_runtime_filter", 2, 0),
+    ("test_one_stage_aggr_having_preds_should_apply_to_pre_cache_aggr", "test_pre_cache_agg_with_runtime_filter", 3, 0),
+    ("test_partition_by_expr", "test_date_trunc_partition_prune.sql", 22, 0),
+    ("test_partition_by_expr", "test_partition_bucket_same_column", 1, 0),
+    ("test_pipeline", "test_debug_block", 6, 0),
+    ("test_pipeline", "test_debug_wait", 3, 0),
+    ("test_pipeline", "test_parallel_prepare", 3, 0),
+    ("test_pivot", "test_pivot", 6, 0),
+    ("test_query_cache", "test_query_cache", 4, 0),
+    ("test_query_cache", "test_query_cache_shard_data", 4, 0),
+    ("test_runtime_filter", "test_global_runtime_filter_exceed_limit", 1, 0),
+    ("test_runtime_filter_push_down_on_local_right_offsprings_of_broadcast_join_with_grf", "test_runtime_filter_push_down_on_local_right_offsprings_of_broadcast_join_with_grf_for_colocate", 2, 0),
+    ("test_schema", "test_order_keys", 3, 0),
+    ("test_set_user_variable", "test_set_user_variable", 1, 0),
+    ("test_shared_scan", "test_shared_scan", 4, 0),
+    ("test_spill", "test_short_circuit_unique", 1, 0),
+    ("test_spill", "test_spill_join_with_empty_partition", 1, 0),
+    ("test_spill", "test_spill_local_partition_top_n", 3, 0),
 ]
 
 
