@@ -132,6 +132,20 @@ _SUITES = [
     ("test_spill", "test_short_circuit_unique", 1, 0),
     ("test_spill", "test_spill_join_with_empty_partition", 1, 0),
     ("test_spill", "test_spill_local_partition_top_n", 3, 0),
+    # --- r7 session-3: near-miss suites unlocked by dialect fixes
+    #     (string→array casts, decimal width spellings, sleep(), right
+    #     semi/anti over subqueries, TRUNCATE TABLE, MySQL truthiness
+    #     WHERE, encode_fingerprint_sha256, fused-block attribution)
+    ("test_array", "test_cast_array", 8, 0),
+    ("test_colocate", "test_colocate", 50, 0),
+    ("test_function", "test_encode_fingerprint_sha256_null", 2, 0),
+    ("test_join", "test_eleminate_join_with_constant", 15, 0),
+    ("test_join", "test_predicate_move_around", 38, 1),
+    ("test_olap_partition_scan_limit", "test_olap_partition_scan_limit", 1, 1),
+    ("test_phased_schedule", "test_phased_schedule", 20, 0),
+    ("test_push_down_predicate", "test_expr_predicate_push_down", 5, 0),
+    ("test_spill", "test_spill_nl_join", 20, 0),
+    ("test_window_function", "test_window_function_streaming", 32, 0),
 ]
 
 
