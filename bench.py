@@ -168,6 +168,27 @@ TPCDS = [
     "tpcds_q75_brand_decline",
     "tpcds_q43_weekday_pivot",
     "tpcds_q58_balanced_items",
+    # r7 third batch (queries/tpcds3.py): cross-year week ratio,
+    # dimension-side decorrelation, prefix INTERSECT gate, OR-of-band
+    # averages, multi-measure/hierarchy rollups, broadcast-scalar
+    # threshold, 3-fact chain, stat pairs, pivot netting, ranked
+    # rollup, shortfall-promo, channel return shares, reason bands,
+    # dual-EXISTS
+    "tpcds_q2_weekly_ratio",
+    "tpcds_q6_above_avg_price_states",
+    "tpcds_q8_prefix_intersect",
+    "tpcds_q13_or_band_avgs",
+    "tpcds_q18_rollup_avgs",
+    "tpcds_q22_qoh_rollup",
+    "tpcds_q24_scalar_threshold",
+    "tpcds_q25_sold_returned_resold",
+    "tpcds_q39_stat_pairs",
+    "tpcds_q40_pivot_returns",
+    "tpcds_q70_topstate_rollup",
+    "tpcds_q72_shortfall_promo",
+    "tpcds_q83_return_ratio",
+    "tpcds_q85_reason_bands",
+    "tpcds_q95_dual_exists",
 ]
 
 

@@ -36,6 +36,7 @@ from starrocks_spark.queries import (
     table_model_queries,
     tpcds,
     tpcds2,
+    tpcds3,
     tpch,
     tpch2,
     unnest_multi,
@@ -69,6 +70,7 @@ _MODULES = [
     ssb,
     tpcds,
     tpcds2,
+    tpcds3,
 ]
 
 # The driver's correctness gate checks the FIRST ~50 registered queries
@@ -85,7 +87,8 @@ _MODULES = [
 #
 # r7 window: the NEW families first (the SQL-tester acceptance tier
 # running real reference test/sql suites, the TPC-DS correlated-
-# subquery family, st_contains, jsonpath wildcard/descent), then every
+# subquery family + six batch-3 shapes, st_contains, jsonpath
+# wildcard/descent), then every
 # query whose engine code changed this round (chunking tail fix,
 # lakehouse merge dup-guard/de-literalized overlap/DELETE null
 # semantics, the streaming CoW upsert rework + auto-compaction, the
@@ -111,6 +114,16 @@ _PRIORITY = [
     "tpcds_q30_web_state_returns",
     "tpcds_q81_catalog_returns",
     "tpcds_q4_growth_chain",
+    # --- r7 new (session-3): TPC-DS batch 3 — the six most
+    # plan-distinctive of the 15 new shapes (broadcast-scalar
+    # threshold, dual-EXISTS, stat pairs, cross-year week ratio,
+    # dimension-side decorrelation, ranked rollup)
+    "tpcds_q2_weekly_ratio",
+    "tpcds_q6_above_avg_price_states",
+    "tpcds_q24_scalar_threshold",
+    "tpcds_q39_stat_pairs",
+    "tpcds_q70_topstate_rollup",
+    "tpcds_q95_dual_exists",
     # --- r7 new: geo + jsonpath
     "func_geo_st_contains",
     "json_path_wildcard",
@@ -134,19 +147,13 @@ _PRIORITY = [
     "table_rollup_autoselect",
     # --- stalest rows whose engine core moved since their last check
     "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q6_forecast_revenue",
     "tpch_q10_returned_items",
     "tpch_q18_large_volume_customer",
     "tpch_q19_discounted_revenue",
     "subquery_correlated_avg",
     "subquery_not_in",
-    "qualify_top_order",
-    "window_rank",
     "window_running_total",
     "grouping_rollup",
-    "grouping_cube",
-    "setop_intersect",
     "asof_purchase_view",
     "asof_inner_tolerance",
     "funnel_counts",

@@ -126,3 +126,49 @@ def test_q47_windows_share_one_grouped_frame(spark, sf_dir):
     p = plan_str(tpcds2.tpcds_q47_monthly_deviation(spark, sf_dir))
     assert p.count("Location: InMemoryFileIndex") == 2  # fact + part
     assert "Window" in p
+
+
+# --- batch 3 (queries/tpcds3.py) ------------------------------------------
+
+def test_q24_threshold_is_broadcast_scalar(spark, sf_dir):
+    """The 5%-of-global-average gate must arrive as a 1-row BROADCAST
+    (BroadcastNestedLoopJoin over the scalar aggregate), never as a
+    single-partition window over the whole grouped frame — the
+    difference between an O(1) exchange and collapsing every pair onto
+    one reducer at scale."""
+    from starrocks_spark.queries import tpcds3
+    p = plan_str(tpcds3.tpcds_q24_scalar_threshold(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    # no global (empty-partition) window anywhere
+    assert "Window" not in p.replace("WindowGroupLimit", ""), p
+
+
+def test_q95_dual_exists_is_two_semi_joins(spark, sf_dir):
+    """Both EXISTS gates (multi-warehouse order, returned line) must
+    plan as semi joins against aggregate-shrunk order-key sets — not
+    per-row subqueries."""
+    from starrocks_spark.queries import tpcds3
+    p = plan_str(tpcds3.tpcds_q95_dual_exists(spark, sf_dir))
+    assert p.count("LeftSemi") >= 2, p
+    assert "CartesianProduct" not in p
+
+
+def test_q6_category_average_never_rescans_fact(spark, sf_dir):
+    """The per-category average decorrelates onto the ITEM DIMENSION:
+    exactly one lineitem scan in the whole plan (the q6 correlated
+    subquery runs over part, which is broadcast-joined back)."""
+    from starrocks_spark.queries import tpcds3
+    df = tpcds3.tpcds_q6_above_avg_price_states(spark, sf_dir)
+    p = plan_str(df)
+    assert p.lower().count("lineitem") <= 2, p  # scan + its location
+    assert "BroadcastHashJoin" in p
+
+
+def test_q70_rollup_rank_single_expand(spark, sf_dir):
+    """The ranked rollup report stays one Expand over one fact scan
+    feeding the rank window — the grouping-level rank never forks the
+    aggregation into per-level scans."""
+    from starrocks_spark.queries import tpcds3
+    p = plan_str(tpcds3.tpcds_q70_topstate_rollup(spark, sf_dir))
+    assert "Expand" in p
+    assert "Window" in p
