@@ -213,9 +213,33 @@ def _restore_markers(sql: str) -> str:
 # ---------------------------------------------------------------------------
 
 _INTERVAL_RE = re.compile(
-    r"^INTERVAL\s+(\S+)\s+(YEAR|QUARTER|MONTH|WEEK|DAY|HOUR|MINUTE|SECOND)S?$",
-    re.IGNORECASE,
+    r"^INTERVAL\s+(.+?)\s+(YEAR|QUARTER|MONTH|WEEK|DAY|HOUR|MINUTE|SECOND)S?$",
+    re.IGNORECASE | re.DOTALL,
 )
+
+# make_interval(years, months, weeks, days, hours, mins, secs)
+_MAKE_INTERVAL_SLOT = {
+    "YEAR": 0, "MONTH": 1, "WEEK": 2, "DAY": 3,
+    "HOUR": 4, "MINUTE": 5, "SECOND": 6,
+}
+
+
+def _interval_expr(n: str, unit: str) -> str:
+    """INTERVAL <n> <unit> as a Spark expression. A literal count keeps
+    the INTERVAL literal; a computed count (StarRocks allows INTERVAL
+    (expr) SECOND — fe IntervalLiteral takes any expression) becomes
+    make_interval, whose arguments may be non-constant."""
+    if re.fullmatch(r"-?\d+", n.strip()):
+        if unit == "QUARTER":  # no QUARTER interval literal in Spark
+            return f"INTERVAL {3 * int(n)} MONTH"
+        return f"INTERVAL {n.strip()} {unit}"
+    if unit == "QUARTER":
+        args = ["0"] * 7
+        args[_MAKE_INTERVAL_SLOT["MONTH"]] = f"3 * ({n})"
+    else:
+        args = ["0"] * 7
+        args[_MAKE_INTERVAL_SLOT[unit]] = f"({n})"
+    return f"make_interval({', '.join(args)})"
 
 
 def _rw_date_addsub(sign: str):
@@ -227,7 +251,7 @@ def _rw_date_addsub(sign: str):
             return None  # plain int form — Spark-native already
         n, unit = m.group(1), m.group(2).upper()
         op = "+" if sign == "+" else "-"
-        return f"(({args[0]}) {op} INTERVAL {n} {unit})"
+        return f"(({args[0]}) {op} {_interval_expr(n, unit)})"
 
     return rw
 
@@ -388,8 +412,139 @@ def _rw_session_number(a: list[str], over: str | None):
             f"ELSE \0sum\0({flag}) OVER ({over}) + 1 END)")
 
 
+def _rw_array_lambda(spark_fn: str, args: list[str]):
+    """StarRocks array_map accepts the lambda FIRST or LAST
+    (fe LambdaFunctionExpr), with 1 or 2 source arrays. Normalize to
+    Spark's array-first transform / zip_with."""
+    lambdas = [a for a in args if re.search(r"->", a)]
+    arrays = [a for a in args if not re.search(r"->", a)]
+    if len(lambdas) != 1 or not arrays:
+        return None
+    if len(arrays) == 1:
+        return f"{spark_fn}({arrays[0]}, {lambdas[0]})"
+    if len(arrays) == 2 and spark_fn == "transform":
+        return f"zip_with({arrays[0]}, {arrays[1]}, {lambdas[0]})"
+    return None
+
+
+def _rw_array_filter(args: list[str]):
+    """array_filter: lambda form → Spark filter; two-array MASK form
+    (array_functions.cpp array_filter) keeps elements whose mask
+    entry is true."""
+    if any(re.search(r"->", a) for a in args):
+        return _rw_array_lambda("filter", args)
+    if len(args) == 2:
+        if args[0].strip().upper() == "NULL":
+            return "NULL"
+        if args[1].strip().upper() == "NULL":
+            # NULL mask excludes everything (typed empty result)
+            return f"filter({args[0]}, e -> false)"
+        # mask semantics (array_functions.cpp array_filter): iterate
+        # the SOURCE array, look the mask up by index — a NULL mask,
+        # null mask entries, and positions past the mask's end all
+        # exclude the element (never pad); int masks coerce 0/1
+        return (
+            f"transform(filter(transform({args[0]}, "
+            f"(e, i) -> struct(e AS e, "
+            f"try_element_at({args[1]}, i + 1) AS m)), "
+            f"s -> TRY_CAST(s.m AS BOOLEAN)), s -> s.e)"
+        )
+    return None
+
+
+def _rw_array_sortby(a: list[str]):
+    if len(a) < 2:
+        return None
+    arr, keys = a[0], a[1:]
+    # unequal non-null lengths raise (array_functions.cpp sort_by
+    # check, including when OTHER arguments are NULL)
+    cards = ", ".join(
+        f"CASE WHEN ({x}) IS NULL THEN NULL "
+        f"ELSE cardinality({x}) END" for x in a)
+    len_guard = (f"size(array_distinct(filter(array({cards}), "
+                 f"c -> c IS NOT NULL))) > 1")
+    null_guard = " OR ".join(f"({x}) IS NULL" for x in a)
+    fields = [f"k AS k0"] + [
+        f"try_element_at({k}, i + 1) AS k{j + 1}"
+        for j, k in enumerate(keys[1:])
+    ] + ["i AS i"]
+    return (
+        f"CASE WHEN {len_guard} THEN "
+        f"raise_error(\"Input arrays' size are not equal in "
+        f"array_sortby.\") "
+        f"WHEN {null_guard} THEN {arr} ELSE "
+        f"transform(array_sort(transform({keys[0]}, "
+        f"(k, i) -> struct({', '.join(fields)}))), "
+        f"s -> element_at({arr}, s.i + 1)) END"
+    )
+
+
+def _rw_bitmap_union_count(args: list[str]):
+    """bitmap_union_count(to_bitmap(x)) → distinct count of x values
+    inside the unsigned-64 domain (to_bitmap yields NULL outside it,
+    and NULLs never enter the bitmap)."""
+    if len(args) != 1:
+        return None
+    m = re.match(r"^\s*to_bitmap\s*\((.*)\)\s*$", args[0],
+                 re.IGNORECASE | re.DOTALL)
+    if not m:
+        return None
+    x = m.group(1)
+    v = f"TRY_CAST(({x}) AS DECIMAL(20,0))"
+    return (f"count(DISTINCT CASE WHEN {v} BETWEEN 0 AND "
+            f"18446744073709551615 THEN {v} END)")
+
+
+def _rw_group_concat(args: list[str]):
+    """group_concat([DISTINCT] expr [, expr...] [ORDER BY ...]
+    [SEPARATOR sep]) (fe AggregationAnalyzer; docs string-functions/
+    group_concat.md): default separator ',', NULL rows skipped,
+    multiple exprs concatenated per row. Normalized onto the
+    string_agg rewriter (same ORDER BY-inside-call grammar)."""
+    if not args:
+        return None
+    full = ", ".join(args)
+    delim = "','"
+    sm = re.search(r"\bSEPARATOR\s+('(?:[^']|'')*'|\"[^\"]*\")\s*$",
+                   full, re.IGNORECASE | re.DOTALL)
+    if sm:
+        delim = sm.group(1)
+        full = full[:sm.start()].rstrip()
+    order = None
+    op = _find_top_level_keyword(full, r"ORDER\s+BY")
+    if op >= 0:
+        order = re.sub(r"^\s*ORDER\s+BY\s*", "", full[op:],
+                       flags=re.IGNORECASE).strip()
+        full = full[:op].rstrip().rstrip(",")
+    exprs = _split_top_level(full)
+    distinct = ""
+    dm = re.match(r"\s*DISTINCT\s+(.*)$", exprs[0],
+                  re.IGNORECASE | re.DOTALL)
+    if dm:
+        distinct, exprs[0] = "DISTINCT ", dm.group(1)
+    expr = exprs[0] if len(exprs) == 1 \
+        else "concat(" + ", ".join(exprs) + ")"
+    sa_args = [f"{distinct}{expr}"]
+    sa_args.append(f"{delim} order by {order}" if order else delim)
+    return _rw_string_agg(sa_args)
+
+
+def _rw_murmur(args: list[str]):
+    """murmur_hash3_32(a, b, ...) → chained two-arg UDF calls
+    (functions/mmh3.py — seed 104729, previous hash seeds the next
+    argument, NULL poisons the row, exactly hash_functions.cpp:24)."""
+    if not args:
+        return None
+    expr = "104729"
+    for x in args:
+        expr = f"\0__mmh3_32\0(CAST({x} AS STRING), {expr})"
+    return expr
+
+
 _SIMPLE_WRAPS = {
     # StarRocks name → template over args
+    "group_concat": _rw_group_concat,
+    "murmur_hash3_32": _rw_murmur,
     "dayname": lambda a: f"\0date_format\0({a[0]}, 'EEEE')",
     "yearweek": _rw_yearweek,
     # convert_tz(dt, from, to): reinterpret dt from one zone into
@@ -433,7 +588,52 @@ _SIMPLE_WRAPS = {
     # array family names the reference spells differently
     # (gensrc/script/functions.py; be/src/exprs/array_functions.cpp)
     "array_length": lambda a: f"cardinality({', '.join(a)})",
-    "array_map": lambda a: f"transform({', '.join(a)})",
+    "array_map": lambda a: _rw_array_lambda("transform", a),
+    "array_filter": lambda a: _rw_array_filter(a),
+    # array_sortby(a1, k1 [, k2...]): a1 STABLY sorted by the key
+    # arrays' tuples (ties keep source order — array_functions.cpp
+    # sort_by stable_sort); a NULL array leaves a1 unsorted. The
+    # source index rides last in the sort struct for stability.
+    "array_sortby": _rw_array_sortby,
+    # array_top_n: n largest, descending, nulls sort last and pad the
+    # result when fewer than n non-null values exist; n < 0 → empty,
+    # NULL literal input → NULL
+    "array_top_n": lambda a: (
+        ("NULL" if a[0].strip().upper() == "NULL" else
+         f"slice(array_sort({a[0]}, (a, b) -> "
+         f"CASE WHEN a IS NULL AND b IS NULL THEN 0 "
+         f"WHEN a IS NULL THEN 1 WHEN b IS NULL THEN -1 "
+         f"WHEN a > b THEN -1 WHEN a < b THEN 1 ELSE 0 END), "
+         f"1, greatest({a[1]}, 0))")
+        if len(a) == 2 else None
+    ),
+    "map_size": lambda a: f"size({', '.join(a)})",
+    # bitmap-based distinct counting: no bitmap TYPE on Spark — the
+    # composed bitmap_union_count(to_bitmap(x)) / bitmap_union_int(x)
+    # forms ARE distinct counts of valid (unsigned-range) values
+    # (be/src/exprs/agg bitmap_union; to_bitmap null on bad input)
+    "bitmap_union_count": lambda a: _rw_bitmap_union_count(a),
+    # bitmap_union_int counts distinct values of an INT column —
+    # signed values included (FunctionSet BITMAP_UNION_INT wraps the
+    # raw int into the bitmap without a to_bitmap validity gate)
+    "bitmap_union_int": lambda a: (
+        f"count(DISTINCT ({a[0]}))" if len(a) == 1 else None
+    ),
+    # array_unique_agg: distinct elements across all grouped arrays
+    "array_unique_agg": lambda a: (
+        f"array_distinct(flatten(\0collect_list\0({a[0]})))"
+        if len(a) == 1 else None
+    ),
+    # min_n / max_n: the n smallest / largest values as a sorted array
+    # (be/src/exprs/agg/min_max_n.h)
+    "min_n": lambda a: (
+        f"slice(array_sort(\0collect_list\0({a[0]})), 1, {a[1]})"
+        if len(a) == 2 else None
+    ),
+    "max_n": lambda a: (
+        f"slice(reverse(array_sort(\0collect_list\0({a[0]}))), "
+        f"1, {a[1]})" if len(a) == 2 else None
+    ),
     "array_sum": lambda a: (
         f"aggregate({a[0]}, CAST(0.0 AS DOUBLE), "
         f"(acc, e) -> acc + CAST(e AS DOUBLE))"
@@ -551,6 +751,15 @@ def _rw_inner_ignore_nulls(name: str):
     return rw
 
 
+# bare computed interval in arithmetic: ts + INTERVAL (expr) UNIT —
+# Spark's INTERVAL literal takes constants only; make_interval doesn't
+_BARE_INTERVAL_RE = re.compile(
+    r"\bINTERVAL\s+(\([^()]*\)|(?![0-9'\"])[A-Za-z_]\w*(?:\.\w+)?)\s+"
+    r"(YEAR|QUARTER|MONTH|WEEK|DAY|HOUR|MINUTE|SECOND)S?\b",
+    re.IGNORECASE,
+)
+
+
 def translate(sql: str) -> str:
     """StarRocks/MySQL-flavored SQL → Spark SQL."""
     sql = desugar_qualify(sql)
@@ -558,6 +767,17 @@ def translate(sql: str) -> str:
         sql = rewrite_calls(sql, name, _rw_inner_ignore_nulls(name))
     sql = rewrite_calls(sql, "date_add", _rw_date_addsub("+"))
     sql = rewrite_calls(sql, "date_sub", _rw_date_addsub("-"))
+    # AFTER date_add/date_sub (their rewriter consumes the INTERVAL
+    # form itself): remaining bare computed intervals in arithmetic
+    sql = _BARE_INTERVAL_RE.sub(
+        lambda m: _interval_expr(m.group(1), m.group(2).upper()), sql)
+    # ranking functions with an empty OVER () — MySQL/StarRocks allow
+    # it (arbitrary order); Spark demands ORDER BY
+    sql = re.sub(
+        r"\b(row_number|rank|dense_rank)\s*\(\s*\)\s*"
+        r"(?:OVER|\0OVER\0)\s*\(\s*\)",
+        r"\1() OVER (ORDER BY monotonically_increasing_id())",
+        sql, flags=re.IGNORECASE)
     for name in sorted(_FMT_FUNCS):
         sql = rewrite_calls(sql, name, _rw_fmt_func(name))
     for name, tmpl in _SIMPLE_WRAPS.items():

@@ -146,6 +146,18 @@ _SUITES = [
     ("test_push_down_predicate", "test_expr_predicate_push_down", 5, 0),
     ("test_spill", "test_spill_nl_join", 20, 0),
     ("test_window_function", "test_window_function_streaming", 32, 0),
+    # --- r7 session-3: ASOF JOIN family (SQL-text desugar to tagged
+    #     row_number prune; operators/asof_join.py is the scale path).
+    #     test_asof_join_performance is excluded: its 50M-row ORDER BY
+    #     insert is a cluster-capacity stress, and its 5000-way key
+    #     collisions blow up the pair-materializing text shim.
+    ("test_asof_join", "test_asof_join.sql", 4, 1),
+    ("test_asof_join", "test_asof_join_basic.sql", 5, 0),
+    ("test_asof_join", "test_asof_join_nulls.sql", 18, 0),
+    ("test_asof_join", "test_asof_join_operators.sql", 6, 0),
+    ("test_asof_join", "test_asof_join_edge_cases.sql", 23, 0),
+    ("test_asof_join", "test_asof_join_complex.sql", 2, 9),
+    ("test_asof_join", "test_asof_join_hash_tables.sql", 7, 0),
 ]
 
 
