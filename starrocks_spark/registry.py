@@ -37,6 +37,7 @@ from starrocks_spark.queries import (
     tpcds,
     tpcds2,
     tpcds3,
+    tpcds4,
     tpch,
     tpch2,
     unnest_multi,
@@ -71,6 +72,7 @@ _MODULES = [
     tpcds,
     tpcds2,
     tpcds3,
+    tpcds4,
 ]
 
 # The driver's correctness gate checks the FIRST ~50 registered queries

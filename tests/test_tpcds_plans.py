@@ -172,3 +172,40 @@ def test_q70_rollup_rank_single_expand(spark, sf_dir):
     p = plan_str(tpcds3.tpcds_q70_topstate_rollup(spark, sf_dir))
     assert "Expand" in p
     assert "Window" in p
+
+
+def test_q12_share_window_runs_over_aggregate(spark, sf_dir):
+    """q12's category-share window must evaluate over the grouped
+    (p_type, p_brand) frame — one Window above one HashAggregate pair,
+    never a window over fact rows (the difference between a
+    thousands-row exchange and re-shuffling the fact)."""
+    from starrocks_spark.queries import tpcds4
+    df = tpcds4.tpcds_q12_category_share(spark, sf_dir)
+    p = plan_str(df)
+    assert "Window" in p
+    # one fact scan feeds the aggregate that feeds the window — the
+    # share computation must not fork a second scan of lineitem
+    assert p.count("Location: InMemoryFileIndex") <= 2, p
+    assert "HashAggregate" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q56_union_reaggregates_partial_sums(spark, sf_dir):
+    """q56's three-channel UNION must union three already-aggregated
+    brand frames (Union over HashAggregates), then re-aggregate —
+    never union raw fact rows."""
+    from starrocks_spark.queries import tpcds4
+    p = plan_str(tpcds4.tpcds_q56_channel_union_totals(spark, sf_dir))
+    assert "Union" in p
+    # aggregates below the union: at least 3 branch aggs + final agg
+    assert p.count("HashAggregate") >= 4, p.count("HashAggregate")
+
+
+def test_q96_scalar_count_is_semi_join_gates(spark, sf_dir):
+    """q96's scalar count must gate through hash semi joins over the
+    single fact scan — no nested loop, no cartesian, one scan."""
+    from starrocks_spark.queries import tpcds4
+    p = plan_str(tpcds4.tpcds_q96_band_count(spark, sf_dir))
+    assert "LeftSemi" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
