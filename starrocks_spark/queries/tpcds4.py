@@ -217,7 +217,7 @@ def tpcds_q15_or_gate_nations(spark: SparkSession,
         s.join(cust, s["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(nation),
               cust["c_nationkey"] == nation["n_nationkey"])
-        .filter(F.col("n_name").isin("PERU", "CHINA", "FRANCE")
+        .filter(F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
                 | (F.col("c_acctbal") > 9000.0)
                 | (F.col("l_extendedprice") > 50000.0))
         .groupBy("n_name")
@@ -234,7 +234,7 @@ FROM s
 JOIN customer ON s.o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 WHERE s.channel = 'catalog'
-  AND (n_name IN ('PERU', 'CHINA', 'FRANCE')
+  AND (n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
        OR c_acctbal > 9000.0 OR l_extendedprice > 50000.0)
 GROUP BY n_name ORDER BY n_name
 """

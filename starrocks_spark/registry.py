@@ -38,6 +38,7 @@ from starrocks_spark.queries import (
     tpcds2,
     tpcds3,
     tpcds4,
+    tpcds5,
     tpch,
     tpch2,
     unnest_multi,
@@ -73,6 +74,7 @@ _MODULES = [
     tpcds2,
     tpcds3,
     tpcds4,
+    tpcds5,
 ]
 
 # The driver's correctness gate checks the FIRST ~50 registered queries

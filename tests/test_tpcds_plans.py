@@ -209,3 +209,40 @@ def test_q96_scalar_count_is_semi_join_gates(spark, sf_dir):
     assert "LeftSemi" in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_q69_profile_gates_are_semi_and_anti_joins(spark, sf_dir):
+    """q69's store-yes/web-no/catalog-no profile must plan as one semi
+    plus two anti joins over DISTINCT-shrunk customer sets — never
+    per-row subqueries or nested loops."""
+    from starrocks_spark.queries import tpcds5
+    p = plan_str(tpcds5.tpcds_q69_store_only_customers(spark, sf_dir))
+    assert "LeftSemi" in p
+    assert p.count("LeftAnti") >= 2, p.count("LeftAnti")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_q77_outer_merge_joins_two_aggregates(spark, sf_dir):
+    """q77's sales-vs-returns merge must FULL OUTER join two
+    already-aggregated (channel, nation) frames — aggregates appear
+    below the outer join, so the join carries dozens of rows, not the
+    fact."""
+    from starrocks_spark.queries import tpcds5
+    p = plan_str(tpcds5.tpcds_q77_sales_returns_outer(spark, sf_dir))
+    assert "FullOuter" in p
+    assert "HashAggregate" in p
+    assert "Expand" in p  # the trailing ROLLUP
+
+
+def test_q92_per_part_average_decorrelates(spark, sf_dir):
+    """q92's 1.3×-average gate must join ONE per-part aggregate back
+    to the window's lines — no scalar subquery per row, no second
+    uncorrelated scan fan-out."""
+    from starrocks_spark.queries import tpcds5
+    df = tpcds5.tpcds_q92_excess_discount(spark, sf_dir)
+    p = plan_str(df)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "Subquery" not in phys
+    assert "HashAggregate" in p
+    assert "CartesianProduct" not in p
