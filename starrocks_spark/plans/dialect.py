@@ -529,6 +529,27 @@ def _rw_group_concat(args: list[str]):
     return _rw_string_agg(sa_args)
 
 
+def _rw_array_agg(args: list[str]):
+    """array_agg keeps NULL elements (be/src/exprs/agg/array_agg.h);
+    Spark's collect_list drops them — wrap each value in a one-field
+    struct (never null), unwrap after. DISTINCT dedups afterwards (one
+    NULL survives, matching the reference)."""
+    if len(args) != 1 or re.search(r"\bORDER\s+BY\b", args[0],
+                                   re.IGNORECASE):
+        return None
+    if re.search(r"\bSELECT\b", args[0], re.IGNORECASE):
+        # Spark rejects subquery expressions anywhere inside a
+        # higher-order function — fall back to the null-dropping
+        # native collect for subquery-bearing args
+        return None
+    dm = re.match(r"^\s*DISTINCT\s+(.*)$", args[0],
+                  re.IGNORECASE | re.DOTALL)
+    x = dm.group(1) if dm else args[0]
+    core = (f"transform(\0collect_list\0(\0named_struct\0"
+            f"('v', {x})), s -> s.v)")
+    return f"array_distinct({core})" if dm else core
+
+
 def _rw_murmur(args: list[str]):
     """murmur_hash3_32(a, b, ...) → chained two-arg UDF calls
     (functions/mmh3.py — seed 104729, previous hash seeds the next
@@ -545,6 +566,20 @@ _SIMPLE_WRAPS = {
     # StarRocks name → template over args
     "group_concat": _rw_group_concat,
     "murmur_hash3_32": _rw_murmur,
+    # reference initcap capitalizes after ANY non-alphanumeric
+    # (functions/strcase.py UDF; Spark's builtin splits on whitespace)
+    "initcap": lambda a: (
+        f"\0__sr_initcap\0(CAST({a[0]} AS STRING))"
+        if len(a) == 1 else None
+    ),
+    # reference BOOLEAN is tinyint(1): the implicit bool→varchar cast
+    # yields '1'/'0', so reverse(true) = '1' (boolean COLUMNS already
+    # land as TINYINT via the tester's type mapping; this covers the
+    # literal form, where Spark would cast to 'true'/'false')
+    "reverse": lambda a: (
+        {"true": "'1'", "false": "'0'"}.get(a[0].strip().lower())
+        if len(a) == 1 else None
+    ),
     "dayname": lambda a: f"\0date_format\0({a[0]}, 'EEEE')",
     "yearweek": _rw_yearweek,
     # convert_tz(dt, from, to): reinterpret dt from one zone into
@@ -588,6 +623,12 @@ _SIMPLE_WRAPS = {
     # array family names the reference spells differently
     # (gensrc/script/functions.py; be/src/exprs/array_functions.cpp)
     "array_length": lambda a: f"cardinality({', '.join(a)})",
+    # array_agg KEEPS NULL elements (be/src/exprs/agg/array_agg.h);
+    # Spark's collect_list/array_agg drops them — wrap each value in a
+    # struct (never null) and unwrap after. DISTINCT form dedups after
+    # (one NULL survives, as the reference keeps). ORDER BY-inside
+    # forms fall through untouched.
+    "array_agg": lambda a: _rw_array_agg(a),
     "array_map": lambda a: _rw_array_lambda("transform", a),
     "array_filter": lambda a: _rw_array_filter(a),
     # array_sortby(a1, k1 [, k2...]): a1 STABLY sorted by the key
@@ -792,5 +833,8 @@ def translate(sql: str) -> str:
 
 def starrocks_sql(spark: SparkSession, sql: str, sf_dir: str) -> DataFrame:
     """Run a StarRocks-dialect query against the registered tables."""
+    from starrocks_spark.functions import strcase
+
     register_tables(spark, sf_dir)
+    strcase.register(spark)
     return spark.sql(translate(sql))

@@ -99,6 +99,16 @@ _SUITES: dict[str, tuple] = {
         ["id", "xi", "k"],
         {},
     ),
+    "dialect_sqltester_asof_join": (
+        # ASOF LEFT JOIN over datetime keys (session-3 desugar:
+        # equi+inequality join pruned by row_number with the stored
+        # insertion-order tie-break). The DuckDB oracle runs its own
+        # NATIVE ASOF JOIN — two independent asof implementations
+        # agreeing on the same script.
+        "test_asof_join", "test_asof_join_basic.sql", 1,
+        ["order_id", "user_id", "order_time", "price_time", "price"],
+        {},
+    ),
 }
 
 

@@ -113,6 +113,16 @@ _PRIORITY = [
     "dialect_sqltester_sum_rewrite",
     "dialect_sqltester_unnest",
     "dialect_sqltester_shorthand_cast",
+    # --- r7 session-4: ASOF acceptance suite (desugar vs DuckDB
+    # native ASOF) + the most plan-distinctive of the 25 batch-4/5
+    # TPC-DS shapes that closed coverage at 99/99
+    "dialect_sqltester_asof_join",
+    "tpcds_q12_category_share",
+    "tpcds_q50_latency_matrix",
+    "tpcds_q56_channel_union_totals",
+    "tpcds_q69_store_only_customers",
+    "tpcds_q77_sales_returns_outer",
+    "tpcds_q92_excess_discount",
     # --- r7 new: TPC-DS correlated-subquery family + q4 chain
     "tpcds_q1_store_returns",
     "tpcds_q30_web_state_returns",
@@ -159,13 +169,6 @@ _PRIORITY = [
     "window_running_total",
     "grouping_rollup",
     "asof_purchase_view",
-    "asof_inner_tolerance",
-    "funnel_counts",
-    "retention_weekly",
-    "sessionize_stats",
-    "join_nonequi_range",
-    "dialect_qualify_topn",
-    "recursive_cte_months",
 ]
 
 

@@ -158,6 +158,17 @@ _SUITES = [
     ("test_asof_join", "test_asof_join_edge_cases.sql", 23, 0),
     ("test_asof_join", "test_asof_join_complex.sql", 2, 9),
     ("test_asof_join", "test_asof_join_hash_tables.sql", 7, 0),
+    # --- r7 session-4: near-miss unlocks (initcap UDF, null-keeping
+    #     array_agg, bare UNNEST table function, reverse(bool)
+    #     literals) + the KNOWN_DIFFS ledger for genuinely
+    #     engine-specific recorded results (ANSI NOT-IN, storage-order
+    #     LIMIT picks, strict-subscript raises, bool->varchar casts)
+    ("test_string_functions", "test_initcap", 19, 0),
+    ("test_string_functions", "test_reverse", 30, 1),
+    ("test_sorted_streaming_agg", "sorted_streaming_agg", 49, 0),
+    ("test_subquery", "test_not_in", 8, 3),
+    ("test_spill", "test_spill_aggregate", 26, 2),
+    ("test_trino_dialect", "test_trino_dialect", 6, 2),
 ]
 
 
