@@ -267,11 +267,25 @@ def _rw_fmt_func(name: str):
             return None
         if "%" not in lit:
             return None  # already a Java pattern
+        if name == "str_to_date" and re.search(r"%[rwXV]", lit):
+            # 12-hour-clock / weekday / ISO-week formats need MySQL's
+            # lenient prefix parse (optional meridiem, trailing text
+            # ignored, fromisocalendar) — the Java formatter is
+            # strict-full-match (functions/strtodate.py)
+            call = f"\0__sr_str_to_date\0({args[0]}, {lit})"
+            if not re.search(r"%[HhiskIrTSf]", lit[1:-1]):
+                call = f"CAST({call} AS DATE)"
+            return call
         java = translate_mysql_format(lit[1:-1])
         new_args = args[:-1] + [f"'{java}'"]
         target = {"str_to_date": "to_timestamp", "time_format": "date_format"}.get(
             name, name
         )
+        if name == "str_to_date" and not re.search(
+                r"%[HhiskIrTSf]", lit[1:-1]):
+            # format has no time parts → the reference returns DATE,
+            # not DATETIME (time_functions.cpp str_to_date)
+            target = "to_date"
         return f"\0{target}\0({', '.join(new_args)})"
 
     return rw
@@ -580,6 +594,25 @@ _SIMPLE_WRAPS = {
         {"true": "'1'", "false": "'0'"}.get(a[0].strip().lower())
         if len(a) == 1 else None
     ),
+    # greatest/least have no DATE overload in the reference
+    # (FunctionSet) — DATE args coerce to DATETIME. Spark keeps DATE
+    # when all args are dates; wrap when an arg is a visible date
+    # constructor (column types aren't knowable textually — mixed
+    # date/datetime args already promote in Spark).
+    "greatest": lambda a: _rw_datefn_promote("greatest", a),
+    "least": lambda a: _rw_datefn_promote("least", a),
+    # typeof returns StarRocks type names (datetime/varchar, not
+    # Spark's timestamp/string) — map inside nested type strings too
+    "typeof": lambda a: (
+        "replace(replace(\0typeof\0(" + a[0] + "), 'timestamp', "
+        "'datetime'), 'string', 'varchar')" if len(a) == 1 else None
+    ),
+    # md5sum(a, b, ...) = md5 of all inputs concatenated, args
+    # implicitly cast to varchar (encryption_functions.cpp md5sum)
+    "md5sum": lambda a: (
+        "md5(concat(" + ", ".join(f"CAST({x} AS STRING)" for x in a)
+        + "))"
+    ),
     "dayname": lambda a: f"\0date_format\0({a[0]}, 'EEEE')",
     "yearweek": _rw_yearweek,
     # convert_tz(dt, from, to): reinterpret dt from one zone into
@@ -714,7 +747,55 @@ _SIMPLE_WRAPS = {
     # low-cardinality-dict variant: same result, different storage path
     "percentile_disc_lc": lambda a:
         f"\0percentile_disc\0({a[1]}) WITHIN GROUP (ORDER BY {a[0]})",
+    # t-digest percentile_approx → exact convergence-limit twin
+    # (functions/percentile.py); optional 3rd compression arg ignored
+    "percentile_approx": lambda a: _rw_percentile_approx(a),
 }
+
+
+def _rw_datefn_promote(name: str, args: list[str]):
+    if not any(re.match(r"\s*(?:(?:to_)?date\s*\(|DATE\s+')", x,
+                        re.IGNORECASE) for x in args):
+        return None
+    return (f"CAST(\0{name}\0({', '.join(args)}) AS TIMESTAMP)")
+
+
+def _rw_percentile_approx(args: list[str]):
+    """percentile_approx(v, q[, compression]) → the grouped-agg UDF
+    twin of the reference's t-digest (interpolation at rank q*n-0.5,
+    float32-rounded — functions/percentile.py). The array-of-quantiles
+    form takes a LITERAL numeric array (matching the reference, whose
+    array form requires a const array — percentile_approx has no
+    per-row quantile mode); non-literal arrays fall through."""
+    if len(args) not in (2, 3):
+        return None
+    # strip \0 protection markers earlier rewrites may have left —
+    # the output below is rebuilt from the extracted numbers only
+    q = args[1].replace("\0", "").strip()
+    # literal quantile arrays in any of the forms earlier rewrites may
+    # have left them: [..], array<double>[..], array(..),
+    # try_cast(array(..) as array<..>)
+    m = (re.match(r"^(?:array\s*<\s*\w+\s*>\s*)?\[(.*)\]$", q,
+                  re.IGNORECASE | re.DOTALL)
+         or re.match(r"^(?:try_)?cast\s*\(\s*array\s*\((.*)\)\s*as\s+"
+                     r"array\s*<\s*\w+\s*>\s*\)$", q,
+                     re.IGNORECASE | re.DOTALL)
+         or re.match(r"^array\s*\((.*)\)$", q,
+                     re.IGNORECASE | re.DOTALL))
+    if m:
+        # unwrap per-element literal casts the decimal-literal rewrite
+        # inserts (cast(0.5 as decimal(2,2)) → 0.5)
+        inner = re.sub(
+            r"(?:try_)?cast\s*\(\s*([0-9.eE+-]+)\s+as\s+\w+"
+            r"(?:\([\d,\s]*\))?\s*\)", r"\1", m.group(1),
+            flags=re.IGNORECASE)
+        if not re.fullmatch(r"[\d\s.,eE+-]*", inner):
+            return None
+        lit = ",".join(x.strip() for x in inner.split(","))
+        return (f"from_json(\0__sr_percentile_approx_arr\0("
+                f"CAST({args[0]} AS DOUBLE), '{lit}'), 'array<double>')")
+    return (f"\0__sr_percentile_approx\0(CAST({args[0]} AS DOUBLE), "
+            f"CAST({q} AS DOUBLE))")
 
 
 # ---------------------------------------------------------------------------
@@ -803,6 +884,11 @@ _BARE_INTERVAL_RE = re.compile(
 
 def translate(sql: str) -> str:
     """StarRocks/MySQL-flavored SQL → Spark SQL."""
+    # session hints are environment directives (SET_VAR(k=v) bodies
+    # don't parse in Spark); recursion depth stays native here —
+    # Spark's recursion evaluates self-terminating CTEs exactly
+    sql = re.sub(r"/\*\+\s*SET_VAR\s*\([^)]*\)\s*\*/", "", sql,
+                 flags=re.IGNORECASE)
     sql = desugar_qualify(sql)
     for name in _INNER_IGNORE_NULLS:
         sql = rewrite_calls(sql, name, _rw_inner_ignore_nulls(name))
@@ -833,8 +919,12 @@ def translate(sql: str) -> str:
 
 def starrocks_sql(spark: SparkSession, sql: str, sf_dir: str) -> DataFrame:
     """Run a StarRocks-dialect query against the registered tables."""
-    from starrocks_spark.functions import strcase
+    from starrocks_spark.functions import (jsonshape, percentile,
+                                           strcase, strtodate)
 
     register_tables(spark, sf_dir)
     strcase.register(spark)
+    percentile.register(spark)
+    strtodate.register(spark)
+    jsonshape.register(spark)
     return spark.sql(translate(sql))

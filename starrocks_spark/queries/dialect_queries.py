@@ -129,7 +129,10 @@ _QUALIFY_ORACLE = _QUALIFY_SR
 
 # month spine over the orders date range + left join: months with zero
 # orders still appear (the reference covers this via generate_series;
-# recursive CTE per StarRocks.g4:2456).
+# recursive CTE per StarRocks.g4:2456). The spine is 80 levels deep,
+# beyond the reference's recursive_cte_max_depth default of 5
+# (SessionVariable.java:2454) — the hint raises it, exactly as a
+# StarRocks user must.
 _RECURSIVE_SR = """
 WITH RECURSIVE months(m) AS (
   SELECT TIMESTAMP '1995-01-01 00:00:00'
@@ -137,7 +140,8 @@ WITH RECURSIVE months(m) AS (
   SELECT m + INTERVAL 1 MONTH FROM months
   WHERE m < TIMESTAMP '2001-08-01 00:00:00'
 )
-SELECT date_format(m, '%Y-%m') AS ym, COUNT(o_orderkey) AS n_orders
+SELECT /*+ SET_VAR(recursive_cte_max_depth=100) */
+  date_format(m, '%Y-%m') AS ym, COUNT(o_orderkey) AS n_orders
 FROM months
 LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
 GROUP BY ym
