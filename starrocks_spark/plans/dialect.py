@@ -594,6 +594,8 @@ _SIMPLE_WRAPS = {
         {"true": "'1'", "false": "'0'"}.get(a[0].strip().lower())
         if len(a) == 1 else None
     ),
+    # arrays_zip: col1..colN field names, longest-input padding
+    "arrays_zip": lambda a: _rw_arrays_zip(a),
     # greatest/least have no DATE overload in the reference
     # (FunctionSet) — DATE args coerce to DATETIME. Spark keeps DATE
     # when all args are dates; wrap when an arg is a visible date
@@ -751,6 +753,26 @@ _SIMPLE_WRAPS = {
     # (functions/percentile.py); optional 3rd compression arg ignored
     "percentile_approx": lambda a: _rw_percentile_approx(a),
 }
+
+
+def _rw_arrays_zip(args: list[str]):
+    """arrays_zip names its struct fields col1..colN
+    (array_functions.cpp arrays_zip) and pads to the LONGEST input;
+    Spark's arrays_zip names fields after the inputs (literal arrays
+    get positional indexes '0','1'). Rebuilt as an index transform so
+    the field names match; NULL input array → NULL."""
+    if not args:
+        return None
+    if any(x.strip().upper() == "NULL" for x in args):
+        return "NULL"
+    g = ("greatest(" + ", ".join(f"size({x})" for x in args) + ")"
+         if len(args) > 1 else f"size({args[0]})")
+    fields = ", ".join(f"'col{i + 1}', try_element_at({x}, __zi)"
+                       for i, x in enumerate(args))
+    isnull = " OR ".join(f"({x}) IS NULL" for x in args)
+    return (f"CASE WHEN {isnull} THEN NULL ELSE "
+            f"transform(slice(\0sequence\0(1, greatest({g}, 1)), 1, "
+            f"{g}), __zi -> named_struct({fields})) END")
 
 
 def _rw_datefn_promote(name: str, args: list[str]):

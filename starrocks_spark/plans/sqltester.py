@@ -1397,26 +1397,32 @@ def _rw_subscripts(sql: str) -> str:
         if j < 0 or not (sql[j] in _IDENT_CHARS or sql[j] in ")]"):
             i += 1
             continue
-        # operand back-scan (same rules as the :: cast)
-        if sql[j] in ")]":
-            close, opener = sql[j], "(" if sql[j] == ")" else "["
-            depth, k = 0, j
-            while k >= 0:
-                if sql[k] == close:
-                    depth += 1
-                elif sql[k] == opener:
-                    depth -= 1
-                    if depth == 0:
-                        break
+        # operand back-scan (same rules as the :: cast), absorbing
+        # dotted call chains: f(x).b[1] subscripts f(x).b, not .b
+        k = i
+        while k > 0:
+            c = sql[k - 1]
+            if c in _IDENT_CHARS or c == "\0":
                 k -= 1
-            while k > 0 and sql[k - 1] in _IDENT_CHARS:
-                k -= 1
-            start = k
-        else:
-            k = j
-            while k > 0 and sql[k - 1] in _IDENT_CHARS:
-                k -= 1
-            start = k
+                continue
+            if c in ")]":
+                close = c
+                opener = "(" if c == ")" else "["
+                depth, g = 0, k - 1
+                while g >= 0:
+                    if sql[g] == close:
+                        depth += 1
+                    elif sql[g] == opener:
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    g -= 1
+                if g < 0:
+                    break
+                k = g
+                continue
+            break
+        start = k
         op = sql[start:i]
         if op.strip().upper() in _SQL_KEYWORDS_BEFORE_BRACKET:
             i += 1
@@ -2353,8 +2359,9 @@ def _render_cell(v, dt=None) -> str:
 
         return repr(np.float32(v))
     if isinstance(v, decimal.Decimal):
-        return str(v.normalize()) if v == v.to_integral_value() \
-            else str(v)
+        # integral decimals print bare digits (normalize() would give
+        # scientific 1E+1 for 10.00)
+        return str(int(v)) if v == v.to_integral_value() else str(v)
     if isinstance(v, (bytes, bytearray)):
         # the reference's python-client harness prints UTF-8-clean
         # VARBINARY raw and records non-decodable bytes as the Python
@@ -2395,6 +2402,15 @@ def _render_array_el(v, dt=None) -> str:
         return f'"{v}"'
     if isinstance(v, str):
         return f'"{v}"'
+    if isinstance(v, float) and v.is_integer() and abs(v) < 1e15:
+        # the C++ renderer prints whole doubles bare (2, not 2.0)
+        return str(int(v))
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        # inside JSON-ish contexts decimals KEEP their scale (2.00,
+        # 10.50) — the reference renders the typed decimal digits
+        return str(v)
     return _render_cell(v, dt)
 
 
@@ -2555,6 +2571,15 @@ KNOWN_DIFFS: dict[str, str] = {
     '"rocks"}]]\') as struct<col1 int, col2 array<json>>)':
         "json-in-array rendering: reference single-quotes json "
         "values inside arrays; values are identical",
+    # CASE over differently-typed arrays_zip branches unifies struct
+    # field types; the double->varchar coercion renders '2' in the
+    # reference's C++ cast and '2.0' in Spark's (same values)
+    "SELECT pk, CASE WHEN pk <= 5 THEN arrays_zip(int_array, "
+    "str_array) WHEN pk <= 10 THEN arrays_zip(str_array, "
+    "double_array) ELSE arrays_zip(double_array, decimal_array) END "
+    "AS conditional_zip FROM arrays_zip_test ORDER BY pk":
+        "double->varchar cast render: reference '2', Spark '2.0' "
+        "(branch-type unification; values identical)",
 }
 
 

@@ -186,6 +186,21 @@ _SUITES = [
     ("test_group_execution", "test_group_execution_agg", 62, 12),
     # 1 skip: json-in-array single-quote render (KNOWN_DIFFS)
     ("test_cast", "test_cast_json_to_struct", 13, 1),
+    # 1 skip: CASE-unified double->varchar render (KNOWN_DIFFS)
+    ("test_array_fn", "test_arrays_zip", 30, 1),
+    # --- r7 session-5 batch 2: chained-subscript operand fix
+    #     (f(x).b[1]) unlocked test_prune; runtime-filter / lazy-
+    #     materialize / spill suites passed on re-scan
+    ("test_semi", "test_prune", 42, 0),
+    ("test_runtime_filter", "test_runtime_bitset_filter_with_or", 2, 0),
+    ("test_runtime_filter", "test_runtime_filter_partial_exceed", 17, 0),
+    ("test_join", "test_lazy_materialize", 14, 0),
+    # 4 skips: LIMIT-without-ORDER-BY storage-order picks (KNOWN_DIFFS)
+    ("test_spill", "test_spill_random", 24, 4),
+    # 3 skips: expected-error statements the engine accepts
+    ("test_sort", "test_struct_order_by_edge_cases.sql", 12, 3),
+    # 2 skips: the run.py LOOP/END framework block markers
+    ("test_framework", "test_framework_set_var", 2, 2),
 ]
 
 
