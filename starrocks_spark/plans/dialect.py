@@ -596,6 +596,32 @@ _SIMPLE_WRAPS = {
     ),
     # arrays_zip: col1..colN field names, longest-input padding
     "arrays_zip": lambda a: _rw_arrays_zip(a),
+    # NULL search values: the reference matches null ELEMENTS
+    # (array_functions.cpp array_contains/array_position); Spark's
+    # builtins reject a NULL needle. position-of-absent is 0 in both.
+    "array_contains": lambda a: (
+        f"exists({a[0]}, __e -> __e IS NULL)"
+        if len(a) == 2 and a[1].strip().upper() == "NULL" else None
+    ),
+    "array_position": lambda a: (
+        f"\0array_position\0(transform({a[0]}, __e -> __e IS NULL), "
+        f"true)"
+        if len(a) == 2 and a[1].strip().upper() == "NULL" else None
+    ),
+    # subset / contiguous-subsequence tests (array_functions.cpp
+    # array_contains_all / array_contains_seq); null elements match
+    # null (<=>), empty needle is TRUE, NULL input is NULL
+    "array_contains_all": lambda a: _rw_array_contains_all(a),
+    "array_contains_seq": lambda a: (
+        f"CASE WHEN ({a[0]}) IS NULL OR ({a[1]}) IS NULL THEN NULL "
+        f"WHEN size({a[1]}) = 0 THEN true "
+        f"WHEN size({a[0]}) < size({a[1]}) THEN false "
+        f"ELSE exists(\0sequence\0(1, size({a[0]}) - size({a[1]}) + 1)"
+        f", __s -> forall(\0sequence\0(1, size({a[1]})), __j -> "
+        f"try_element_at({a[0]}, __s + __j - 1) <=> "
+        f"try_element_at({a[1]}, __j))) END"
+        if len(a) == 2 else None
+    ),
     # greatest/least have no DATE overload in the reference
     # (FunctionSet) — DATE args coerce to DATETIME. Spark keeps DATE
     # when all args are dates; wrap when an arg is a visible date
@@ -720,7 +746,26 @@ _SIMPLE_WRAPS = {
         f" / CAST(size(filter({a[0]}, e -> e IS NOT NULL)) AS DOUBLE))"
     ),
     # row(a, b) value constructor (MySQL/StarRocks) → struct
-    "row": lambda a: f"struct({', '.join(a)})",
+    # row()/struct() name every field positionally col1..colN (the
+    # reference's unnamed-struct constructors); Spark's struct()
+    # keeps column-ref names (struct(1, v1) → col1, v1)
+    "row": lambda a: "named_struct(" + ", ".join(
+        f"'col{i + 1}', {x}" for i, x in enumerate(a)) + ")",
+    "struct": lambda a: "named_struct(" + ", ".join(
+        f"'col{i + 1}', {x}" for i, x in enumerate(a)) + ")",
+    # json_query(j, path) returns the matched subtree as JSON
+    "json_query": lambda a: f"\0get_json_object\0({', '.join(a)})",
+    # assert_true returns TRUE in the reference (utility_functions);
+    # Spark's returns NULL on success (both throw on failure)
+    "assert_true": lambda a:
+        f"(\0assert_true\0({', '.join(a)}) IS NULL)",
+    # split_part with the EMPTY delimiter addresses single characters
+    # (string_functions.cpp split_part: '' splits into chars); Spark
+    # raises on an empty delimiter
+    "split_part": lambda a: (
+        f"substr({a[0]}, {a[2]}, 1)"
+        if len(a) == 3 and a[1].strip() in ("''", '""') else None
+    ),
     # array_remove(arr, NULL) removes the null elements in StarRocks;
     # Spark's returns NULL — desugar the null-target form to a filter
     "array_remove": lambda a: (
@@ -753,6 +798,37 @@ _SIMPLE_WRAPS = {
     # (functions/percentile.py); optional 3rd compression arg ignored
     "percentile_approx": lambda a: _rw_percentile_approx(a),
 }
+
+
+def _rw_array_contains_all(a: list[str]):
+    """array_contains_all(haystack, needles): subset test, null
+    needles matching null elements. The reference's BE path
+    (column haystack) is 3VL-pessimistic in a specific recorded way
+    (test_array_fn/R/test_array_contains:1649,1727 vs the
+    all_and_seq fixture): a MISSING needle is FALSE, but "all found"
+    over a null-containing haystack with all-non-null needles is
+    NULL. FE constant folding (literal haystack) uses the plain
+    subset answer (R: array_contains_all([1,2,3,4,null], arr_1)=1).
+    Both paths modeled; the found-subset core is shared."""
+    if len(a) != 2:
+        return None
+    hay, need = a[0], a[1]
+    allfound = (f"forall({need}, __e -> CASE WHEN __e IS NULL THEN "
+                f"exists({hay}, __x -> __x IS NULL) ELSE "
+                f"coalesce(\0array_contains\0({hay}, __e), false) "
+                f"END)")
+    literal_hay = re.match(
+        r"\s*(\[|array\s*\(|(?:try_)?cast\s*\(\s*array\s*\()",
+        hay.replace("\0", ""), re.IGNORECASE)
+    if literal_hay:
+        return (f"CASE WHEN ({hay}) IS NULL OR ({need}) IS NULL "
+                f"THEN NULL ELSE {allfound} END")
+    return (f"CASE WHEN ({hay}) IS NULL OR ({need}) IS NULL THEN "
+            f"NULL WHEN size({need}) = 0 THEN true "
+            f"WHEN NOT {allfound} THEN false "
+            f"WHEN exists({hay}, __x -> __x IS NULL) AND "
+            f"forall({need}, __e -> __e IS NOT NULL) "
+            f"THEN CAST(NULL AS BOOLEAN) ELSE true END")
 
 
 def _rw_arrays_zip(args: list[str]):

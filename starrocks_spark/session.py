@@ -53,6 +53,9 @@ OLAP_CONF: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # --- ANSI off: MySQL-ish permissive casts like the reference dialect
     "spark.sql.ansi.enabled": "false",
+    # --- size/cardinality of NULL is NULL (reference array_length/
+    #     map_size semantics; Spark's legacy default returns -1)
+    "spark.sql.legacy.sizeOfNull": "false",
     # --- managed tables (table-model layer): keep the warehouse out of
     #     the repo; dynamic overwrite = rewrite only touched partitions,
     #     the scale-critical behavior for partitioned upserts

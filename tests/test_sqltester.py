@@ -201,6 +201,45 @@ _SUITES = [
     ("test_sort", "test_struct_order_by_edge_cases.sql", 12, 3),
     # 2 skips: the run.py LOOP/END framework block markers
     ("test_framework", "test_framework_set_var", 2, 2),
+    # 1 skip: the mixed-values+NULL list-partition prune (KNOWN_DIFFS)
+    ("test_dynamic_partition_prune",
+     "test_dynamic_partition_be_prune", 59, 1),
+    # 36 skips: map-element ordering, sum(boolean), typed-NULL args —
+    # documented type-level gaps (md5sum + NULL-needle contains/
+    # position + BE-faithful contains_all/contains_seq unlocked this)
+    ("test_array_fn", "test_array_contains", 279, 36),
+    ("test_sort", "test_agg_with_topn", 148, 0),
+    # 21 skips: CORR/covar under SET_VAR agg-stage variants needing
+    # statistic fns on empty groups the engine resolves differently
+    ("test_agg_function", "test_statistic", 12, 21),
+    # SET time_zone now maps onto spark.sql.session.timeZone
+    ("test_query_cache", "test_query_cache_time_zone", 3, 0),
+    # 2 skips: any_value(DISTINCT)/OVER capability supersets (ledger)
+    ("test_semi", "test_any_value", 6, 2),
+    # --- r7 session-5 batch 3: JSON-document compare, MySQL string
+    #     TRIM, row()/struct() col1..colN naming, SET time_zone,
+    #     sizeOfNull=NULL, empty-delim split_part, json_query
+    ("test_json", "test_flat_json_intermediate_object", 3, 2),
+    ("test_set_operation", "test_intersect_json_not_null", 2, 0),
+    ("test_string_functions", "test_trim_mysql_syntax", 19, 0),
+    # 2 skips: named_struct positional subscript, -> on a json column
+    ("test_semi", "test_struct", 21, 2),
+    # 8 skips: NULL map keys (unrepresentable) + strict-subscript
+    ("test_map", "test_map", 20, 8),
+    # assert_true returns TRUE (reference), not Spark's NULL
+    ("test_query_cache_use_fresh_global_dict",
+     "test_query_cache_use_fresh_global_dict", 22, 0),
+    ("test_lead_lag_support_array_type",
+     "test_lead_lag_support_array_type", 8, 0),
+    # datetime-call IN ('yyyy-mm-dd', ...) literal coercion
+    ("test_partition_by_expr", "test_expr_substr_prune_partition",
+     17, 0),
+    # INSERT ... WITH LABEL once-only registry
+    ("test_insert_empty", "test_insert_label", 4, 0),
+    # BEGIN/COMMIT/ROLLBACK buffered transactions; 3 skips are the
+    # suite's repeated-label begins (flat uuid namespace)
+    ("test_explicit_txn_label", "test_explicit_txn_label", 2, 3),
+    ("test_file_bundling_txn", "test_multi_stmt_txn_bundling", 11, 0),
 ]
 
 
