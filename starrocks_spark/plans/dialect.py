@@ -548,14 +548,33 @@ def _rw_array_agg(args: list[str]):
     Spark's collect_list drops them — wrap each value in a one-field
     struct (never null), unwrap after. DISTINCT dedups afterwards (one
     NULL survives, matching the reference)."""
-    if len(args) != 1 or re.search(r"\bORDER\s+BY\b", args[0],
-                                   re.IGNORECASE):
+    if len(args) != 1:
         return None
     if re.search(r"\bSELECT\b", args[0], re.IGNORECASE):
         # Spark rejects subquery expressions anywhere inside a
         # higher-order function — fall back to the null-dropping
         # native collect for subquery-bearing args
         return None
+    om = re.search(r"\bORDER\s+BY\b", args[0], re.IGNORECASE)
+    if om:
+        # array_agg(x ORDER BY k...) — sort collected (keys, value)
+        # structs, then project the value; single-direction keys only
+        expr = args[0][:om.start()].strip()
+        keys, descs = [], []
+        for k in _split_top_level(args[0][om.end():].strip()):
+            k = k.strip()
+            descs.append(bool(re.search(r"\bdesc$", k,
+                                        re.IGNORECASE)))
+            keys.append(re.sub(r"\s+(?:asc|desc)$", "", k,
+                               flags=re.IGNORECASE))
+        if len(set(descs)) > 1 or re.match(r"^\s*DISTINCT\b", expr,
+                                           re.IGNORECASE):
+            return None
+        ns = ", ".join(f"'k{i}', {k}" for i, k in enumerate(keys))
+        core = (f"transform(\0array_sort\0(\0collect_list\0("
+                f"\0named_struct\0({ns}, 'v', \0named_struct\0("
+                f"'x', {expr})))), __s -> __s.v.x)")
+        return f"\0reverse\0({core})" if descs[0] else core
     dm = re.match(r"^\s*DISTINCT\s+(.*)$", args[0],
                   re.IGNORECASE | re.DOTALL)
     x = dm.group(1) if dm else args[0]
@@ -599,9 +618,15 @@ _SIMPLE_WRAPS = {
     # NULL search values: the reference matches null ELEMENTS
     # (array_functions.cpp array_contains/array_position); Spark's
     # builtins reject a NULL needle. position-of-absent is 0 in both.
+    # not-found is FALSE even when the array holds nulls (no 3VL —
+    # R test_array_fn: contains(['a',NULL,...], 1) = 0); NULL array
+    # stays NULL; a NULL needle matches null ELEMENTS
     "array_contains": lambda a: (
-        f"exists({a[0]}, __e -> __e IS NULL)"
-        if len(a) == 2 and a[1].strip().upper() == "NULL" else None
+        (f"exists({a[0]}, __e -> __e IS NULL)"
+         if a[1].strip().upper() == "NULL" else
+         f"CASE WHEN ({a[0]}) IS NULL THEN NULL ELSE "
+         f"coalesce(\0array_contains\0({a[0]}, {a[1]}), false) END")
+        if len(a) == 2 else None
     ),
     "array_position": lambda a: (
         f"\0array_position\0(transform({a[0]}, __e -> __e IS NULL), "
@@ -736,15 +761,32 @@ _SIMPLE_WRAPS = {
         f"slice(reverse(array_sort(\0collect_list\0({a[0]}))), "
         f"1, {a[1]})" if len(a) == 2 else None
     ),
-    "array_sum": lambda a: (
-        f"aggregate({a[0]}, CAST(0.0 AS DOUBLE), "
-        f"(acc, e) -> acc + CAST(e AS DOUBLE))"
+    "array_sum": lambda a: _rw_array_sumavg("sum", a),
+    "array_avg": lambda a: _rw_array_sumavg("avg", a),
+    # array_concat: Spark's concat covers arrays 1:1
+    "array_concat": lambda a: f"concat({', '.join(a)})",
+    # array_slice(a, offset[, len]) is 1-based with negative offsets
+    # from the end — Spark's slice has the same convention; the 2-arg
+    # form runs to the end (slice caps length at the array bound)
+    # a negative offset beyond the front clamps to the first element
+    # (array_functions.cpp slice; Spark returns [] there)
+    "array_slice": lambda a: (
+        f"slice({a[0]}, {a[1]}, {a[2]})" if len(a) == 3
+        else f"slice({a[0]}, CASE WHEN ({a[1]}) < 0 THEN "
+             f"greatest({a[1]}, -size({a[0]})) ELSE {a[1]} END, "
+             f"size({a[0]}))" if len(a) == 2
+        else None
     ),
-    "array_avg": lambda a: (
-        f"(aggregate({a[0]}, CAST(0.0 AS DOUBLE), "
-        f"(acc, e) -> acc + CAST(e AS DOUBLE))"
-        f" / CAST(size(filter({a[0]}, e -> e IS NOT NULL)) AS DOUBLE))"
+    # array_difference: deltas between consecutive elements, first = 0
+    "array_difference": lambda a: (
+        f"transform({a[0]}, (__x, __i) -> CASE WHEN __i = 0 "
+        f"THEN __x - __x ELSE __x - try_element_at({a[0]}, __i) END)"
+        if len(a) == 1 else None
     ),
+    # any_match/all_match(lambda, arr...) — lambda FIRST
+    # (fe HigherOrderFunction); multi-array forms zip positionally
+    "any_match": lambda a: _rw_match_fn("exists", a),
+    "all_match": lambda a: _rw_match_fn("forall", a),
     # row(a, b) value constructor (MySQL/StarRocks) → struct
     # row()/struct() name every field positionally col1..colN (the
     # reference's unnamed-struct constructors); Spark's struct()
@@ -798,6 +840,45 @@ _SIMPLE_WRAPS = {
     # (functions/percentile.py); optional 3rd compression arg ignored
     "percentile_approx": lambda a: _rw_percentile_approx(a),
 }
+
+
+def _rw_array_sumavg(which: str, a: list[str]):
+    """array_sum/array_avg. NULL (or numerically uncastable) elements
+    are SKIPPED from the sum; all-null/empty arrays yield NULL; avg
+    divides by the FULL element count, nulls included (agg
+    array_avg). A VARCHAR array resolves to the BOOLEAN overload in
+    the reference's analyzer (R test_array_fn: array_sum of
+    ['-1','10','1','100','2'] = 5) — each parseable element counts
+    its truthiness."""
+    if len(a) != 1:
+        return None
+    arr = a[0]
+    val = (f"CASE WHEN \0typeof\0({arr}) = 'array<string>' THEN "
+           f"CASE WHEN CAST(__e AS DOUBLE) IS NULL THEN "
+           f"CAST(NULL AS DOUBLE) WHEN CAST(__e AS DOUBLE) <> 0.0 "
+           f"THEN 1.0 ELSE 0.0 END "
+           f"ELSE CAST(__e AS DOUBLE) END")
+    vals = f"transform({arr}, __e -> {val})"
+    nn = f"coalesce(size(filter({vals}, __v -> __v IS NOT NULL)), 0)"
+    s = (f"aggregate({vals}, CAST(0.0 AS DOUBLE), "
+         f"(acc, __v) -> acc + coalesce(__v, 0.0))")
+    if which == "sum":
+        return f"CASE WHEN {nn} <= 0 THEN NULL ELSE {s} END"
+    return (f"CASE WHEN {nn} <= 0 THEN NULL ELSE "
+            f"({s} / CAST(size({arr}) AS DOUBLE)) END")
+
+
+def _rw_match_fn(hof: str, a: list[str]):
+    """any_match/all_match(lambda, a1[, a2]) → exists/forall; the
+    two-array form evaluates the lambda over zip_with pairs."""
+    if any(x.strip().upper() == "NULL" for x in a[1:]):
+        return "CAST(NULL AS BOOLEAN)"   # typed-NULL array arg
+    if len(a) == 2:
+        return f"{hof}({a[1]}, {a[0]})"
+    if len(a) == 3:
+        return (f"{hof}(zip_with({a[1]}, {a[2]}, {a[0]}), "
+                f"__m -> __m)")
+    return None
 
 
 def _rw_array_contains_all(a: list[str]):

@@ -240,6 +240,12 @@ _SUITES = [
     # suite's repeated-label begins (flat uuid namespace)
     ("test_explicit_txn_label", "test_explicit_txn_label", 2, 3),
     ("test_file_bundling_txn", "test_multi_stmt_txn_bundling", 11, 0),
+    # the largest array suite: array_concat/slice/difference,
+    # any/all_match, array_agg ORDER BY, boolean-overload sum/avg,
+    # storage-width decimals, no-3VL contains, map-entry-set compare.
+    # 121 skips: expected-errors the engine accepts, varchar-needle
+    # intersect/remove type gaps, lambda-arg builtins
+    ("test_array_fn", "test_array_fn", 586, 121),
 ]
 
 
