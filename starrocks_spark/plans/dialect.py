@@ -801,6 +801,29 @@ _SIMPLE_WRAPS = {
     # Spark's returns NULL on success (both throw on failure)
     "assert_true": lambda a:
         f"(\0assert_true\0({', '.join(a)}) IS NULL)",
+    # RE2-faithful twins (functions/regexfn.py): POSIX classes,
+    # no-empty-match-after-match GlobalReplace, \\1 backreferences,
+    # patterns arriving as column data
+    "regexp_replace": lambda a: (
+        # 4th arg: FE constant-fold flag (all-literal args) — the two
+        # paths treat an EMPTY pattern differently (regexfn.py)
+        f"\0__sr_regexp_replace\0({', '.join(a)}, "
+        + ("true" if all(re.fullmatch(r"'[^']*'", x.strip())
+                         for x in a) else "false") + ")"
+        if len(a) == 3 else None
+    ),
+    "regexp_extract_all": lambda a: (
+        f"\0__sr_regexp_extract_all\0({', '.join(a)})"
+        if len(a) == 3 else
+        f"\0__sr_regexp_extract_all\0({', '.join(a)}, 1)"
+        if len(a) == 2 else None
+    ),
+    "regexp_position": lambda a: (
+        f"\0__sr_regexp_position\0({a[0]}, {a[1]}, "
+        + (a[2] if len(a) >= 3 else "1") + ", "
+        + (a[3] if len(a) == 4 else "1") + ")"
+        if 2 <= len(a) <= 4 else None
+    ),
     # split_part with the EMPTY delimiter addresses single characters
     # (string_functions.cpp split_part: '' splits into chars); Spark
     # raises on an empty delimiter
@@ -1099,11 +1122,13 @@ def translate(sql: str) -> str:
 def starrocks_sql(spark: SparkSession, sql: str, sf_dir: str) -> DataFrame:
     """Run a StarRocks-dialect query against the registered tables."""
     from starrocks_spark.functions import (jsonshape, percentile,
-                                           strcase, strtodate)
+                                           regexfn, strcase,
+                                           strtodate)
 
     register_tables(spark, sf_dir)
     strcase.register(spark)
     percentile.register(spark)
     strtodate.register(spark)
     jsonshape.register(spark)
+    regexfn.register(spark)
     return spark.sql(translate(sql))

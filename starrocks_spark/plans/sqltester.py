@@ -1855,13 +1855,14 @@ class ScriptRunner:
 
     def __init__(self, spark: SparkSession, strict: bool = True):
         from starrocks_spark.functions import (jsonshape, mmh3,
-                                               percentile, strcase,
-                                               strtodate)
+                                               percentile, regexfn,
+                                               strcase, strtodate)
         mmh3.register(spark)
         strcase.register(spark)
         percentile.register(spark)
         strtodate.register(spark)
         jsonshape.register(spark)
+        regexfn.register(spark)
         self.spark = spark
         self.strict = strict
         # a prior script's SET time_zone must not leak across runs

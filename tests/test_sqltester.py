@@ -246,6 +246,9 @@ _SUITES = [
     # 121 skips: expected-errors the engine accepts, varchar-needle
     # intersect/remove type gaps, lambda-arg builtins
     ("test_array_fn", "test_array_fn", 586, 121),
+    # RE2-faithful regex twins: POSIX classes, \p{Han}, GlobalReplace
+    # empty-match rule, \1 backrefs, regexp_position, column patterns
+    ("test_function", "test_regex", 96, 14),
 ]
 
 
