@@ -686,10 +686,10 @@ _SIMPLE_WRAPS = {
     "multi_distinct_count": lambda a: f"count(DISTINCT {', '.join(a)})",
     "multi_distinct_sum": lambda a: f"sum(DISTINCT {a[0]})",
     "get_json_int": lambda a: (
-        f"CAST(\0get_json_object\0({', '.join(a)}) AS BIGINT)"),
+        f"CAST(\0get_json_object\0({_jp(a)}) AS BIGINT)"),
     "get_json_double": lambda a: (
-        f"CAST(\0get_json_object\0({', '.join(a)}) AS DOUBLE)"),
-    "get_json_string": lambda a: f"\0get_json_object\0({', '.join(a)})",
+        f"CAST(\0get_json_object\0({_jp(a)}) AS DOUBLE)"),
+    "get_json_string": lambda a: f"\0get_json_object\0({_jp(a)})",
     "monthname": lambda a: f"\0date_format\0({a[0]}, 'MMMM')",
     "money_format": lambda a: f"format_number(CAST({a[0]} AS DOUBLE), 2)",
     "curdate": lambda a: "current_date()",
@@ -797,6 +797,13 @@ _SIMPLE_WRAPS = {
         f"'col{i + 1}', {x}" for i, x in enumerate(a)) + ")",
     # json_query(j, path) returns the matched subtree as JSON
     "json_query": lambda a: f"\0get_json_object\0({', '.join(a)})",
+    # json_exists(j, path): TRUE when the path resolves
+    # (json_functions.cpp json_exists)
+    "json_exists": lambda a: (
+        "(\0get_json_object\0("
+        + _jp(["CAST(" + a[0] + " AS STRING)"] + a[1:])
+        + ") IS NOT NULL)"),
+    "json_object": lambda a: _rw_json_object(a),
     # assert_true returns TRUE in the reference (utility_functions);
     # Spark's returns NULL on success (both throw on failure)
     "assert_true": lambda a:
@@ -863,6 +870,39 @@ _SIMPLE_WRAPS = {
     # (functions/percentile.py); optional 3rd compression arg ignored
     "percentile_approx": lambda a: _rw_percentile_approx(a),
 }
+
+
+def _rw_json_object(a: list[str]) -> str:
+    """json_object(k1, v1, k2, v2, ...) with literal string keys →
+    to_json(named_struct(...)) with keys SORTED (the reference stores
+    flat-json objects key-ordered — json_functions.cpp json_object)
+    and nulls kept. Other arities/arg shapes are left unresolved (the
+    tester records them as honest skips)."""
+    if len(a) == 0 or len(a) % 2:
+        raise ValueError("json_object: unsupported arity")
+    pairs = list(zip(a[::2], a[1::2]))
+    if not all(re.fullmatch(r"\s*'[^']*'\s*", k) or
+               re.fullmatch(r'\s*"[^"]*"\s*', k) for k, _ in pairs):
+        raise ValueError("json_object: non-literal key")
+    pairs.sort(key=lambda kv: kv[0].strip().strip("'\""))
+    fields = ", ".join(f"{k}, {v}" for k, v in pairs)
+    return (f"to_json(named_struct({fields}), "
+            f"map('ignoreNullFields', 'false'))")
+
+
+def _jp(a: list[str]) -> str:
+    """Normalize a get_json_* path LITERAL: bare keys get the '$.'
+    root (the reference auto-prefixes — json_functions.cpp), and
+    dotted quoted keys ($."a.b") become bracket form ($['a.b'],
+    which Spark's get_json_object understands)."""
+    if len(a) == 2:
+        p = a[1].strip()
+        if p.startswith("'") and p.endswith("'"):
+            body = re.sub(r'\."([^"]+)"', r"['\1']", p[1:-1])
+            if not body.startswith("$"):
+                body = "$." + body
+            return f"{a[0]}, '{body}'"
+    return ", ".join(a)
 
 
 def _rw_array_sumavg(which: str, a: list[str]):

@@ -117,6 +117,10 @@ _PRIORITY = [
     # native ASOF) + the most plan-distinctive of the 25 batch-4/5
     # TPC-DS shapes that closed coverage at 99/99
     "dialect_sqltester_asof_join",
+    # --- r7 session-6: the DML tier (UPDATE / DELETE / ALTER TABLE
+    # on key-model tables, oracle-replayed as versioned CTEs)
+    "dialect_sqltester_pk_partial_update",
+    "dialect_sqltester_delete_conditions",
     "tpcds_q12_category_share",
     "tpcds_q50_latency_matrix",
     "tpcds_q56_channel_union_totals",

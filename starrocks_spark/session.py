@@ -61,6 +61,10 @@ OLAP_CONF: dict[str, str] = {
     #     the scale-critical behavior for partitioned upserts
     "spark.sql.warehouse.dir": "/tmp/sr_spark_warehouse",
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    # --- local-mode driver heap: the default 1g OOMs long acceptance
+    #     runs (hundreds of suites in one session); on a real cluster
+    #     the submit config overrides this
+    "spark.driver.memory": "12g",
 }
 
 

@@ -307,8 +307,11 @@ class ManagedTable:
 
     def delete(self, predicate: str) -> None:
         """DELETE WHERE predicate (StarRocks.g4:1367) — copy-on-write
-        anti-filter, the batch analog of the PK delete-vector."""
-        self._rewrite(self._current().filter(f"NOT ({predicate})"))
+        anti-filter, the batch analog of the PK delete-vector. Only
+        rows where the predicate is TRUE are deleted; NULL (unknown)
+        keeps the row, like SQL DELETE everywhere."""
+        self._rewrite(self._current().filter(
+            f"NOT coalesce(({predicate}), false)"))
         self._rebuild_rollups()
 
     def update(self, assignments: dict[str, str], predicate: str) -> None:

@@ -23,9 +23,13 @@ def test_date_format_call():
     assert "date_format(ts, 'yyyy-MM')" in out
 
 
-def test_str_to_date_becomes_to_timestamp():
+def test_str_to_date_translation():
+    # date-only format → DATE (MySQL str_to_date returns DATE when no
+    # time parts are requested); time parts → TIMESTAMP
     out = translate("SELECT str_to_date(s, '%Y-%m-%d') FROM t")
-    assert "to_timestamp(s, 'yyyy-MM-dd')" in out
+    assert "to_date(s, 'yyyy-MM-dd')" in out
+    out2 = translate("SELECT str_to_date(s, '%Y-%m-%d %H:%i:%s') FROM t")
+    assert "yyyy-MM-dd HH:mm:ss" in out2 and "to_date(" not in out2
 
 
 def test_nested_interval_inside_format():
