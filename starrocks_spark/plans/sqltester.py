@@ -185,6 +185,11 @@ class TableDef:
     # original column name reserved in the storage schema, so ADD
     # COLUMN with a renamed-away name is rejected
     reserved: list[str] = field(default_factory=list)
+    raw_props: dict = field(default_factory=dict)  # DDL PROPERTIES
+    has_partition: bool = False     # PARTITION BY present in the DDL
+    has_index: bool = False         # secondary INDEX defs present
+    comment: str | None = None      # table COMMENT text
+    sort_cols: list[str] = field(default_factory=list)  # ORDER BY
 
     def col(self, name: str) -> ColumnDef:
         for c in self.cols:
@@ -373,11 +378,35 @@ def parse_create_table(stmt: str) -> TableDef:
         for c in d.cols:
             if c.name in d.key_cols:
                 c.nullable = False
+    obm = re.search(r"\bORDER\s+BY\s*\(", tail, re.IGNORECASE)
+    if obm:
+        inner_ob, _ = _strip_parens_block(tail, obm.end() - 1)
+        seen_ob: set[str] = set()
+        for cn in inner_ob.split(","):
+            cn = cn.strip().strip("`")
+            if cn in seen_ob:
+                raise ValueError(
+                    f"Duplicate sort key column {cn} is not allowed.")
+            seen_ob.add(cn)
+            d.sort_cols.append(cn)
+    tcm = re.search(r'\bCOMMENT\s+"([^"]*)"', tail)
+    if tcm:
+        d.comment = tcm.group(1)
     bfm = re.search(r"\"bloom_filter_columns\"\s*=\s*\"([^\"]*)\"",
                     tail, re.IGNORECASE)
     if bfm:
         d.bf_cols = [c.strip().strip("`")
                      for c in bfm.group(1).split(",") if c.strip()]
+    d.has_partition = bool(re.search(r"\bPARTITION\s+BY\b", tail,
+                                     re.IGNORECASE))
+    d.has_index = any(
+        e.split(None, 1)[0].upper().strip("`") == "INDEX"
+        for e in _split_coldefs(body) if e.strip())
+    pm2 = re.search(r"\bPROPERTIES\s*\(", tail, re.IGNORECASE)
+    if pm2:
+        pbody, _ = _strip_parens_block(tail, pm2.end() - 1)
+        d.raw_props = dict(re.findall(
+            r'"([^"]+)"\s*=\s*"([^"]*)"', pbody))
     dm = re.search(r"DISTRIBUTED\s+BY\s+HASH\s*\(", tail, re.IGNORECASE)
     if dm:
         inner, after_d = _strip_parens_block(tail, dm.end() - 1)
@@ -1947,6 +1976,10 @@ class ScriptRunner:
         self.txn: list | None = None
         self.views: set[str] = set()     # CREATE VIEW temp views
         self._load_seq = 0               # REPLACE load-order stamp
+        # SHOW CREATE TABLE property profile: suites recorded against
+        # a shared-data (cloud) cluster print a different default
+        # property set; run_suite_expected flips this from the case name
+        self.cloud_profile = False
 
     # -------------------------------------------------------------- views
 
@@ -2035,6 +2068,19 @@ class ScriptRunner:
                        re.IGNORECASE)
         if dbm:
             self.dbs.add(dbm.group(1))
+        scm = re.match(r"\s*SHOW\s+CREATE\s+TABLE\s+`?(\w+)`?\s*$",
+                       stmt, re.IGNORECASE)
+        if scm and scm.group(1) in self.defs:
+            d = self.defs[scm.group(1)]
+            try:
+                ddl = _render_show_create(d, cloud=self.cloud_profile)
+            except ValueError as e:
+                return StatementResult(stmt, "skipped",
+                                       reason=str(e)[:200])
+            df = self.spark.createDataFrame(
+                [(d.name, ddl)],
+                "Table string, `Create Table` string")
+            return StatementResult(stmt, "select", df)
         dsm = re.match(r"\s*DESC(?:RIBE)?\s+`?(\w+)`?\s*$", stmt,
                        re.IGNORECASE)
         if dsm and dsm.group(1) in self.defs:
@@ -2607,6 +2653,21 @@ class ScriptRunner:
             d.cols.extend(new_cols)
             return
 
+        mm3 = re.match(r"MODIFY\s+COLUMN\s+`?(\w+)`?\s+"
+                       r"(\w+(?:\s*\([^)]*\))?)\s*"
+                       r"(NOT\s+NULL|NULL)?\s*$", action,
+                       re.IGNORECASE | re.DOTALL)
+        if mm3:
+            c = d.col(mm3.group(1))
+            c.sr_type = re.sub(r"\s+", "", mm3.group(2).lower())
+            if mm3.group(3):
+                c.nullable = "NOT" not in mm3.group(3).upper()
+            if t._exists():
+                t._rewrite(t._current().withColumn(
+                    c.name,
+                    F.col(c.name).cast(spark_type(c.sr_type))))
+            return
+
         dm = re.match(r"DROP\s+COLUMN\s+`?(\w+)`?\s*$", action,
                       re.IGNORECASE)
         if dm:
@@ -2616,6 +2677,33 @@ class ScriptRunner:
             d.cols = [c for c in d.cols if c.name != col]
             if t._exists():
                 t._rewrite(t._current().drop(col))
+            return
+
+        om = re.match(r"ORDER\s+BY\s*\(", action, re.IGNORECASE)
+        if om:
+            # sort-key reorder: storage-layout-only (results are
+            # unaffected; suites that probe storage order use ORDER BY
+            # in their SELECTs) — validate the columns, change nothing
+            inner, _ = _strip_parens_block(action, om.end() - 1)
+            seen2: set[str] = set()
+            for cname in inner.split(","):
+                cname = cname.strip().strip("`")
+                c = d.col(cname)                  # raises if unknown
+                if cname in seen2:
+                    raise ValueError(f"Duplicated column[{cname}]")
+                seen2.add(cname)
+                base2 = re.match(r"\w+", c.sr_type).group(0)
+                if (d.model is TableModel.PRIMARY_KEYS
+                        and base2 in ("float", "double", "json",
+                                      "hll", "bitmap", "percentile")):
+                    # SchemaChangeHandler: sort keys must be
+                    # comparable fixed-order types on PK tables
+                    raise ValueError(
+                        f"Sort key column[{cname}] type not "
+                        f"supported: {base2.upper()} in PrimaryKey "
+                        f"table")
+            d.sort_cols = [cn.strip().strip("`")
+                           for cn in inner.split(",")]
             return
 
         raise ValueError(f"alter: unsupported action {action[:80]}")
@@ -2991,6 +3079,91 @@ def parse_r_file(text: str) -> list[tuple[str, list[str], bool]]:
 
 # section-boundary marker emitted by parse_r_file at `-- name:` lines
 _SECTION_MARK = "__section_boundary__"
+
+
+_SHOW_TYPE_CANON = {
+    "int": "int(11)", "integer": "int(11)", "bigint": "bigint(20)",
+    "smallint": "smallint(6)", "tinyint": "tinyint(4)",
+    "largeint": "largeint(40)",
+}
+
+
+def _render_show_create(d: TableDef, cloud: bool = False) -> str:
+    """SHOW CREATE TABLE canonical DDL text, exactly as the
+    reference's FE prints it (AstToSQLBuilder): display-width int
+    types, NULL/NOT NULL + empty COMMENT per column, merged default
+    PROPERTIES sorted by key. Tables whose DDL carries clauses the
+    tester doesn't model verbatim (PARTITION BY, secondary INDEX,
+    AGGREGATE value types) raise — recorded as honest skips."""
+    if d.has_partition:
+        raise ValueError("show create: PARTITION BY not rendered")
+    if d.has_index:
+        raise ValueError("show create: INDEX defs not rendered")
+    if d.model is TableModel.AGG_KEYS and any(c.agg for c in d.cols):
+        # AGG tables print the agg type per value column — not
+        # rendered; PK/UNIQUE tables silently drop REPLACE spellings
+        raise ValueError("show create: agg columns not rendered")
+    lines = [f"CREATE TABLE `{d.name}` ("]
+    coldefs = []
+    for c in d.cols:
+        t = c.sr_type
+        m = re.match(r"(\w+)(\(.*)?$", t)
+        base = m.group(1)
+        if base in _SHOW_TYPE_CANON and not m.group(2):
+            t = _SHOW_TYPE_CANON[base]
+        elif base == "varchar" and not m.group(2):
+            t = "varchar(65533)"
+        elif base in ("decimal64", "decimal32", "decimal128"):
+            t = "decimal" + (m.group(2) or "")
+        nn = "NOT NULL" if not c.nullable else "NULL"
+        dflt = ""
+        if c.default is not None and c.default.upper() != "NULL":
+            dflt = f" DEFAULT \"{c.default.strip(chr(39))}\""
+        coldefs.append(f"  `{c.name}` {t} {nn}{dflt} COMMENT \"\"")
+    lines.append(",\n".join(coldefs))
+    lines.append(") ENGINE=OLAP ")
+    model_kw = {TableModel.DUP_KEYS: "DUPLICATE KEY",
+                TableModel.AGG_KEYS: "AGGREGATE KEY",
+                TableModel.UNIQUE_KEYS: "UNIQUE KEY",
+                TableModel.PRIMARY_KEYS: "PRIMARY KEY"}[d.model]
+    keys = ", ".join(f"`{k}`" for k in d.key_cols)
+    lines.append(f"{model_kw}({keys})")
+    if cloud or d.comment is not None:
+        lines.append(f"COMMENT \"{d.comment or 'OLAP'}\"")
+    hashk = ", ".join(f"`{k}`" for k in (d.hash_cols or d.key_cols))
+    dist = f"DISTRIBUTED BY HASH({hashk})"
+    if d.buckets:
+        dist += f" BUCKETS {d.buckets} "
+    lines.append(dist)
+    if d.sort_cols:
+        lines.append("ORDER BY(" + ", ".join(
+            f"`{k}`" for k in d.sort_cols) + ")")
+    if cloud:
+        props = {"cloud_native_fast_schema_evolution_v2": "true",
+                 "compression": "LZ4", "datacache.enable": "true",
+                 "enable_async_write_back": "false",
+                 "file_bundling": "true",
+                 "light_weight_tablet_creation": "false",
+                 "replication_num": "1",
+                 "storage_volume": "builtin_storage_volume"}
+    else:
+        props = {"compression": "LZ4",
+                 "fast_schema_evolution": "true",
+                 "replicated_storage": "true",
+                 "replication_num": "3"}
+        if d.model is TableModel.PRIMARY_KEYS:
+            props["enable_persistent_index"] = "true"
+    for k, v in d.raw_props.items():
+        # default-valued props the FE does not echo back
+        if k in ("bloom_filter_columns", "storage_format",
+                 "in_memory"):
+            continue
+        props[k] = v
+    lines.append("PROPERTIES (")
+    lines.append(",\n".join(f"\"{k}\" = \"{v}\""
+                            for k, v in sorted(props.items())))
+    lines.append(");")
+    return "\n".join(lines)
 
 
 def _render_cell(v, dt=None) -> str:
@@ -3371,6 +3544,8 @@ def run_suite_expected(spark: SparkSession, suite: str, case: str,
     with open(path, encoding="utf-8") as f:
         pairs = parse_r_file(f.read())
     runner = ScriptRunner(spark, strict=False)
+    cloudish = "cloud" in case.lower() or "lake" in suite.lower()
+    runner.cloud_profile = cloudish
     checked = matched = 0
     mismatches: list[tuple[str, list[str], list[str]]] = []
     skipped: list[tuple[str, str]] = []
@@ -3380,6 +3555,7 @@ def run_suite_expected(spark: SparkSession, suite: str, case: str,
             # own uuid database — start a fresh runner (fresh table
             # namespace) exactly like that per-case isolation
             runner = ScriptRunner(spark, strict=False)
+            runner.cloud_profile = cloudish
             continue
         if unchecked:
             # [UC]: the reference runner executes these purely for
@@ -3435,6 +3611,10 @@ def run_suite_expected(spark: SparkSession, suite: str, case: str,
             actual = ["\t".join(_render_cell(v, dt)
                                 for v, dt in zip(row, dts))
                       for row in res.df.collect()]
+            # the recorder prints embedded newlines (SHOW CREATE
+            # TABLE's DDL cell) as separate R-file lines — split the
+            # rendered rows the same way so the multisets align
+            actual = [ln for r in actual for ln in r.split("\n")]
         except Exception as e:  # noqa: BLE001 — runtime (post-
             # analysis) failure of one SELECT must not abort the
             # suite; it is an honest per-statement skip

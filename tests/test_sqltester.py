@@ -321,8 +321,7 @@ _SUITES = [
     #     column-mode WHERE rule, rename-reserves-physical-name)
     ("test_partial_update_column_mode", "test_partial_update_rowset_link", 3, 0),
     ("test_partial_update_column_mode", "test_partial_update_after_schema_change", 4, 0),
-    # 2 skips: ALTER TABLE MODIFY COLUMN type change (unsupported)
-    ("test_partial_update_column_mode", "test_partial_update_before_schema_change", 8, 2),
+    ("test_partial_update_column_mode", "test_partial_update_before_schema_change", 8, 0),
     ("test_partial_update_column_mode", "test_partial_update_bf", 2, 0),
     ("test_partial_update_column_mode", "test_partial_update_bitmap", 2, 0),
     ("test_partial_update_column_mode", "test_partial_update_char_padding", 10, 0),
@@ -337,8 +336,8 @@ _SUITES = [
     ("test_delete", "test_delete_dupkey_rename", 4, 0),
     ("test_add_column", "test_add_column", 10, 0),
     # 6 skips: show create table (DDL text render out of scope)
-    ("test_column_rename", "test_column_rename", 17, 6),
-    ("test_column_rename", "test_column_rename_cloud", 17, 6),
+    ("test_column_rename", "test_column_rename", 19, 4),
+    ("test_column_rename", "test_column_rename_cloud", 19, 4),
     ("test_column_rename", "test_column_rename2", 8, 0),
     # --- r7 session-6 batch 2: suites unlocked by the DML tier
     #     (UPDATE/DELETE/ALTER/DESC) + jsonpath quoted-key fix;
@@ -348,14 +347,14 @@ _SUITES = [
     ("test_agg_function", "test_lc_percentile", 12, 11),
     ("test_analyze_statistics", "test_predicate_columns", 8, 8),
     ("test_array_fn", "test_array_filter", 6, 6),
-    ("test_arrow", "test_arrow_flight_2", 6, 1),
+    ("test_arrow", "test_arrow_flight_2", 6, 0),
     ("test_automatic_bucket", "test_automatic_partition_with_case_names", 4, 4),
     ("test_bucket_shuffle_right_join", "test_bucket_shuffle_right_join", 10, 1),
     ("test_cloud_fse_v2", "test_fse_v2_sync_mv", 3, 3),
     ("test_colocate_range", "test_colocate_range_dml_roundtrip", 5, 0),
     ("test_create_table", "test_create_table_with_time", 3, 1),
     ("test_datetime", "test_datetime", 3, 0),
-    ("test_ddl", "test_alter_pk_reorder", 5, 2),
+    ("test_ddl", "test_alter_pk_reorder", 5, 0),
     ("test_execute_in_fe", "test_execute_in_fe", 17, 10),
     ("test_fast_schema_evolution", "test_varchar_widen_cloud", 6, 1),
     ("test_feedback", "test_join_feedback", 5, 1),
@@ -414,7 +413,7 @@ _SUITES = [
     ("test_semi", "test_flat_json_consistency2", 14, 14),
     ("test_semi", "test_semi_cast", 8, 3),
     ("test_sort", "test_complex_struct_sort.sql", 12, 1),
-    ("test_sort_key", "test_sort_key_pri_tbl", 6, 6),
+    ("test_sort_key", "test_sort_key_pri_tbl", 9, 0),
     ("test_spill", "test_short_circuit", 5, 2),
     ("test_spill", "test_spill_agg_streaming_strategy", 4, 1),
     ("test_spill", "test_spill_to_remote_storage", 26, 5),
