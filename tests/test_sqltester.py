@@ -339,6 +339,9 @@ _SUITES = [
     ("test_column_rename", "test_column_rename", 19, 4),
     ("test_column_rename", "test_column_rename_cloud", 19, 4),
     ("test_column_rename", "test_column_rename2", 8, 0),
+    ("test_array_fn", "test_array_map_in_predicate_reuse", 2, 0),
+    ("test_fast_schema_evolution", "test_schema_change_string_to_num_null", 2, 0),
+    ("test_spill", "test_spill_mcast_local_exchange", 1, 0),
     # --- r7 session-6 batch 2: suites unlocked by the DML tier
     #     (UPDATE/DELETE/ALTER/DESC) + jsonpath quoted-key fix;
     #     skip budgets are cluster-only statements (SET shadow
