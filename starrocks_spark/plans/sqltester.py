@@ -170,6 +170,10 @@ class ColumnDef:
     agg: str | None = None       # AGG_KEYS value-column agg type
     default: str | None = None   # DEFAULT literal (SQL text)
     nullable: bool = True        # NOT NULL absent in the DDL
+    # generated column: `name type AS <expr>` — computed from the
+    # other columns of the same row at LOAD time (fe
+    # GeneratedColumnUtil; StarRocks.g4 columnDesc generatedColumn)
+    gen_expr: str | None = None
 
 
 @dataclass
@@ -198,16 +202,40 @@ class TableDef:
         raise KeyError(name)
 
 
+@dataclass
+class MVDef:
+    """An async materialized view created by a script (CREATE
+    MATERIALIZED VIEW ... AS SELECT; fe/.../catalog/
+    MaterializedView.java:140). The runner models the reference's
+    async-refresh contract: CREATE registers the definition with an
+    EMPTY visible state (the reference submits a refresh TASK; until
+    it completes, the MV table has no visible rows — test_mv/R/basic
+    records exactly that), REFRESH ... WITH SYNC MODE materializes a
+    SNAPSHOT (base-table changes after the refresh are not visible
+    until the next one), and DROP TABLE of a base table deactivates
+    the MV (AlterMVJobExecutor inactive reason)."""
+    name: str
+    select_sql: str
+    db: str
+    refresh_mode: str            # ASYNC | MANUAL | INCREMENTAL
+    deferred: bool
+    partition_by: str | None
+    props: dict
+    base_tables: list[str]
+    columns: list[str]
+    is_active: bool = True
+    inactive_reason: str = ""
+    populated: bool = False
+    path: str | None = None
+
+
 def _strip_parens_block(text: str, start: int) -> tuple[str, int]:
     """text[start] == '(' → (inner, index-after-close)."""
     depth, i = 0, start
     while i < len(text):
         ch = text[i]
         if ch in ("'", '"'):
-            j = i + 1
-            while j < len(text) and text[j] != ch:
-                j += 1
-            i = j
+            i = dialect.skip_quoted(text, i) - 1
         elif ch == "(":
             depth += 1
         elif ch == ")":
@@ -228,11 +256,9 @@ def _split_coldefs(body: str) -> list[str]:
     while i < n:
         ch = body[i]
         if ch in ("'", '"'):
-            j = i + 1
-            while j < n and body[j] != ch:
-                j += 1
-            cur.append(body[i:j + 1])
-            i = j + 1
+            j = dialect.skip_quoted(body, i)
+            cur.append(body[i:j])
+            i = j
             continue
         if ch == "(":
             depth += 1
@@ -273,11 +299,9 @@ def _strip_line_comments(text: str) -> str:
     while i < n:
         ch = text[i]
         if ch in ("'", '"'):
-            j = i + 1
-            while j < n and text[j] != ch:
-                j += 1
-            out.append(text[i:j + 1])
-            i = j + 1
+            j = dialect.skip_quoted(text, i)
+            out.append(text[i:j])
+            i = j
             continue
         if ch == "-" and text[i:i + 2] == "--":
             j = text.find("\n", i)
@@ -352,6 +376,14 @@ def parse_create_table(stmt: str) -> TableDef:
             dflt = dm0.group(1)
             if dflt.startswith('"'):
                 dflt = "'" + dflt[1:-1] + "'"
+        # generated column: [NULL] AS <expr> [COMMENT ".."] — store
+        # the defining expression; the insert path computes it
+        gexpr = None
+        gm2 = re.search(r"\bAS\s+(.+)$", rest or "",
+                        re.IGNORECASE | re.DOTALL)
+        if gm2:
+            gexpr = re.sub(r'\s*COMMENT\s+"[^"]*"\s*$', "",
+                           gm2.group(1).strip())
         # collapse (don't strip) whitespace: struct<a int, b int>
         # needs the space between field name and type
         cols.append(ColumnDef(
@@ -362,6 +394,7 @@ def parse_create_table(stmt: str) -> TableDef:
             dflt,
             nullable=not re.search(r"\bNOT\s+NULL\b", rest or "",
                                    re.IGNORECASE),
+            gen_expr=gexpr,
         ))
     tail = stmt[after:]
     d = TableDef(name, cols)
@@ -433,6 +466,8 @@ _SPARK_TYPES = {
     "float": "FLOAT", "double": "DOUBLE", "boolean": "BOOLEAN",
     "date": "DATE", "datetime": "TIMESTAMP", "json": "STRING",
     "string": "STRING", "text": "STRING",
+    # bitmaps are sorted-distinct id arrays (dialect _BITMAP_WRAPS)
+    "bitmap": "ARRAY<BIGINT>",
 }
 
 _DUCK_TYPES = {
@@ -441,6 +476,7 @@ _DUCK_TYPES = {
     "float": "FLOAT", "double": "DOUBLE", "boolean": "BOOLEAN",
     "date": "DATE", "datetime": "TIMESTAMP", "json": "VARCHAR",
     "string": "VARCHAR", "text": "VARCHAR",
+    "bitmap": "BIGINT[]",
 }
 
 
@@ -611,10 +647,7 @@ def _split_top_level_union(body: str) -> list[tuple[str, str]]:
     while i < n:
         ch = body[i]
         if ch in ("'", '"'):
-            j = i + 1
-            while j < n and body[j] != ch:
-                j += 1
-            i = j + 1
+            i = dialect.skip_quoted(body, i)
             continue
         if ch == "(":
             depth += 1
@@ -823,10 +856,7 @@ def _find_top_level_keyword_st(text: str, kw: str) -> int:
     while i < n:
         ch = text[i]
         if ch in ("'", '"'):
-            j = i + 1
-            while j < n and text[j] != ch:
-                j += 1
-            i = j + 1
+            i = dialect.skip_quoted(text, i)
             continue
         if ch == "(":
             depth += 1
@@ -845,10 +875,7 @@ def _split_top_level_commas(text: str) -> list[str]:
     while i < n:
         ch = text[i]
         if ch in ("'", '"'):
-            j = i + 1
-            while j < n and text[j] != ch:
-                j += 1
-            i = j + 1
+            i = dialect.skip_quoted(text, i)
             continue
         if ch == "(":
             depth += 1
@@ -966,11 +993,9 @@ def _rw_bracket_arrays(sql: str) -> str:
     while i < n:
         ch = sql[i]
         if ch in ("'", '"'):
-            j = i + 1
-            while j < n and sql[j] != ch:
-                j += 1
-            out.append(sql[i:j + 1])
-            i = j + 1
+            j = dialect.skip_quoted(sql, i)
+            out.append(sql[i:j])
+            i = j
             continue
         if ch == "[":
             # a subscript attaches DIRECTLY to its operand (arr[1]);
@@ -996,10 +1021,7 @@ def _strip_parens(text: str, start: int) -> tuple[str, int]:
     while i < len(text):
         ch = text[i]
         if ch in ("'", '"'):
-            j = i + 1
-            while j < len(text) and text[j] != ch:
-                j += 1
-            i = j
+            i = dialect.skip_quoted(text, i) - 1
         elif ch == "(":
             depth += 1
         elif ch == ")":
@@ -1015,10 +1037,7 @@ def _strip_parens_bracket(text: str, start: int) -> tuple[str, int]:
     while i < len(text):
         ch = text[i]
         if ch in ("'", '"'):
-            j = i + 1
-            while j < len(text) and text[j] != ch:
-                j += 1
-            i = j
+            i = dialect.skip_quoted(text, i) - 1
         elif ch == "[":
             depth += 1
         elif ch == "]":
@@ -1078,10 +1097,7 @@ def _find_outside_quotes(s: str, needle: str, start: int = 0) -> int:
     while i < n:
         ch = s[i]
         if ch in ("'", '"'):
-            j = i + 1
-            while j < n and s[j] != ch:
-                j += 2 if s[j] == "\\" else 1
-            i = j + 1
+            i = dialect.skip_quoted(s, i)
             continue
         if s.startswith(needle, i):
             return i
@@ -1449,10 +1465,7 @@ def _rw_map_literals(sql: str) -> str:
         while i < len(sql) and depth:
             ch = sql[i]
             if ch == "'":
-                j = i + 1
-                while j < len(sql) and sql[j] != "'":
-                    j += 1
-                i = j
+                i = dialect.skip_quoted(sql, i) - 1
             elif ch == "{":
                 depth += 1
             elif ch == "}":
@@ -1474,6 +1487,53 @@ _TABLE_UNNEST_RE = re.compile(r"\bTABLE\s*\(\s*unnest\s*\(",
 # TABLE(unnest(...)) rewrite above
 _BARE_UNNEST_RE = re.compile(
     r"(,|\bJOIN\b)(\s*)UNNEST\s*\(", re.IGNORECASE)
+
+
+_UNNEST_BITMAP_RE = re.compile(
+    r",\s*unnest_bitmap\s*\(", re.IGNORECASE)
+_SUBDIVIDE_BITMAP_RE = re.compile(
+    r",\s*subdivide_bitmap\s*\(", re.IGNORECASE)
+
+
+def _rw_unnest_bitmap(sql: str) -> str:
+    """``FROM t, unnest_bitmap(b)`` (BE unnest_bitmap.h TVF: one row
+    per set bit, output column named unnest_bitmap) → LATERAL VIEW
+    explode — the comma-TVF references the preceding table's columns,
+    which only the lateral form resolves. NULL/empty bitmaps yield no
+    rows on both engines."""
+    while True:
+        m = _UNNEST_BITMAP_RE.search(sql)
+        if not m:
+            return sql
+        inner, after = _strip_parens_block(sql, m.end() - 1)
+        sql = (f"{sql[:m.start()]} LATERAL VIEW \0explode\0({inner}) "
+               f"__ubt AS unnest_bitmap {sql[after:]}")
+
+
+def _rw_subdivide_bitmap(sql: str) -> str:
+    """``FROM t, subdivide_bitmap(b, n)`` (BE subdivide_bitmap.h TVF:
+    split one bitmap into ≤n-element chunks, one row per chunk,
+    column subdivide_bitmap). n ≤ 0 → no rows; EMPTY bitmap → one
+    empty chunk; NULL bitmap → no rows (recorded R semantics)."""
+    while True:
+        m = _SUBDIVIDE_BITMAP_RE.search(sql)
+        if not m:
+            return sql
+        inner, after = _strip_parens_block(sql, m.end() - 1)
+        args = dialect._split_top_level(inner)
+        if len(args) != 2:
+            return sql
+        b, n = args
+        chunks = (
+            f"CASE WHEN ({b}) IS NULL OR ({n}) <= 0 "
+            f"THEN CAST(array() AS ARRAY<ARRAY<BIGINT>>) "
+            f"WHEN size({b}) = 0 "
+            f"THEN array(CAST(array() AS ARRAY<BIGINT>)) "
+            f"ELSE transform(sequence(0, CAST(ceil(size({b}) / ({n})) "
+            f"AS INT) - 1), __i -> slice({b}, __i * ({n}) + 1, "
+            f"({n}))) END")
+        sql = (f"{sql[:m.start()]} LATERAL VIEW \0explode\0({chunks})"
+               f" __sbt AS subdivide_bitmap {sql[after:]}")
 
 
 def _rw_bare_unnest(sql: str) -> str:
@@ -1633,6 +1693,8 @@ def translate_select_spark(sql: str) -> str:
     # [..] becomes array(..), which the unnest arg-split relies on
     sql = _rw_map_literals(sql)
     sql = _rw_typed_array_literals(sql)
+    sql = _rw_unnest_bitmap(sql)
+    sql = _rw_subdivide_bitmap(sql)
     sql = _rw_bare_unnest(sql)
     sql = _rw_table_unnest(sql)
     # :: before bracket-array rewriting: a subscript directly after a
@@ -1710,11 +1772,9 @@ def _substitute_aliases(expr: str, aliases: dict[str, str]) -> str:
     while i < n:
         ch = expr[i]
         if ch == "'":
-            j = i + 1
-            while j < n and expr[j] != "'":
-                j += 1
-            out.append(expr[i:j + 1])
-            i = j + 1
+            j = dialect.skip_quoted(expr, i)
+            out.append(expr[i:j])
+            i = j
             continue
         if ch == "(":
             stack.append("(")
@@ -1853,6 +1913,42 @@ def _rw_typed_array_duck(sql: str) -> str:
                f"{sql[after:]}")
 
 
+# MySQL date tokens that differ from C strftime (duck uses strftime)
+_DUCK_FMT_FIX = {"%i": "%M", "%s": "%S", "%v": "%V", "%r": "%I:%M:%S %p"}
+
+
+def _rw_duck_datefns(sql: str) -> str:
+    """MySQL date-function call forms the DuckDB oracle lacks:
+    date_format → strftime (token map), DATE(x) → CAST(x AS DATE),
+    date_add/date_sub(x, INTERVAL n unit) → interval arithmetic."""
+    def fmt(a):
+        if len(a) != 2:
+            return None
+        f = a[1]
+        for k, v in _DUCK_FMT_FIX.items():
+            f = f.replace(k, v)
+        return f"strftime({a[0]}, {f})"
+    sql = dialect.rewrite_calls(sql, "date_format", fmt)
+
+    def addsub(sign):
+        def rw(a):
+            if len(a) != 2:
+                return None
+            im = re.match(r"\s*INTERVAL\s+(\S+)\s+(\w+)\s*$", a[1],
+                          re.IGNORECASE)
+            if not im:
+                return None
+            return (f"(({a[0]}) {sign} INTERVAL {im.group(1)} "
+                    f"{im.group(2)})")
+        return rw
+    sql = dialect.rewrite_calls(sql, "date_add", addsub("+"))
+    sql = dialect.rewrite_calls(sql, "date_sub", addsub("-"))
+    sql = dialect.rewrite_calls(
+        sql, "date",
+        lambda a: f"CAST({a[0]} AS DATE)" if len(a) == 1 else None)
+    return sql
+
+
 def translate_select_duck(sql: str) -> str:
     sql = _SETVAR_HINT_RE.sub("", sql)
     sql = _rw_user_variable_hint(sql)
@@ -1861,9 +1957,12 @@ def translate_select_duck(sql: str) -> str:
     sql = _rw_generate_series_duck(sql)
     sql = _JOIN_HINT_RE.sub(r"\1", sql)
     sql = _rw_typed_array_duck(sql)
+    sql = _rw_unnest_bitmap(sql)
+    sql = _rw_subdivide_bitmap(sql)
     sql = _rw_bare_unnest(sql)
     sql = _rw_table_unnest(sql, duck=True)
     sql = _rw_double_colon(sql, duck=True)
+    sql = _rw_duck_datefns(sql)
     sql = re.sub(r"<=>", " IS NOT DISTINCT FROM ", sql)
     return sql
 
@@ -1905,7 +2004,10 @@ _DROP_RE = re.compile(
 
 
 def classify(stmt: str) -> str:
-    s = stmt.lstrip().upper()
+    # leading /*tag*/ block comments (the reference's fingerprint
+    # suites label statements /*q0*/select ...) don't change the kind
+    s = re.sub(r"^\s*(/\*.*?\*/\s*)+", "", stmt,
+               flags=re.DOTALL).lstrip().upper()
     if s.startswith("CREATE TABLE"):
         return "create"
     if re.match(r"CREATE\s+VIEW\s", s):
@@ -1928,6 +2030,16 @@ def classify(stmt: str) -> str:
         return "delete"
     if re.match(r"ALTER\s+TABLE\s", s):
         return "alter"
+    if re.match(r"CREATE\s+MATERIALIZED\s+VIEW\s", s):
+        return "createmv"
+    if re.match(r"REFRESH\s+MATERIALIZED\s+VIEW\s", s):
+        return "refreshmv"
+    if re.match(r"DROP\s+MATERIALIZED\s+VIEW\s", s):
+        return "dropmv"
+    if re.match(r"ALTER\s+MATERIALIZED\s+VIEW\s", s):
+        return "altermv"
+    if re.match(r"CANCEL\s+REFRESH\s+MATERIALIZED\s+VIEW\s", s):
+        return "noop"
     return "unsupported"
 
 
@@ -1951,10 +2063,11 @@ class ScriptRunner:
     supported fraction honestly rather than hiding it."""
 
     def __init__(self, spark: SparkSession, strict: bool = True):
-        from starrocks_spark.functions import (jsonshape, mmh3,
+        from starrocks_spark.functions import (bitmap, jsonshape, mmh3,
                                                percentile, regexfn,
                                                strcase, strtodate)
         mmh3.register(spark)
+        bitmap.register(spark)
         strcase.register(spark)
         percentile.register(spark)
         strtodate.register(spark)
@@ -1962,6 +2075,7 @@ class ScriptRunner:
         regexfn.register(spark)
         self.spark = spark
         self.strict = strict
+        dialect.BITMAP_THROW_MODE = False  # fresh session default
         # a prior script's SET time_zone must not leak across runs
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         # MySQL's one-row dummy table
@@ -1975,6 +2089,10 @@ class ScriptRunner:
         # inside BEGIN, holding deferred (mode, table, pred, batch)
         self.txn: list | None = None
         self.views: set[str] = set()     # CREATE VIEW temp views
+        self.view_deps: dict[str, set] = {}  # view -> referenced names
+        self.mvs: dict[str, MVDef] = {}  # CREATE MATERIALIZED VIEW
+        self.task_runs: list[tuple] = []  # one row per REFRESH MV
+        self.current_db = ""             # last USE'd database
         self._load_seq = 0               # REPLACE load-order stamp
         # SHOW CREATE TABLE property profile: suites recorded against
         # a shared-data (cloud) cluster print a different default
@@ -2044,6 +2162,21 @@ class ScriptRunner:
                     re.IGNORECASE):
             self.txn = None
             return StatementResult(stmt, "noop")
+        sqm = re.match(r"\s*SET\s+sql_mode\s*=\s*['\"]([^'\"]*)",
+                       stmt, re.IGNORECASE)
+        if sqm:
+            dialect.BITMAP_THROW_MODE = (
+                "ALLOW_THROW_EXCEPTION" in sqm.group(1).upper())
+            return StatementResult(stmt, "noop")
+        svm = re.match(r"\s*SET\s+(?:GLOBAL\s+)?"
+                       r"(enable_\w+)\s*=\s*['\"]?(\w+)['\"]?\s*$",
+                       stmt, re.IGNORECASE)
+        if svm:
+            # feature toggles the runner honors (drop-dependency check,
+            # transparent union rewrite); unknown enable_* flags are
+            # stored and ignored, like the reference's session vars
+            self.vars[svm.group(1).lower()] = svm.group(2).lower()
+            return StatementResult(stmt, "noop")
         pum = re.match(r"\s*SET\s+partial_update_mode\s*=\s*"
                        r"['\"]?(\w*)['\"]?\s*$", stmt, re.IGNORECASE)
         if pum:
@@ -2068,6 +2201,8 @@ class ScriptRunner:
                        re.IGNORECASE)
         if dbm:
             self.dbs.add(dbm.group(1))
+            if re.match(r"\s*USE\b", stmt, re.IGNORECASE):
+                self.current_db = dbm.group(1)
         scm = re.match(r"\s*SHOW\s+CREATE\s+TABLE\s+`?(\w+)`?\s*$",
                        stmt, re.IGNORECASE)
         if scm and scm.group(1) in self.defs:
@@ -2116,14 +2251,24 @@ class ScriptRunner:
                         f"Getting syntax error near '{trail[:30]}'")
                 name = dm9.group(1)
                 if name in self.tables:
+                    self._check_mv_dependency(name)
                     self.tables.pop(name).drop()
                     del self.defs[name]
+                    # dropping a base table deactivates dependent MVs
+                    # (fe AlterMVJobExecutor / MVActiveChecker)
+                    for mv in self.mvs.values():
+                        if name in mv.base_tables and mv.is_active:
+                            mv.is_active = False
+                            mv.inactive_reason = (
+                                f"base-table dropped: {name}")
             elif kind == "truncate":
                 name = re.match(r"\s*TRUNCATE\s+TABLE\s+`?(\w+)`?",
                                 stmt, re.IGNORECASE).group(1)
                 if name not in self.tables:
                     raise ValueError(f"truncate: unknown table {name}")
-                self.tables[name].delete("TRUE")
+                if self.tables[name]._exists():
+                    self.tables[name].delete("TRUE")
+                self._auto_refresh_mvs(name)
             elif kind == "select":
                 self._refresh_views()
                 return StatementResult(stmt, "select", self._select(stmt))
@@ -2138,18 +2283,39 @@ class ScriptRunner:
                 self._select(vm2.group(2)).createOrReplaceTempView(
                     vm2.group(1))
                 self.views.add(vm2.group(1))
+                self.view_deps[vm2.group(1)] = {
+                    t for t in (set(self.defs) | self.views
+                                | set(self.mvs))
+                    if t != vm2.group(1)
+                    and re.search(rf"\b{re.escape(t)}\b",
+                                  vm2.group(2))}
             elif kind == "dropview":
                 name = re.match(r"\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?"
                                 r"`?(\w+)`?", stmt, re.IGNORECASE
                                 ).group(1)
+                self._check_mv_dependency(name)
                 self.spark.catalog.dropTempView(name)
                 self.views.discard(name)
+                self.view_deps.pop(name, None)
+                for mv in self.mvs.values():
+                    if name in mv.base_tables and mv.is_active:
+                        mv.is_active = False
+                        mv.inactive_reason = (
+                            f"base-view dropped: {name}")
             elif kind == "update":
                 self._update(stmt)
             elif kind == "delete":
                 self._delete(stmt)
             elif kind == "alter":
                 self._alter(stmt)
+            elif kind == "createmv":
+                self._create_mv(stmt)
+            elif kind == "refreshmv":
+                self._refresh_mv(stmt)
+            elif kind == "dropmv":
+                self._drop_mv(stmt)
+            elif kind == "altermv":
+                self._alter_mv(stmt)
             elif kind == "noop":
                 pass
             else:
@@ -2163,8 +2329,36 @@ class ScriptRunner:
     def _select(self, stmt: str) -> DataFrame:
         from pyspark.errors import AnalysisException
 
+        # transparent MV mode: a SELECT against the MV returns mv-
+        # snapshot ∪ fresh-delta (fe MaterializedViewTransparentRewrite
+        # rule). The observable result equals the defining query over
+        # the CURRENT base tables — register the live query as the
+        # MV's view for this statement.
+        for mv in self.mvs.values():
+            if (mv.props.get("transparent_mv_rewrite_mode", "false")
+                    .lower() not in ("false", "")
+                    and mv.is_active
+                    and re.search(rf"\b{re.escape(mv.name)}\b", stmt)):
+                self._refresh_views()
+                self._select(mv.select_sql) \
+                    .createOrReplaceTempView(mv.name)
+        if re.search(r"\binformation_schema\.task_runs\b",
+                     stmt, re.IGNORECASE):
+            self._task_runs_infoschema().createOrReplaceTempView(
+                "__is_task_runs")
+            stmt = re.sub(r"\binformation_schema\.task_runs\b",
+                          "__is_task_runs", stmt, flags=re.IGNORECASE)
+        if re.search(r"\binformation_schema\.materialized_views\b",
+                     stmt, re.IGNORECASE):
+            self._mv_infoschema().createOrReplaceTempView(
+                "__is_materialized_views")
+            stmt = re.sub(r"\binformation_schema\.materialized_views\b",
+                          "__is_materialized_views", stmt,
+                          flags=re.IGNORECASE)
         # the tester's namespace is flat (CREATE DATABASE/USE are
         # no-ops) — drop db qualifiers from db.table.col references
+        stmt = re.sub(r"\bdefault_catalog\.", "", stmt,
+                      flags=re.IGNORECASE)
         for db in self.dbs:
             stmt = re.sub(rf"\b{re.escape(db)}\.", "", stmt)
         sql = translate_select_spark(stmt)
@@ -2336,7 +2530,7 @@ class ScriptRunner:
         d = parse_create_table(stmt)
         agg_spec = {c.name: c.agg.lower() for c in d.cols if c.agg}
         version = None
-        if "replace" in agg_spec.values():
+        if {"replace", "replace_if_not_null"} & set(agg_spec.values()):
             # the reference's REPLACE is load-order-defined; the
             # tester KNOWS the load order (statement sequence + VALUES
             # row position), so it supplies it as hidden version cols
@@ -2466,6 +2660,18 @@ class ScriptRunner:
                 .cast(spark_type(c.sr_type)).alias(c.name)
                 for c in d.cols
             ])
+        gen_cols = [c for c in d.cols
+                    if c.gen_expr and c.name not in listed]
+        if gen_cols:
+            # generated columns are computed from the loaded row, not
+            # taken from defaults (fe GeneratedColumnUtil rewrite)
+            from pyspark.sql import functions as F
+
+            for c in gen_cols:
+                batch = batch.withColumn(
+                    c.name,
+                    F.expr(dialect.translate(c.gen_expr))
+                    .cast(spark_type(c.sr_type)))
         partial = (set(listed) != {c.name for c in d.cols}
                    and d.model is TableModel.PRIMARY_KEYS)
         if partial and not all(k in listed for k in d.key_cols):
@@ -2488,6 +2694,26 @@ class ScriptRunner:
             return
         self._apply_insert(mode, name, part_pred, batch,
                            listed if partial else None)
+        self._auto_refresh_mvs(name)
+
+    def _auto_refresh_mvs(self, table: str) -> None:
+        """Scheduled (non-deferred ASYNC) MVs refresh on their EVERY
+        interval; the suites insert, wait for the scheduler, then
+        check — the deterministic equivalent is refreshing when a base
+        table changes. DEFERRED/MANUAL MVs keep their snapshot."""
+        for mv in self.mvs.values():
+            if (mv.is_active and not mv.deferred
+                    and mv.refresh_mode in ("ASYNC", "INCREMENTAL")
+                    and self._reaches(mv.base_tables, table)):
+                self._materialize_mv(mv, limit=self._mv_limit(mv))
+
+    @staticmethod
+    def _mv_limit(mv: MVDef) -> int | None:
+        try:
+            n = int(mv.props.get("auto_refresh_partitions_limit", 0))
+        except ValueError:
+            return None
+        return n if n > 0 else None
 
     def _update(self, stmt: str) -> None:
         """UPDATE t SET c = expr[, ...] [WHERE pred]
@@ -2727,6 +2953,316 @@ class ScriptRunner:
             t.delete(part_pred or "TRUE")
         t.insert(self._stamp_load_order(name, batch))
 
+    # --------------------------------------------------- materialized views
+
+    _MV_HEAD_RE = re.compile(
+        r"\s*CREATE\s+MATERIALIZED\s+VIEW\s+"
+        r"(?:IF\s+NOT\s+EXISTS\s+)?(?:`?\w+`?\.)*`?(\w+)`?",
+        re.IGNORECASE)
+
+    @staticmethod
+    def _mv_split_as(rest: str) -> int:
+        """Index of the top-level ``AS`` that starts the defining query
+        (the clause list before it can hold AS only inside parens:
+        EVERY(...), PROPERTIES(...))."""
+        i, n = 0, len(rest)
+        depth = 0
+        while i < n:
+            ch = rest[i]
+            if ch in ("'", '"'):
+                i = dialect.skip_quoted(rest, i)
+                continue
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0 and rest[i:i + 2].upper() == "AS" \
+                    and (i == 0 or not (rest[i - 1].isalnum()
+                                        or rest[i - 1] == "_")) \
+                    and not (i + 2 < n and (rest[i + 2].isalnum()
+                                            or rest[i + 2] == "_")):
+                tail = rest[i + 2:].lstrip()
+                if re.match(r"(SELECT|WITH)\b", tail, re.IGNORECASE):
+                    return i
+            i += 1
+        raise ValueError("CREATE MATERIALIZED VIEW without AS SELECT")
+
+    def _mv_register_empty(self, mv: MVDef) -> None:
+        """Visible state of a not-yet-refreshed MV: an empty relation
+        with the defining query's schema."""
+        self._refresh_views()
+        schema = self._select(mv.select_sql).schema
+        mv.columns = [f.name for f in schema.fields]
+        self.spark.createDataFrame([], schema) \
+            .createOrReplaceTempView(mv.name)
+
+    def _create_mv(self, stmt: str) -> None:
+        m = self._MV_HEAD_RE.match(stmt)
+        name = m.group(1)
+        if name in self.mvs or name in self.tables:
+            if re.match(r"\s*CREATE\s+MATERIALIZED\s+VIEW\s+"
+                        r"IF\s+NOT\s+EXISTS\b", stmt, re.IGNORECASE):
+                return
+            raise ValueError(f"Table '{name}' already exists")
+        rest = stmt[m.end():]
+        as_at = self._mv_split_as(rest)
+        head, select_sql = rest[:as_at], rest[as_at + 2:].strip()
+        deferred = bool(re.search(r"\bREFRESH\s+DEFERRED\b", head,
+                                  re.IGNORECASE))
+        mm = re.search(r"\b(ASYNC|INCREMENTAL)\b", head, re.IGNORECASE)
+        mode = mm.group(1).upper() if mm else "MANUAL"
+        pb = re.search(
+            r"\bPARTITION\s+BY\s+(.+?)(?=\bDISTRIBUTED\b|\bREFRESH\b"
+            r"|\bORDER\s+BY\b|\bPROPERTIES\b|\bCOMMENT\b|$)",
+            head, re.IGNORECASE | re.DOTALL)
+        props = {}
+        pm = re.search(r"\bPROPERTIES\s*\(", head, re.IGNORECASE)
+        if pm:
+            pbody, _ = _strip_parens_block(head, pm.end() - 1)
+            props = dict(re.findall(r'"([^"]+)"\s*=\s*"([^"]*)"',
+                                    pbody))
+        base = [t for t in (list(self.defs) + sorted(self.views)
+                            + list(self.mvs))
+                if re.search(rf"\b{re.escape(t)}\b", select_sql)]
+        mv = MVDef(name, select_sql, self.current_db, mode, deferred,
+                   pb.group(1).strip() if pb else None, props, base,
+                   columns=[])
+        immediate = bool(re.search(r"\bREFRESH\s+IMMEDIATE\b", head,
+                                   re.IGNORECASE))
+        if immediate or (mode in ("ASYNC", "INCREMENTAL")
+                         and not deferred):
+            # non-deferred ASYNC/IMMEDIATE: the reference runs the
+            # first refresh task at creation (test_auto_refresh
+            # records the MV populated right after CREATE)
+            self.mvs[name] = mv
+            self._materialize_mv(mv, limit=self._mv_limit(mv))
+        else:
+            self._mv_register_empty(mv)
+            self.mvs[name] = mv
+
+    def _refresh_mv(self, stmt: str) -> None:
+        m = re.match(r"\s*REFRESH\s+MATERIALIZED\s+VIEW\s+"
+                     r"(?:`?\w+`?\.)*`?(\w+)`?(.*)$", stmt,
+                     re.IGNORECASE | re.DOTALL)
+        name, tail = m.group(1), m.group(2)
+        if name not in self.mvs:
+            raise ValueError(
+                f"Can not find materialized view:{name}")
+        mv = self.mvs[name]
+        if not mv.is_active:
+            raise ValueError(
+                f"Refresh materialized view failed because "
+                f"[{name}] is not active.")
+        self.task_runs.append(
+            (f"mv-{10000 + len(self.task_runs)}", self.current_db,
+             "SUCCESS", f"insert overwrite `{name}` {mv.select_sql}"))
+        if re.search(r"\bWITH\s+SYNC\s+MODE\b", tail, re.IGNORECASE):
+            prm = re.search(r"PARTITION\s+start\s*\(\s*'([^']*)'\s*\)"
+                            r"\s+end\s*\(\s*'([^']*)'\s*\)", tail,
+                            re.IGNORECASE)
+            self._materialize_mv(
+                mv, rng=(prm.group(1), prm.group(2)) if prm else None)
+        # else: the reference submits an ASYNC task and returns its id;
+        # completion time is unspecified, so the visible state does not
+        # change within the script (test_mv/R/basic records exactly
+        # this: an immediate SELECT after a plain REFRESH sees no rows)
+
+    def _mv_part_expr(self, mv: MVDef) -> str | None:
+        """The MV's PARTITION BY expression over its OUTPUT columns
+        (normalized: outer parens/backticks stripped)."""
+        if not mv.partition_by:
+            return None
+        e = mv.partition_by.strip()
+        while e.startswith("(") and e.endswith(")"):
+            e = e[1:-1].strip()
+        return e.replace("`", "")
+
+    def _materialize_mv(self, mv: MVDef, limit: int | None = None,
+                        rng: tuple[str, str] | None = None) -> None:
+        """Evaluate the defining query NOW and snapshot it: later base
+        changes stay invisible until the next refresh. ``limit``
+        (auto_refresh_partitions_limit) and ``rng`` (REFRESH ...
+        PARTITION start/end) restrict the refresh to a window of
+        partitions — rows outside the window keep their previous
+        snapshot state, exactly the reference's partition-change-
+        tracked refresh (fe mv/refresh/pct; test_auto_refresh records
+        a truncate whose effect reaches only the window's partitions).
+
+        The snapshot is parquet in the process scratch root (storage-
+        safe names — MV outputs like ``sum(pv)`` are legal view
+        columns but not legal parquet field names)."""
+        import os
+        import uuid as _uuid
+
+        from pyspark.sql import functions as F
+
+        from starrocks_spark.scratch import scratch_dir
+
+        self._refresh_views()
+        df = self._select(mv.select_sql)
+        pexpr = self._mv_part_expr(mv)
+        if pexpr is not None and (limit or rng):
+            pcol = F.expr(pexpr).cast("string")
+            if mv.path is not None:
+                old = self.spark.read.parquet(mv.path) \
+                    .toDF(*mv.columns)
+            else:
+                old = self.spark.createDataFrame([], df.schema)
+            parts = {r["__p"] for r in
+                     df.select(pcol.alias("__p")).distinct().collect()}
+            parts |= {r["__p"] for r in
+                      old.select(pcol.alias("__p")).distinct()
+                      .collect()}
+            parts.discard(None)
+            if rng is not None:
+                # ISO-rendered partition values order lexically
+                target = [p for p in parts
+                          if rng[0] <= p and p < rng[1]]
+            else:
+                target = sorted(parts)[-limit:]
+            df = (old.filter(~pcol.isin(target))
+                  .unionByName(df.filter(pcol.isin(target))))
+        keep = mv.props.get("partition_retention_condition")
+        if keep:
+            # partitions outside the retention condition are dropped
+            # at refresh (fe partition TTL/retention on MVs); the
+            # condition references the partition column, so the
+            # partition-level drop equals a row filter here
+            df = df.filter(F.expr(dialect.translate(keep)))
+        cols = df.columns
+        safe = [f"__c{i}" for i in range(len(cols))]
+        path = os.path.join(scratch_dir("sqltester_mv"),
+                            f"{mv.name}_{_uuid.uuid4().hex[:8]}")
+        df.toDF(*safe).write.mode("overwrite").parquet(path)
+        self.spark.read.parquet(path).toDF(*cols) \
+            .createOrReplaceTempView(mv.name)
+        mv.path, mv.populated, mv.columns = path, True, cols
+
+    def _drop_mv(self, stmt: str) -> None:
+        m = re.match(r"\s*DROP\s+MATERIALIZED\s+VIEW\s+"
+                     r"(?:IF\s+EXISTS\s+)?(?:`?\w+`?\.)*`?(\w+)`?"
+                     r"\s*;?\s*$", stmt, re.IGNORECASE)
+        name = m.group(1)
+        if name not in self.mvs:
+            if re.search(r"\bIF\s+EXISTS\b", stmt, re.IGNORECASE):
+                return
+            raise ValueError(
+                f"Can not find materialized view:{name}")
+        self._check_mv_dependency(name)
+        del self.mvs[name]
+        self.spark.catalog.dropTempView(name)
+        for mv in self.mvs.values():
+            if name in mv.base_tables and mv.is_active:
+                mv.is_active = False
+                mv.inactive_reason = f"base-mv dropped: {name}"
+
+    def _alter_mv(self, stmt: str) -> None:
+        m = re.match(r"\s*ALTER\s+MATERIALIZED\s+VIEW\s+"
+                     r"(?:`?\w+`?\.)*`?(\w+)`?\s+(.*)$",
+                     stmt, re.IGNORECASE | re.DOTALL)
+        name, action = m.group(1), m.group(2).strip().rstrip(";")
+        if name not in self.mvs:
+            raise ValueError(
+                f"Can not find materialized view:{name}")
+        mv = self.mvs[name]
+        sm = re.match(r"SET\s*\(", action, re.IGNORECASE)
+        if sm:
+            pbody, _ = _strip_parens_block(action, sm.end() - 1)
+            mv.props.update(re.findall(r'"([^"]+)"\s*=\s*"([^"]*)"',
+                                       pbody))
+            if (mv.props.get("transparent_mv_rewrite_mode", "false")
+                    .lower() in ("false", "") and mv.populated):
+                # transparent mode switched OFF: restore the snapshot
+                self.spark.read.parquet(mv.path).toDF(*mv.columns) \
+                    .createOrReplaceTempView(mv.name)
+            return
+        if re.fullmatch(r"ACTIVE", action, re.IGNORECASE):
+            # reactivation re-resolves the defining query against the
+            # CURRENT catalog (fe AlterMVJobExecutor activate)
+            self._mv_register_empty(mv)
+            mv.is_active, mv.inactive_reason = True, ""
+            mv.populated = False
+            return
+        if re.fullmatch(r"INACTIVE", action, re.IGNORECASE):
+            mv.is_active = False
+            mv.inactive_reason = "user use alter materialized view"
+            return
+        rm = re.match(r"RENAME\s+`?(\w+)`?", action, re.IGNORECASE)
+        if rm:
+            new = rm.group(1)
+            self.mvs[new] = self.mvs.pop(name)
+            self.mvs[new].name = new
+            df = self.spark.table(name)
+            self.spark.catalog.dropTempView(name)
+            df.createOrReplaceTempView(new)
+            return
+        raise ValueError(f"unsupported ALTER MATERIALIZED VIEW "
+                         f"action: {action[:60]}")
+
+    def _reaches(self, names, target, _seen=None) -> bool:
+        """True when any of ``names`` is ``target`` or reaches it
+        through view/MV definitions (the FE resolves MV base tables
+        transitively through views — MaterializedViewAnalyzer)."""
+        seen = _seen if _seen is not None else set()
+        for n in names:
+            if n == target:
+                return True
+            if n in seen:
+                continue
+            seen.add(n)
+            nxt = (self.view_deps.get(n)
+                   or (self.mvs[n].base_tables if n in self.mvs
+                       else ()))
+            if nxt and self._reaches(nxt, target, seen):
+                return True
+        return False
+
+    def _check_mv_dependency(self, obj: str) -> None:
+        """SET enable_drop_table_check_mv_dependency=true blocks
+        dropping any object an active MV depends on (fe
+        DropTableStmtAnalyzer / sys.object_dependencies)."""
+        if self.vars.get("enable_drop_table_check_mv_dependency",
+                         "false") != "true":
+            return
+        deps = [mv.name for mv in self.mvs.values()
+                if mv.name != obj
+                and self._reaches(mv.base_tables, obj)]
+        if deps:
+            db = self.current_db or "default"
+            listed = ", ".join(f"{db}.{n}" for n in reversed(deps))
+            raise ValueError(
+                f"Getting analyzing error. Detail message: {obj} "
+                f"exists mv dependencies: [{listed}], drop is not "
+                f"allowed. See more detailed information in "
+                f"`sys.object_dependencies`, or `set global "
+                f"enable_drop_table_check_mv_dependency=false`.")
+
+    def _task_runs_infoschema(self) -> DataFrame:
+        rows = self.task_runs or [("", "", "", "")]
+        df = self.spark.createDataFrame(
+            rows, "task_name string, `database` string, state string, "
+                  "definition string")
+        return df.filter("task_name != ''") if not self.task_runs \
+            else df
+
+    def _mv_infoschema(self) -> DataFrame:
+        """information_schema.materialized_views over the runner's MV
+        catalog (schema_scanner materialized_views; is_active /
+        inactive_reason as the reference's FE prints them)."""
+        rows = [(str(1000 + i), mv.db, mv.name,
+                 mv.refresh_mode, "true" if mv.is_active else "false",
+                 mv.inactive_reason,
+                 mv.partition_by or "UNPARTITIONED",
+                 mv.select_sql,
+                 str(len(mv.columns)))
+                for i, mv in enumerate(self.mvs.values())]
+        return self.spark.createDataFrame(
+            rows,
+            "table_id string, table_schema string, table_name string, "
+            "refresh_type string, is_active string, "
+            "inactive_reason string, partition_type string, "
+            "materialized_view_definition string, n_columns string")
+
     def _stamp_load_order(self, name: str, batch: DataFrame) -> DataFrame:
         """REPLACE tables (and every duplicate-key table, whose stored
         rows may later need insertion-order tie-breaks, e.g. ASOF
@@ -2956,6 +3492,22 @@ def duckdb_oracle(script: str, final_select: str | None = None) -> str:
             vm = re.match(r"\s*CREATE\s+VIEW\s+`?(\w+)`?\s+AS\s+(.*)$",
                           stmt, re.IGNORECASE | re.DOTALL)
             ctas[vm.group(1)] = translate_select_duck(vm.group(2))
+        elif kind == "createmv":
+            # an MV fresh at designated-select time (sync-refreshed or
+            # transparent) equals its defining query over the final
+            # base state — a plain CTE on the oracle side
+            mm9 = ScriptRunner._MV_HEAD_RE.match(stmt)
+            rest9 = stmt[mm9.end():]
+            as9 = ScriptRunner._mv_split_as(rest9)
+            ctas[mm9.group(1)] = translate_select_duck(
+                rest9[as9 + 2:].strip())
+        elif kind == "dropmv":
+            dm8 = re.match(r"\s*DROP\s+MATERIALIZED\s+VIEW\s+"
+                           r"(?:IF\s+EXISTS\s+)?(?:`?\w+`?\.)*"
+                           r"`?(\w+)`?", stmt, re.IGNORECASE)
+            ctas.pop(dm8.group(1), None)
+        elif kind in ("refreshmv", "altermv"):
+            pass
         elif kind == "select":
             last_select = stmt
     chosen = final_select if final_select is not None else last_select
@@ -3055,11 +3607,19 @@ def parse_r_file(text: str) -> list[tuple[str, list[str], bool]]:
             # — so run the whole block unchecked rather than assert a
             # possibly-misattributed expectation.
             tagged = all(p[:4].upper() == "[UC]" for p in parts[:-1])
+            # when every leading statement is a non-SELECT (INSERT /
+            # REFRESH / DDL), the recorded rows can only belong to the
+            # final SELECT — attribution is unambiguous even untagged
+            # (the test_colocate ambiguity had a leading SELECT)
+            leading_nonselect = all(
+                classify(_TAG_RE.sub("", p)) != "select"
+                for p in parts[:-1])
             for p in parts[:-1]:
                 _emit(p, [], unchecked=True)
             if parts:
                 _emit(parts[-1], expected or [],
-                      unchecked=len(parts) > 1 and not tagged)
+                      unchecked=(len(parts) > 1
+                                 and not (tagged or leading_nonselect)))
             stmt_lines, expected = [], None
             continue
         if expected is not None:
@@ -3295,7 +3855,8 @@ def _split_map_entries(inner: str) -> list[str] | None:
     return parts
 
 
-def _cells_match(exp: str, act: str) -> bool:
+def _cells_match(exp: str, act: str,
+                 unordered_arrays: bool = False) -> bool:
     if exp == act:
         return True
     if {exp, act} == {"None", "null"}:
@@ -3331,9 +3892,16 @@ def _cells_match(exp: str, act: str) -> bool:
     if ea is not None and aa is not None:
         if len(ea) != len(aa):
             return False
-        if all(_cells_match(x, y) for x, y in zip(ea, aa)):
+        if all(_cells_match(x, y, unordered_arrays)
+               for x, y in zip(ea, aa)):
             return True
-        return sorted(ea) == sorted(aa)
+        # MULTISET fallback only when the statement invokes an
+        # order-unspecified function (r7 ADVICE: an unconditional
+        # fallback would let a wrong element order from array_sort /
+        # array_agg ORDER BY pass the suite check)
+        if unordered_arrays:
+            return sorted(ea) == sorted(aa)
+        return False
     try:
         import math
 
@@ -3368,7 +3936,17 @@ def _cells_match(exp: str, act: str) -> bool:
         return False
 
 
-def _rows_match(expected: list[str], actual: list[str]) -> bool:
+# functions whose output ELEMENT ORDER is unspecified in one or both
+# engines — only statements invoking one of these may use the array
+# multiset fallback in _cells_match
+_UNORDERED_ARRAY_FNS = re.compile(
+    r"\b(array_intersect|array_distinct|array_except|array_agg|"
+    r"collect_set|collect_list|map_keys|map_values|array_unique_agg|"
+    r"bitmap_to_array|unnest_bitmap|split)\s*\(", re.IGNORECASE)
+
+
+def _rows_match(expected: list[str], actual: list[str],
+                unordered_arrays: bool = False) -> bool:
     """Unordered multiset comparison with numeric tolerance per cell
     (the reference's check() uses assert_count_equal — unordered —
     for untagged statements; cross-engine float RENDERING differs, so
@@ -3388,7 +3966,8 @@ def _rows_match(expected: list[str], actual: list[str]) -> bool:
         for idx, a in enumerate(remaining):
             acells = a.split("\t")
             if len(acells) == len(ecells) and all(
-                _cells_match(x, y) for x, y in zip(ecells, acells)
+                _cells_match(x, y, unordered_arrays)
+                for x, y in zip(ecells, acells)
             ):
                 hit = idx
                 break
@@ -3404,6 +3983,22 @@ def _rows_match(expected: list[str], actual: list[str]) -> bool:
 # WHY. Matching statements are recorded as explicit skips — they stay
 # visible in the suite's skip budget, never silently dropped.
 KNOWN_DIFFS: dict[str, str] = {
+    # uint64 ids above BIGINT (2^63) — bitmaps are ARRAY<BIGINT> here;
+    # the unsigned top half is the documented LARGEINT-class cap (the
+    # generating inserts fail, so the select sees an empty table).
+    # Sections with in-range data share this text and still match.
+    "select bitmap_to_string(c2) from t1":
+        "bitmap ids above 2^63: unsigned-64 top half beyond the "
+        "BIGINT-backed array representation (LARGEINT-class cap)",
+    # roaring serialization is byte-exact for uniform histories (run
+    # containers at SET→BITMAP conversion, arrays for later adds);
+    # a 64-bit map built by OR-ing bitmaps with different histories
+    # keeps per-container state this engine doesn't track. Values
+    # roundtrip exactly — only the container CHOICE differs.
+    "select c1, hex(bitmap_to_binary(c2)) from t1":
+        "roaring container choice is operation-history-dependent in "
+        "the reference (runOptimize at SET→BITMAP conversion); the "
+        "value-level roundtrip is exact",
     # ANSI: a correlated NOT-IN whose correlation predicate is UNKNOWN
     # (NULL = x) yields an EMPTY per-row subquery, and NOT IN () is
     # TRUE (PostgreSQL agrees). The reference folds the correlation
@@ -3626,7 +4221,9 @@ def run_suite_expected(spark: SparkSession, suite: str, case: str,
             continue
         checked += 1
         if (re.search(rx, "\n".join(actual), re.DOTALL) if rx
-                else _rows_match(expected, actual)):
+                else _rows_match(
+                    expected, actual,
+                    _UNORDERED_ARRAY_FNS.search(stmt) is not None)):
             matched += 1
         else:
             reason = KNOWN_DIFFS.get(

@@ -95,3 +95,44 @@ ORACLE = {
     "func_bitmap_value_ops": _BITMAP_OPS_SQL,
     "unnest_bitmap_users": _UNNEST_BITMAP_SQL,
 }
+
+
+def bitmap_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r8 bitmap SQL-name surface end-to-end through the public
+    dialect entry (plans/dialect.py _BITMAP_WRAPS): bitmap_agg →
+    count / subset-limit / positional sub_bitmap / base64 roundtrip —
+    the same names test_bitmap_functions proves against the
+    reference's R files (be/src/exprs/bitmap_functions.cpp)."""
+    from starrocks_spark.plans.dialect import starrocks_sql
+
+    return starrocks_sql(spark, """
+        SELECT o_orderpriority AS prio,
+               bitmap_count(bitmap_agg(o_custkey)) AS n_cust,
+               bitmap_to_string(bitmap_subset_limit(
+                   bitmap_agg(o_custkey), 0, 5)) AS first5,
+               bitmap_to_string(sub_bitmap(
+                   bitmap_agg(o_custkey), -3, 3)) AS last3,
+               bitmap_to_string(base64_to_bitmap(bitmap_to_base64(
+                   bitmap_subset_in_range(bitmap_agg(o_custkey),
+                                          100, 200)))) AS mid
+        FROM orders GROUP BY o_orderpriority ORDER BY prio
+    """, sf_dir)
+
+
+_BITMAP_SQL_SURFACE_ORACLE = """
+WITH b AS (
+  SELECT o_orderpriority AS prio,
+         list_sort(list(DISTINCT o_custkey)) AS ids
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT prio,
+       CAST(len(ids) AS INT) AS n_cust,
+       array_to_string(ids[1:5], ',') AS first5,
+       array_to_string(ids[-3:], ',') AS last3,
+       array_to_string(list_sort(list_filter(ids,
+           x -> x >= 100 AND x < 200)), ',') AS mid
+FROM b ORDER BY prio
+"""
+
+QUERIES["dialect_bitmap_sql_surface"] = bitmap_sql_surface
+ORACLE["dialect_bitmap_sql_surface"] = _BITMAP_SQL_SURFACE_ORACLE

@@ -42,12 +42,26 @@ from starrocks_spark.plans.sqltester import (
 
 reference_available = os.path.isdir(REFERENCE_SQL_ROOT)
 
-# (suite, case, select index, output names, duck-side casts)
+# (suite, case, select index, output names, duck-side casts,
+#  spark-side normalization)
+#
+# BOTH cast maps exist because the round driver's value hash is
+# type-sensitive at the pandas-export level, not just the logical-type
+# level (r7 verdict #1): Spark DecimalType exports as object-dtype
+# Decimal while DuckDB DECIMAL exports as float64 — identical values,
+# different hash — and Spark DateType exports as object-dtype date
+# while DuckDB DATE exports as datetime64. So every DECIMAL output is
+# cast to DOUBLE on BOTH engines (same decimal → same nearest double,
+# bit-identical) and every date/timestamp output is rendered as a
+# string on BOTH engines. tests/test_oracle_types.py mechanically
+# audits the whole driver window for this class.
+_SPARK_NORM_HOSTILE = ("double", "datestr", "tsstr")
 _SUITES: dict[str, tuple] = {
     "dialect_sqltester_case_when": (
         "test_case_when", "test_case_when", 3,
         ["region", "order_date", "income", "ship_mode", "ship_code"],
-        {},
+        {"income": "DOUBLE", "order_date": "VARCHAR"},
+        {"income": "double", "order_date": "datestr"},
     ),
     "dialect_sqltester_agg_limit": (
         # limit-under-join counts + ≤LIMIT group-by selects on ~1.3M
@@ -56,20 +70,24 @@ _SUITES: dict[str, tuple] = {
         "test_agg", "test_agg_with_limit", -10,
         ["max_c3", "sc3", "c1"],
         {"sc3": "BIGINT"},
+        {},
     ),
     "dialect_sqltester_grouping_set": (
         "test_agg", "test_grouping_set", -1,
         ["v2", "s", "ratio"],
         {"s": "BIGINT"},
+        {},
     ),
     "dialect_sqltester_orderby_agg": (
         "test_agg", "test_orderby_agg", -1,
         ["potential_customer_rate", "v2"],
-        {},
+        {"potential_customer_rate": "DOUBLE"},
+        {"potential_customer_rate": "double"},
     ),
     "dialect_sqltester_tinyint_agg": (
         "test_agg", "test_tinyint_agg", -1,
         ["n"],
+        {},
         {},
     ),
     # r7 additions: the new statement surfaces (join hints + <=>,
@@ -80,23 +98,27 @@ _SUITES: dict[str, tuple] = {
         "test_join", "test_null_safe_equal", 2,
         ["a1", "a2", "a3", "a4", "b1", "b2", "b3", "b4"],
         {},
+        {},
     ),
     "dialect_sqltester_sum_rewrite": (
         # sum(expr) pushed through a right outer join, grouped+ordered
         "test_sum_rewrite", "test_sum_rewrite", -1,
         ["c0", "s1", "s2"],
         {"s1": "BIGINT", "s2": "BIGINT"},
+        {},
     ),
     "dialect_sqltester_unnest": (
         # cartesian of two unnest TVFs with NULL elements
         "test_unnest", "test_unnest", 3,
         ["x0", "x1"],
         {},
+        {},
     ),
     "dialect_sqltester_shorthand_cast": (
         # src.x::int = dim.y::int join over CTAS-era tables
         "test_cast", "test_shorthand_cast", -2,
         ["id", "xi", "k"],
+        {},
         {},
     ),
     "dialect_sqltester_pk_partial_update": (
@@ -107,6 +129,7 @@ _SUITES: dict[str, tuple] = {
         "test_partial_update_rowset_link", -1,
         ["k1", "k2", "v1", "v2", "v3", "v4", "v5", "v6"],
         {},
+        {},
     ),
     "dialect_sqltester_delete_conditions": (
         # session-6 DML tier: chained DELETE WHERE over a low-
@@ -115,6 +138,20 @@ _SUITES: dict[str, tuple] = {
         "test_low_cardinality", "test_delete_conditions", -8,
         ["n", "nc0", "ndc0", "mx"],
         {"n": "BIGINT", "nc0": "BIGINT", "ndc0": "BIGINT"},
+        {},
+    ),
+    "dialect_sqltester_mv": (
+        # r8 MV DDL tier: CREATE MATERIALIZED VIEW over a PK table
+        # (correlated COUNT-DISTINCT-CASE subqueries, LEFT JOIN),
+        # REFRESH ... WITH SYNC MODE, SELECT * from the MV. The DuckDB
+        # oracle compiles the MV as a CTE of its defining query —
+        # equal to the fresh snapshot because the refresh is the last
+        # DML before the designated select.
+        "test_materialized_view",
+        "test_materialized_view_with_subquery", -1,
+        ["col1", "dt_hour", "col2", "col3", "col4", "col5"],
+        {"dt_hour": "VARCHAR"},
+        {"dt_hour": "tsstr"},
     ),
     "dialect_sqltester_asof_join": (
         # ASOF LEFT JOIN over datetime keys (session-3 desugar:
@@ -124,7 +161,10 @@ _SUITES: dict[str, tuple] = {
         # agreeing on the same script.
         "test_asof_join", "test_asof_join_basic.sql", 1,
         ["order_id", "user_id", "order_time", "price_time", "price"],
-        {},
+        {"price": "DOUBLE", "order_time": "VARCHAR",
+         "price_time": "VARCHAR"},
+        {"price": "double", "order_time": "tsstr",
+         "price_time": "tsstr"},
     ),
 }
 
@@ -135,7 +175,28 @@ def _designated(script: str, idx: int) -> str:
     return selects[idx]
 
 
-def _suite_query(suite: str, case: str, idx: int, out_names: list[str]):
+def _normalize(df: DataFrame, norm: dict[str, str]) -> DataFrame:
+    """Spark-side mirror of the duck-side cast map: render driver-
+    hostile output types the same way on both engines (see the
+    _SUITES comment)."""
+    from pyspark.sql import functions as F
+
+    for col, kind in norm.items():
+        if kind == "double":
+            df = df.withColumn(col, F.col(col).cast("double"))
+        elif kind == "datestr":
+            df = df.withColumn(col, F.col(col).cast("string"))
+        elif kind == "tsstr":
+            # whole-second render matching DuckDB CAST(ts AS VARCHAR)
+            df = df.withColumn(
+                col, F.date_format(col, "yyyy-MM-dd HH:mm:ss"))
+        else:  # pragma: no cover - guarded by _SPARK_NORM_HOSTILE
+            raise ValueError(f"unknown spark norm kind {kind!r}")
+    return df
+
+
+def _suite_query(suite: str, case: str, idx: int, out_names: list[str],
+                 norm: dict[str, str]):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         script = read_suite(suite, case)
         target = _designated(script, idx)
@@ -147,7 +208,8 @@ def _suite_query(suite: str, case: str, idx: int, out_names: list[str]):
             if classify(stmt) != "select":
                 runner.execute(stmt)
         # through execute() so session-var substitution applies
-        return runner.execute(target).df.toDF(*out_names)
+        df = runner.execute(target).df.toDF(*out_names)
+        return _normalize(df, norm)
 
     return run
 
@@ -162,7 +224,8 @@ def _suite_oracle(suite: str, case: str, idx: int,
 QUERIES = {}
 ORACLE = {}
 if reference_available:
-    for _name, (_suite, _case, _idx, _names, _casts) in _SUITES.items():
-        QUERIES[_name] = _suite_query(_suite, _case, _idx, _names)
+    for _name, (_suite, _case, _idx, _names, _casts,
+                _norm) in _SUITES.items():
+        QUERIES[_name] = _suite_query(_suite, _case, _idx, _names, _norm)
         ORACLE[_name] = _suite_oracle(_suite, _case, _idx, _names,
                                        _casts)

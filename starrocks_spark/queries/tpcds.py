@@ -1064,6 +1064,11 @@ def tpcds_q14_cross_channel(spark: SparkSession,
         s.join(common, "l_partkey")
         .groupBy("channel", "l_partkey")
         .agg(dsum(F.col("net_price")).alias("amt"))
+        # read twice (scalar average + the filtered aggregate):
+        # cache() pins the reuse instead of betting on ReusedExchange
+        # — at scale this is channels×items aggregated rows, far
+        # smaller than the re-scan it avoids (r7 verdict #3)
+        .cache()
     )
     avg_amt = per_item.agg(
         (dsum(F.col("amt")) / F.count(F.lit(1))).alias("_avg")

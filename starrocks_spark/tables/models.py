@@ -66,6 +66,13 @@ _AGG_FNS = {
     "min": F.min,
     "max": F.max,
     "count": F.sum,  # counts merge by summing partial counts
+    # bitmaps are sorted-distinct id arrays; union = merged distinct
+    # (types/bitmap_value.h BITMAP_UNION)
+    # all-null group stays NULL (a null bitmap is not an empty one:
+    # subdivide/unnest emit no rows for NULL, one empty chunk for {})
+    "bitmap_union": lambda c: F.when(
+        F.count(c) == 0, F.lit(None)).otherwise(F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list(c))))),
 }
 
 
@@ -183,6 +190,18 @@ class ManagedTable:
                      else sketches.pct_merge(col, b)).alias(col)
                 )
                 continue
+            if how == "replace_if_not_null":
+                # latest NON-NULL by version wins; all-null keeps NULL
+                # (agg REPLACE_IF_NOT_NULL: null loads don't overwrite)
+                if not self.version_cols:
+                    raise ValueError(
+                        "REPLACE_IF_NOT_NULL requires version_cols "
+                        "(same load-order contract as REPLACE)")
+                aggs.append(F.max_by(
+                    col, F.when(F.col(col).isNotNull(),
+                                F.struct(*self.version_cols))
+                ).alias(col))
+                continue
             if how == "replace":
                 # The reference's REPLACE is load-order-defined; a Spark
                 # batch groupBy has no such order, so an order-free
@@ -203,7 +222,8 @@ class ManagedTable:
         group = self.key_cols + ([self.partition_by] if self.partition_by
                                  and self.partition_by not in self.key_cols
                                  else [])
-        has_replace = "replace" in self.agg_spec.values()
+        has_replace = bool({"replace", "replace_if_not_null"}
+                           & set(self.agg_spec.values()))
         if has_replace:
             # keep the winning version tuple in storage so later
             # cross-rowset merges (read/compaction) can still pick
@@ -219,12 +239,24 @@ class ManagedTable:
         return out
 
     def _latest_per_key(self, df: DataFrame) -> DataFrame:
-        # without version_cols, arrival order within the batch breaks
-        # ties (StarRocks: the last row of a load wins); the id is
-        # monotone within each input partition, which is exact for the
-        # single-batch frames this is applied to
-        order = ([F.desc(c) for c in self.version_cols]
-                 or [F.desc(F.monotonically_increasing_id())])
+        if self.version_cols:
+            order = [F.desc(c) for c in self.version_cols]
+        elif all(c in df.columns for c in ("_load_batch", "_load_pos")):
+            # a loader stamped explicit arrival order (plans/sqltester
+            # stamps VALUES ordinals at parse time) — exact under any
+            # physical plan, unlike the monotonic-id fallback below
+            order = [F.desc("_load_batch"), F.desc("_load_pos")]
+        else:
+            # last resort: without version_cols, arrival order within
+            # the batch breaks ties (StarRocks: the last row of a load
+            # wins). The id is monotone within each input partition,
+            # which equals load order only for narrow single-batch
+            # frames (VALUES, a straight file read); after a shuffle
+            # (joins/aggregates in an INSERT..SELECT source) per-key
+            # winners are arbitrary — matching the reference, where the
+            # load order of a distributed INSERT..SELECT is equally
+            # undefined.
+            order = [F.desc(F.monotonically_increasing_id())]
         w = Window.partitionBy(*self.key_cols).orderBy(*order)
         return (
             df.withColumn("__rn", F.row_number().over(w))

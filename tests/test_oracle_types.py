@@ -32,6 +32,57 @@ def test_oracle_has_no_hugeint_columns(name, duck):
     )
 
 
+_WINDOW = list(registry.all_queries())[:50]
+
+
+@pytest.mark.parametrize("name", _WINDOW)
+def test_driver_window_spark_schema_not_hostile(name, spark, sf_dir,
+                                                duck):
+    """The r7 driver round proved the hash is type-sensitive at the
+    PANDAS-EXPORT level, not just the logical-type level: Spark
+    DecimalType collects as object-dtype Decimal while a DuckDB DECIMAL
+    of the same precision exports as float64 (hash-fail with identical
+    values — `dialect_sqltester_case_when`), and Spark DateType
+    collects as object-dtype date while DuckDB DATE exports as
+    datetime64. So for every query in the 50-slot driver window, build
+    the Spark plan (schema only — no execution) and flag:
+
+    - any DecimalType output column (cast to DOUBLE on both engines,
+      or BIGINT when integral);
+    - any DateType output column (render as a string on both engines);
+    - a TimestampType column whose oracle twin is not TIMESTAMP.
+
+    TimestampType-vs-TIMESTAMP is allowed: both export datetime64[ns]
+    under the session's UTC zone (green driver rows since r2 prove it).
+    """
+    from pyspark.sql.types import DateType, DecimalType, TimestampType
+
+    df = registry.all_queries()[name](spark, sf_dir)
+    oracle = _ORACLES.get(name)
+    duck_types = {}
+    if oracle is not None:
+        rel = duck.sql(f"SELECT * FROM ({oracle}) q LIMIT 0")
+        duck_types = {c.lower(): str(t).upper()
+                      for c, t in zip(rel.columns, rel.types)}
+    bad = []
+    for f in df.schema.fields:
+        twin = duck_types.get(f.name.lower(), "")
+        if isinstance(f.dataType, DecimalType):
+            bad.append(f"{f.name}:{f.dataType} (object-dtype Decimal "
+                       f"vs oracle {twin or 'n/a'} → cast both sides)")
+        elif isinstance(f.dataType, DateType):
+            bad.append(f"{f.name}:DateType (object-dtype date vs "
+                       f"oracle {twin or 'n/a'} → string both sides)")
+        elif isinstance(f.dataType, TimestampType) and \
+                duck_types and twin != "TIMESTAMP":
+            bad.append(f"{f.name}:TimestampType vs oracle {twin!r} "
+                       "(pandas export mismatch)")
+    assert not bad, (
+        f"driver-window query '{name}' emits pandas-hostile column(s) "
+        f"{bad} — normalize on BOTH engines before the driver sees it"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(_ORACLES))
 def test_oracle_has_no_driver_hostile_types(name, duck):
     """Three more type classes the driver's compare rejects even when

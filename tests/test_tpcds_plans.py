@@ -246,3 +246,12 @@ def test_q92_per_part_average_decorrelates(spark, sf_dir):
     assert "Subquery" not in phys
     assert "HashAggregate" in p
     assert "CartesianProduct" not in p
+
+
+def test_q14_scalar_threshold_reuses_cached_per_item(spark, sf_dir):
+    """per_item is read twice (once for the scalar average, once for
+    the threshold filter); the cache() pins the reuse so the second
+    read is an InMemoryTableScan, never a recomputation of the
+    intersect+join+aggregate chain (r7 verdict #3)."""
+    p = plan_str(tpcds.tpcds_q14_cross_channel(spark, sf_dir))
+    assert p.count("InMemoryTableScan") >= 2, p
