@@ -126,17 +126,28 @@ class IvfIndex:
         return cls(spark, path)
 
     def topk(self, queries: DataFrame, k: int = 5, nprobe: int = 4,
-             query_id: str = "q_id", vec_col: str = "embedding") -> DataFrame:
+             query_id: str = "q_id", vec_col: str = "embedding",
+             metric: str = "cosine") -> DataFrame:
+        """``metric``: 'cosine' (descending similarity, the default)
+        or 'l2' (ascending distance — the VECTORINDEX l2_distance
+        probe; internally ranked on the negated distance so the
+        shared top-k machinery applies)."""
         probed = S.probe_centroids(queries, self.cents, query_id,
                                    vec_col, nprobe)
         lists = self.table.read()
+        score = (V.cosine(F.col("_qv"), F.col("vec"))
+                 if metric == "cosine"
+                 else -V.l2_distance(F.col("_qv"), F.col("vec")))
         scored = probed.join(lists, "cent_id").select(
-            query_id, self.corpus_id,
-            V.cosine(F.col("_qv"), F.col("vec")).alias("cos_sim"),
+            query_id, self.corpus_id, score.alias("score"),
         )
-        return S.topk_per_query(
-            scored, query_id, self.corpus_id, "cos_sim", k
-        ).select(query_id, "rank", self.corpus_id, "cos_sim")
+        out = S.topk_per_query(
+            scored, query_id, self.corpus_id, "score", k)
+        if metric == "cosine":
+            return out.select(query_id, "rank", self.corpus_id,
+                              F.col("score").alias("cos_sim"))
+        return out.select(query_id, "rank", self.corpus_id,
+                          (-F.col("score")).alias("l2_dist"))
 
 
 class FulltextIndex:

@@ -129,9 +129,9 @@ def _split_top_level(args: str) -> list[str]:
             cur.append(args[i:j])
             i = j
             continue
-        if ch == "(":
+        if ch in "([":
             depth += 1
-        elif ch == ")":
+        elif ch in ")]":
             depth -= 1
         if ch == "," and depth == 0:
             parts.append("".join(cur).strip())
@@ -903,7 +903,61 @@ def _rw_bitmap_subset_in_range(a):
         f"THEN NULL ELSE IF(size({fr}) = 0, NULL, {fr}) END")
 
 
+def _rw_tokenize(a):
+    """tokenize(tokenizer, text) → ARRAY<VARCHAR> (inverted-index
+    tokenizers, be/src/storage/inverted; recorded semantics from
+    test_inverted_index/R/test_tokenize): english/standard lowercase
+    and split on non-word runs (standard is unicode-aware), chinese
+    emits overlapping CJK bigrams; NULL/'' → NULL."""
+    if len(a) != 2:
+        return None
+    tk = a[0].strip().strip("'\"").lower()
+    t = a[1]
+    if tk == "chinese":
+        return (f"IF(({t}) IS NULL OR ({t}) = '', NULL, "
+                f"transform(sequence(1, greatest(char_length({t}) - 1,"
+                f" 1)), __i -> substr({t}, __i, 2)))")
+    pat = ("'[^a-z0-9]+'" if tk == "english"
+           else "'[^\\\\p{L}\\\\p{N}]+'")
+    return (f"IF(({t}) IS NULL OR ({t}) = '', NULL, "
+            f"filter(\0split\0(lower({t}), {pat}), "
+            f"__x -> __x != ''))")
+
+
+def _rw_approx_l2(a):
+    if len(a) != 2:
+        return None
+    return (f"sqrt(aggregate(zip_with({a[0]}, {a[1]}, "
+            f"(__x, __y) -> (CAST(__x AS DOUBLE) - __y) * "
+            f"(CAST(__x AS DOUBLE) - __y)), CAST(0 AS DOUBLE), "
+            f"(__acc, __v) -> __acc + __v))")
+
+
+def _rw_approx_cos(a):
+    if len(a) != 2:
+        return None
+    def dot(x, y):
+        return (f"aggregate(zip_with({x}, {y}, (__x, __y) -> "
+                f"CAST(__x AS DOUBLE) * __y), CAST(0 AS DOUBLE), "
+                f"(__acc, __v) -> __acc + __v)")
+    return (f"({dot(a[0], a[1])}) / (sqrt({dot(a[0], a[0])}) * "
+            f"sqrt({dot(a[1], a[1])}))")
+
+
 _BITMAP_WRAPS = {
+    # StarRocks array_sort places NULL elements FIRST (ascending,
+    # nulls smallest — be sorting); Spark's array_sort puts them
+    # last. sort_array(asc) has the reference's order. (Exposed when
+    # the r8 multiset-fallback restriction made element order count.)
+    "array_sort": lambda a: (f"sort_array({a[0]})"
+                             if len(a) == 1 else None),
+    # general aggregate forms over array-represented bitmaps (the
+    # to_bitmap rewrite below runs before the legacy
+    # bitmap_union_count(to_bitmap(x)) fast path, so the general
+    # form must exist here)
+    "bitmap_union_count": lambda a: (
+        f"size(array_distinct(flatten(collect_list({a[0]}))))"
+        if len(a) == 1 else None),
     "bitmap_from_string": _rw_bitmap_from_string,
     "to_bitmap": _rw_to_bitmap,
     "bitmap_empty": lambda a: _EMPTY_BM if not a or a == [""] else None,
@@ -959,6 +1013,11 @@ _BITMAP_WRAPS = {
         f"\0__bitmap_from_binary\0({a[0]}, "
         f"{str(bool(BITMAP_THROW_MODE)).lower()})"
         if len(a) == 1 else None),
+    # ANN distance names (VECTORINDEX path, tenann_index_reader.h;
+    # exact formulas — the index ROUTING happens in the script runner)
+    "approx_l2_distance": _rw_approx_l2,
+    "approx_cosine_similarity": _rw_approx_cos,
+    "tokenize": _rw_tokenize,
     "base64_to_bitmap": lambda a: (
         f"\0__b64_to_bitmap\0(CAST({a[0]} AS STRING), "
         f"{str(bool(BITMAP_THROW_MODE)).lower()})"
@@ -977,6 +1036,15 @@ def _rw_murmur(args: list[str]):
     # pure-SQL twin (mmh3_sql): value-identical to the __mmh3_32
     # pandas UDF, but JVM-evaluable inside lambda functions and free
     # of the Arrow round-trip. Chained args seed left-to-right.
+    # Three-plus chained args nest the HOF expression deep enough to
+    # exhaust the analyzer's Resolution iterations — those fall back
+    # to the UDF chain (multi-arg murmur never appears inside the
+    # suites' lambdas, so lambda-safety isn't needed there).
+    if len(args) > 2:
+        expr = "104729"
+        for x in args:
+            expr = f"\0__mmh3_32\0(CAST({x} AS STRING), {expr})"
+        return expr
     expr = "104729"
     for x in args:
         expr = mmh3_sql(x, expr)
@@ -1610,6 +1678,10 @@ def translate(sql: str) -> str:
                  flags=re.IGNORECASE)
     sql = _rw_json_arrow(sql)
     sql = _rw_chained_cmp(sql)
+    # MySQL two-arg LIMIT: `LIMIT offset, count` (StarRocks.g4
+    # limitElement) — Spark spells it LIMIT count OFFSET offset
+    sql = re.sub(r"\bLIMIT\s+(\d+)\s*,\s*(\d+)",
+                 r"LIMIT \2 OFFSET \1", sql, flags=re.IGNORECASE)
     sql = desugar_qualify(sql)
     for name in _INNER_IGNORE_NULLS:
         sql = rewrite_calls(sql, name, _rw_inner_ignore_nulls(name))

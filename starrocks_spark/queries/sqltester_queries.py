@@ -153,6 +153,16 @@ _SUITES: dict[str, tuple] = {
         {"dt_hour": "VARCHAR"},
         {"dt_hour": "tsstr"},
     ),
+    "dialect_sqltester_vector_index": (
+        # r8 index DDL tier: ALTER TABLE ADD INDEX ... USING VECTOR,
+        # probe routed through the stored IvfIndex lists (the
+        # reference's VECTORINDEX path); DuckDB recomputes the same
+        # ANN ordering brute-force over the verbatim script.
+        "test_vector_index", "test_shared_data_add_vector_index", -1,
+        ["id"],
+        {"id": "BIGINT"},
+        {},
+    ),
     "dialect_sqltester_asof_join": (
         # ASOF LEFT JOIN over datetime keys (session-3 desugar:
         # equi+inequality join pruned by row_number with the stored

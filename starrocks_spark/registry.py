@@ -101,78 +101,65 @@ _MODULES = [
 # TPC-H/window/setop/asof/funnel families) whose shared engine core
 # moved since their last driver check.
 _PRIORITY = [
-    # --- r7 new: SQL-tester acceptance tier (reference suites verbatim)
+    # --- r8 formerly-red rows (type-normalized; stay until a green
+    # driver round confirms) + the whole SQL-tester tier whose runner
+    # moved this round (MV DDL, bitmap layer, index DDL, DML sweep)
     "dialect_sqltester_case_when",
+    "dialect_sqltester_orderby_agg",
+    "dialect_sqltester_asof_join",
     "dialect_sqltester_agg_limit",
     "dialect_sqltester_grouping_set",
-    "dialect_sqltester_orderby_agg",
     "dialect_sqltester_tinyint_agg",
-    # --- r7 new (late-round): join-hint/<=>, outer-join sum rewrite,
-    # unnest TVF, :: shorthand + CTAS — the session-2 suite batch
     "dialect_sqltester_null_safe_equal",
     "dialect_sqltester_sum_rewrite",
     "dialect_sqltester_unnest",
     "dialect_sqltester_shorthand_cast",
-    # --- r7 session-4: ASOF acceptance suite (desugar vs DuckDB
-    # native ASOF) + the most plan-distinctive of the 25 batch-4/5
-    # TPC-DS shapes that closed coverage at 99/99
-    "dialect_sqltester_asof_join",
-    # --- r7 session-6: the DML tier (UPDATE / DELETE / ALTER TABLE
-    # on key-model tables, oracle-replayed as versioned CTEs)
     "dialect_sqltester_pk_partial_update",
     "dialect_sqltester_delete_conditions",
-    "tpcds_q12_category_share",
-    "tpcds_q50_latency_matrix",
-    "tpcds_q56_channel_union_totals",
-    "tpcds_q69_store_only_customers",
-    "tpcds_q77_sales_returns_outer",
-    "tpcds_q92_excess_discount",
-    # --- r7 new: TPC-DS correlated-subquery family + q4 chain
-    "tpcds_q1_store_returns",
-    "tpcds_q30_web_state_returns",
-    "tpcds_q81_catalog_returns",
-    "tpcds_q4_growth_chain",
-    # --- r7 new (session-3): TPC-DS batch 3 — the six most
-    # plan-distinctive of the 15 new shapes (broadcast-scalar
-    # threshold, dual-EXISTS, stat pairs, cross-year week ratio,
-    # dimension-side decorrelation, ranked rollup)
-    "tpcds_q2_weekly_ratio",
-    "tpcds_q6_above_avg_price_states",
-    "tpcds_q24_scalar_threshold",
-    "tpcds_q39_stat_pairs",
-    "tpcds_q70_topstate_rollup",
-    "tpcds_q95_dual_exists",
-    # --- r7 new: geo + jsonpath
-    "func_geo_st_contains",
-    "json_path_wildcard",
-    "json_path_descent",
-    # --- r7 changed code: chunking tail fix
-    "chunk_overlap_windows",
-    # --- r7 changed code: lakehouse merge (dup guard, de-literalized
-    # overlap, DELETE null semantics) + streaming CoW upsert rework
-    "table_lakehouse_merge",
-    "stream_upsert_latest",
-    "stream_lakehouse_upsert",
-    # --- r7 changed code: fulltext index meta (persisted n_buckets)
-    "fulltext_match_any",
-    "fulltext_match_all",
-    # --- r7 changed code: ManagedTable no-version upsert = load order
+    # --- r8 NEW: MV DDL tier, index DDL tier, bitmap SQL surface
+    "dialect_sqltester_mv",
+    "dialect_sqltester_vector_index",
+    "dialect_bitmap_sql_surface",
+    # --- r8 changed engine code: q14 cache pin; models.py (agg fns,
+    # replace tie-breaks) behind the table models + streaming upsert;
+    # functions/bitmap.py behind the bitmap value ops
+    "tpcds_q14_cross_channel",
     "table_primary_upsert_delete",
     "table_merge_into_customers",
     "table_merge_conditional",
     "table_agg_keys_rollup",
     "table_dup_keys_batches",
     "table_rollup_autoselect",
-    # --- stalest rows whose engine core moved since their last check
-    "tpch_q1_pricing_summary",
-    "tpch_q10_returned_items",
-    "tpch_q18_large_volume_customer",
-    "tpch_q19_discounted_revenue",
-    "subquery_correlated_avg",
-    "subquery_not_in",
-    "window_running_total",
-    "grouping_rollup",
-    "asof_purchase_view",
+    "stream_upsert_latest",
+    "func_bitmap_value_ops",
+    "unnest_bitmap_users",
+    # --- never-driver-checked rows, stalest families first (local
+    # pytest oracle mirror covers the rest every round)
+    "window_ignore_nulls",
+    "agg_corr_fixed",
+    "tpcds_q3_brand_year_net",
+    "tpcds_q7_demo_avgs",
+    "tpcds_q8_prefix_intersect",
+    "tpcds_q9_case_buckets",
+    "tpcds_q13_or_band_avgs",
+    "tpcds_q15_or_gate_nations",
+    "tpcds_q16_multi_supplier_clean",
+    "tpcds_q17_qty_stddev",
+    "tpcds_q18_rollup_avgs",
+    "tpcds_q19_cross_nation_brand",
+    "tpcds_q22_qoh_rollup",
+    "tpcds_q23_frequent_best",
+    "tpcds_q25_sold_returned_resold",
+    "tpcds_q27_rollup_item_avgs",
+    "tpcds_q28_band_stats",
+    "tpcds_q29_resold_quantities",
+    "tpcds_q31_nation_growth",
+    "tpcds_q32_excess_discount",
+    "tpcds_q35_demographic_stats",
+    "tpcds_q37_onhand_window",
+    "tpcds_q40_pivot_returns",
+    "tpcds_q41_item_exists",
+    "tpcds_q43_weekday_pivot",
 ]
 
 

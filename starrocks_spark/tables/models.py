@@ -174,6 +174,12 @@ class ManagedTable:
         path (reference: hll_union.h / percentile_union.h — ingest
         hashes values into the sketch, compaction unions sketches).
         """
+        if (not self.version_cols
+                and {"replace", "replace_if_not_null"}
+                & set(self.agg_spec.values())):
+            # materialize the fallback ordinal first — Spark rejects
+            # nondeterministic expressions INSIDE aggregate functions
+            df = df.withColumn("__mono", F.monotonically_increasing_id())
         aggs = []
         for col, how in self.agg_spec.items():
             if how == "hll_union":
@@ -193,30 +199,28 @@ class ManagedTable:
             if how == "replace_if_not_null":
                 # latest NON-NULL by version wins; all-null keeps NULL
                 # (agg REPLACE_IF_NOT_NULL: null loads don't overwrite)
-                if not self.version_cols:
-                    raise ValueError(
-                        "REPLACE_IF_NOT_NULL requires version_cols "
-                        "(same load-order contract as REPLACE)")
+                ordc = (F.struct(*self.version_cols)
+                        if self.version_cols
+                        # ALTER-added REPLACE columns on a versionless
+                        # table: per-partition-monotone order — exact
+                        # for narrow single-batch frames only (same
+                        # caveat as _latest_per_key)
+                        else F.col("__mono"))
                 aggs.append(F.max_by(
-                    col, F.when(F.col(col).isNotNull(),
-                                F.struct(*self.version_cols))
+                    col, F.when(F.col(col).isNotNull(), ordc)
                 ).alias(col))
                 continue
             if how == "replace":
                 # The reference's REPLACE is load-order-defined; a Spark
                 # batch groupBy has no such order, so an order-free
                 # REPLACE would be nondeterministic (partition-layout
-                # dependent). Require an explicit version and take
-                # newest-by-version via max_by.
-                if not self.version_cols:
-                    raise ValueError(
-                        "AGG_KEYS REPLACE requires version_cols — Spark "
-                        "batches have no load order, so REPLACE without a "
-                        "version column is nondeterministic"
-                    )
-                aggs.append(
-                    F.max_by(col, F.struct(*self.version_cols)).alias(col)
-                )
+                # dependent). Newest-by-version via max_by when a
+                # version exists; the monotonic-id fallback covers
+                # ALTER-added REPLACE columns on versionless tables.
+                ordc = (F.struct(*self.version_cols)
+                        if self.version_cols
+                        else F.col("__mono"))
+                aggs.append(F.max_by(col, ordc).alias(col))
             else:
                 aggs.append(_AGG_FNS[how](col).alias(col))
         group = self.key_cols + ([self.partition_by] if self.partition_by
@@ -224,6 +228,7 @@ class ManagedTable:
                                  else [])
         has_replace = bool({"replace", "replace_if_not_null"}
                            & set(self.agg_spec.values()))
+        has_replace = has_replace and bool(self.version_cols)
         if has_replace:
             # keep the winning version tuple in storage so later
             # cross-rowset merges (read/compaction) can still pick
