@@ -797,7 +797,12 @@ def mmh3_sql(sexpr: str, seed: str) -> str:
              f"(__k, __z1) -> {kmix}, __k2 -> "
              f"aggregate(array(1), __k2, (__kk, __z2) -> {hmix}))")
     blocks = (f"aggregate(IF({n} >= 4, sequence(1, {n} div 4), "
-              f"array()), CAST(({seed}) AS BIGINT), "
+              # mask the seed to unsigned-32: chained
+              # murmur_hash3_32(a, b) feeds a SIGNED result back in,
+              # and an unmasked negative seed sign-extends through
+              # shiftright inside _rotl32 (wrong hash whenever the
+              # second arg is >= 4 bytes)
+              f"array()), (CAST(({seed}) AS BIGINT) & {_M32}), "
               f"(__h, __b) -> {block})")
     base = f"(({n} div 4) * 4)"
     kt0 = (f"(CAST({byte(base + ' + 1')} AS BIGINT) | "
@@ -1352,19 +1357,28 @@ def _rw_json_object(a: list[str]) -> str:
 # excluded so generic types (array<array<int>>) never match.
 _CHAINED_CMP_RE = re.compile(
     r"(?<![<>=!\w.`'])"
-    r"([\w.`]+)\s*(<=|>=|<|>)\s*([\w.`]+)\s*(<=|>=|<|>)\s*([\w.`]+)"
+    r"([\w.`]+)((?:\s*(?:<=|>=|<|>)\s*[\w.`]+){2,})"
     r"(?![\w.<>=])")
+_CMP_STEP_RE = re.compile(r"\s*(<=|>=|<|>)\s*([\w.`]+)")
 _TYPE_WORDS = {"array", "map", "struct"}
 
 
 def _rw_chained_cmp(sql: str) -> str:
     def fix(m):
-        a, op1, b, op2, c = m.groups()
-        if (a.lower().strip("`") in _TYPE_WORDS
-                or b.lower().strip("`") in _TYPE_WORDS
-                or c.lower().strip("`") in _TYPE_WORDS):
+        first, rest = m.group(1), m.group(2)
+        steps = _CMP_STEP_RE.findall(rest)
+        terms = [first] + [t for _, t in steps]
+        if any(t.lower().strip("`") in _TYPE_WORDS for t in terms):
             return m.group(0)
-        return f"CAST({a} {op1} {b} AS INT) {op2} {c}"
+        # MySQL folds left-to-right with each boolean coerced to 0/1:
+        # a < b < c < d == ((a<b) < c) < d. Fold the WHOLE chain (r8
+        # ADVICE, low: the old single-pair pass left 3+-operand chains
+        # as Spark-rejected boolean<int).
+        expr = first
+        for op, t in steps[:-1]:
+            expr = f"CAST({expr} {op} {t} AS INT)"
+        last_op, last_t = steps[-1]
+        return f"{expr} {last_op} {last_t}"
     return _CHAINED_CMP_RE.sub(fix, sql)
 
 

@@ -1005,8 +1005,11 @@ def _rw_user_variable_hint(sql: str) -> str:
     for item in dialect._split_top_level(body):
         am = re.match(r"\s*@(\w+)\s*=\s*(.+)$", item, re.DOTALL)
         if am:
-            sql = re.sub(rf"@{am.group(1)}\b",
-                         f"({am.group(2).strip()})", sql)
+            # callable replacement: a backslash in the bound expression
+            # (e.g. a regexp literal '\d') must not be parsed as a
+            # re.sub group reference (r8 ADVICE, low)
+            repl = f"({am.group(2).strip()})"
+            sql = re.sub(rf"@{am.group(1)}\b", lambda m: repl, sql)
     return sql
 
 
@@ -2079,12 +2082,21 @@ def classify(stmt: str) -> str:
             elif c0 == ")":
                 depth0 -= 1
             elif depth0 == 0:
-                if s.startswith("UPDATE", i0):
+                # word-boundary check: a CTE named e.g. deleted_rows
+                # must not classify the statement as a DELETE
+                # (r8 ADVICE, medium)
+                def _kw(kw: str) -> bool:
+                    if not s.startswith(kw, i0):
+                        return False
+                    if i0 > 0 and (s[i0 - 1].isalnum() or s[i0 - 1] == "_"):
+                        return False
+                    j = i0 + len(kw)
+                    return j >= n0 or not (s[j].isalnum() or s[j] == "_")
+                if _kw("UPDATE"):
                     return "update"
-                if s.startswith("DELETE", i0):
+                if _kw("DELETE"):
                     return "delete"
-                if s.startswith("SELECT", i0) or s.startswith(
-                        "INSERT", i0):
+                if _kw("SELECT") or _kw("INSERT"):
                     break
             i0 += 1
         return "select"
@@ -2305,6 +2317,13 @@ class ScriptRunner:
                       "Key string, Default string, Extra string")
             return StatementResult(stmt, "select", df)
         kind = classify(stmt)
+        if kind in ("insert", "update", "delete", "truncate", "alter"):
+            # any data mutation invalidates cached ANN index artifacts
+            # (r8 ADVICE, medium: _load_seq only bumps on stamped
+            # loads, so DELETE/UPDATE/TRUNCATE and PK/AGG inserts kept
+            # serving a stale vector index). Coarse (global counter,
+            # not per table) — acceptance-scale rebuilds are cheap.
+            self._dml_seq = getattr(self, "_dml_seq", 0) + 1
         try:
             if kind == "create":
                 self._create(stmt)
@@ -2438,7 +2457,8 @@ class ScriptRunner:
         from starrocks_spark.operators.indexes import IvfIndex
         from starrocks_spark.scratch import scratch_dir
 
-        key = (tname, vcol, self._load_seq, id(self))
+        key = (tname, vcol, self._load_seq,
+               getattr(self, "_dml_seq", 0), id(self))
         cached = getattr(self, "_ann_indexes", None)
         if cached is None:
             cached = self._ann_indexes = {}

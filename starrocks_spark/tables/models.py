@@ -174,12 +174,19 @@ class ManagedTable:
         path (reference: hll_union.h / percentile_union.h — ingest
         hashes values into the sketch, compaction unions sketches).
         """
+        fallback_ord = None
         if (not self.version_cols
                 and {"replace", "replace_if_not_null"}
                 & set(self.agg_spec.values())):
-            # materialize the fallback ordinal first — Spark rejects
-            # nondeterministic expressions INSIDE aggregate functions
-            df = df.withColumn("__mono", F.monotonically_increasing_id())
+            if all(c in df.columns for c in ("_load_batch", "_load_pos")):
+                # a loader stamped explicit arrival order — exact under
+                # any physical plan (mirrors _latest_per_key)
+                fallback_ord = F.struct("_load_batch", "_load_pos")
+            else:
+                # materialize the fallback ordinal first — Spark rejects
+                # nondeterministic expressions INSIDE aggregate functions
+                df = df.withColumn("__mono", F.monotonically_increasing_id())
+                fallback_ord = F.col("__mono")
         aggs = []
         for col, how in self.agg_spec.items():
             if how == "hll_union":
@@ -202,10 +209,11 @@ class ManagedTable:
                 ordc = (F.struct(*self.version_cols)
                         if self.version_cols
                         # ALTER-added REPLACE columns on a versionless
-                        # table: per-partition-monotone order — exact
-                        # for narrow single-batch frames only (same
-                        # caveat as _latest_per_key)
-                        else F.col("__mono"))
+                        # table: stamped load order when present, else
+                        # per-partition-monotone order — the latter is
+                        # exact for narrow single-batch frames only
+                        # (same caveat as _latest_per_key)
+                        else fallback_ord)
                 aggs.append(F.max_by(
                     col, F.when(F.col(col).isNotNull(), ordc)
                 ).alias(col))
@@ -219,7 +227,7 @@ class ManagedTable:
                 # ALTER-added REPLACE columns on versionless tables.
                 ordc = (F.struct(*self.version_cols)
                         if self.version_cols
-                        else F.col("__mono"))
+                        else fallback_ord)
                 aggs.append(F.max_by(col, ordc).alias(col))
             else:
                 aggs.append(_AGG_FNS[how](col).alias(col))

@@ -70,3 +70,32 @@ def test_qualify_absent_is_noop():
 def test_like_percent_untouched():
     sql = "SELECT * FROM t WHERE s LIKE '%Y%'"
     assert translate(sql) == sql
+
+
+def test_chained_cmp_folds_whole_chain():
+    # MySQL chains fold left-to-right with 0/1 coercion at every step;
+    # a single-pair rewrite left 3+-operand chains boolean<int (r8
+    # ADVICE, low)
+    from starrocks_spark.plans.dialect import _rw_chained_cmp
+
+    assert _rw_chained_cmp("SELECT 1 < x < 10 FROM t") == \
+        "SELECT CAST(1 < x AS INT) < 10 FROM t"
+    assert _rw_chained_cmp("SELECT a < b < c < d FROM t") == \
+        "SELECT CAST(CAST(a < b AS INT) < c AS INT) < d FROM t"
+    # generic type parameters never match
+    sql = "SELECT CAST(x AS array<array<int>>) FROM t"
+    assert _rw_chained_cmp(sql) == sql
+
+
+def test_classify_cte_named_like_keyword():
+    # a CTE named deleted_rows must not classify the statement as a
+    # DELETE (r8 ADVICE, medium: startswith without a word boundary)
+    from starrocks_spark.plans.sqltester import classify
+
+    assert classify(
+        "WITH deleted_rows AS (SELECT 1) SELECT * FROM deleted_rows"
+    ) == "select"
+    assert classify(
+        "WITH u AS (SELECT 1) UPDATE t SET x = 1") == "update"
+    assert classify(
+        "WITH d AS (SELECT 1) DELETE FROM t WHERE a = 1") == "delete"

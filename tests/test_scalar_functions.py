@@ -164,3 +164,28 @@ def test_murmur_hash_through_public_dialect_entry(spark, sf_dir):
     if expect >= 2**31:
         expect -= 2**32
     assert row["h"] == expect == 1321743225  # reference's documented value
+
+
+def test_murmur_hash_chained_negative_seed(spark, sf_dir):
+    """Two-arg murmur chains the first hash as the second's seed; when
+    hash(a) is negative the pure-SQL fold must mask it to unsigned-32
+    before the block loop, or shiftright sign-extends through the
+    rotate (r8 ADVICE, high): murmur_hash3_32('b','world') must be
+    -1326098367, not 1981849568."""
+    from starrocks_spark.functions.mmh3 import mmh3_32
+    from starrocks_spark.plans.dialect import starrocks_sql
+
+    def py_chain(*parts):
+        h = 104729
+        for p in parts:
+            h = mmh3_32(p.encode("utf-8"), h & 0xFFFFFFFF)
+        return h - 2**32 if h >= 2**31 else h
+
+    rows = starrocks_sql(
+        spark,
+        "SELECT murmur_hash3_32('b', 'world') AS neg_seed, "
+        "murmur_hash3_32('hello', 'world') AS pos_seed",
+        sf_dir,
+    ).collect()[0]
+    assert rows["neg_seed"] == py_chain("b", "world") == -1326098367
+    assert rows["pos_seed"] == py_chain("hello", "world")

@@ -70,14 +70,41 @@ def test_merge_into_update_and_insert(spark):
     t.drop()
 
 
-def test_agg_keys_replace_requires_version(spark):
-    import pytest
-
+def test_agg_keys_replace_versionless_last_row_wins(spark):
+    # r8 relaxed the old "version_cols required" guard: REPLACE without
+    # version_cols falls back to arrival order (last row of the load
+    # wins, StarRocks load-order semantics) — exact on narrow
+    # single-batch frames (VALUES); documented nondeterministic after
+    # shuffles in the INSERT..SELECT source.
     t = ManagedTable.create(
         spark, TableModel.AGG_KEYS, ["k"], agg_spec={"v": "replace"},
     )
-    with pytest.raises(ValueError, match="version_cols"):
-        t.insert(spark.createDataFrame([(1, 10)], "k long, v long"))
+    t.insert(spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 5), (1, 30)], "k long, v long"))
+    assert _rows(t.read().select("k", "v")) == [(1, 30), (2, 5)]
+    t.drop()
+
+
+def test_agg_keys_replace_versionless_prefers_stamped_load_order(spark):
+    # when a loader stamped explicit arrival order (_load_batch,
+    # _load_pos — plans/sqltester stamps VALUES ordinals), the rollup
+    # must use it instead of monotonic ids: exact under ANY physical
+    # layout, including adversarial repartitions.
+    t = ManagedTable.create(
+        spark, TableModel.AGG_KEYS, ["k"], agg_spec={"v": "replace"},
+    )
+    rows = [(1, 0, i, i * 10) for i in range(20)]
+    for seed in range(3):
+        shuffled = rows[seed:] + rows[:seed]
+        df = spark.createDataFrame(
+            shuffled, "k long, _load_batch long, _load_pos long, v long"
+        ).repartition(7)
+        t2 = ManagedTable.create(
+            spark, TableModel.AGG_KEYS, ["k"], agg_spec={"v": "replace"},
+        )
+        t2.insert(df)
+        assert _rows(t2.read().select("k", "v")) == [(1, 190)]
+        t2.drop()
     t.drop()
 
 
