@@ -56,8 +56,10 @@ skip gracefully when the checkout is absent.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import re
+import shutil
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -569,21 +571,97 @@ def spark_type(sr: str) -> str:
     return _map_type(sr, _SPARK_TYPES, "STRING", "ARRAY<{}>")
 
 
-_SPARK_TO_SR = {"timestamp": "datetime", "binary": "varbinary"}
+_SPARK_TO_SR = {"timestamp": "datetime", "timestamp_ntz": "datetime", "binary": "varbinary"}
 
 
-def _sr_from_spark(simple: str) -> str:
-    """Spark ``DataType.simpleString()`` → StarRocks type name (CTAS
-    result schemas). Spark's lowercase names coincide with StarRocks'
-    except the few mapped here; composites recurse element-wise."""
+def _split_type_args(body: str) -> list[str]:
+    """Split a composite type's argument list on top-level commas."""
+    parts, depth, cur = [], 0, []
+    for ch in body:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return parts
+
+
+def _sr_from_spark(simple: str, scalar=None, in_struct=False) -> str:
+    """Spark ``DataType.simpleString()`` → the StarRocks type text the
+    FE prints (AstToSQLBuilder): struct fields are backticked and
+    ", "-separated, map args have no space, decimals inside structs
+    print "decimal(p, s)". ``scalar`` overrides leaf rendering (the
+    FILES desc path widens string→varchar(1048576); CTAS applies the
+    transformTableColumnType float→decimal mapping recursively)."""
     simple = simple.strip()
     if simple.startswith("array<"):
-        return f"array<{_sr_from_spark(simple[6:-1])}>"
+        return (f"array<{_sr_from_spark(simple[6:-1], scalar, in_struct)}>")
+    if simple.startswith("map<"):
+        k, v = _split_type_args(simple[4:-1])
+        return (f"map<{_sr_from_spark(k, scalar, in_struct)},"
+                f"{_sr_from_spark(v, scalar, in_struct)}>")
+    if simple.startswith("struct<"):
+        fields = []
+        for item in _split_type_args(simple[7:-1]):
+            nm, tp = item.split(":", 1)
+            fields.append(f"`{nm.strip()}` "
+                          f"{_sr_from_spark(tp, scalar, True)}")
+        return "struct<" + ", ".join(fields) + ">"
+    if scalar is not None:
+        out = scalar(simple, in_struct)
+        if out is not None:
+            return out
     return _SPARK_TO_SR.get(simple, simple)
 
 
 def duck_type(sr: str) -> str:
     return _map_type(sr, _DUCK_TYPES, "VARCHAR", "{}[]")
+
+
+# OLAP shortkey index sizes (PrimitiveType.getOlapColumnIndexSize —
+# fe-type .../PrimitiveType.java:485; date 3, varchar 20, slot sizes
+# otherwise)
+_KEY_INDEX_SIZE = {
+    "boolean": 1, "tinyint": 1, "smallint": 2, "int": 4,
+    "decimal32": 4, "date": 3, "bigint": 8, "decimal64": 8,
+    "datetime": 8, "largeint": 16, "decimal128": 16, "decimal": 16,
+    "varchar": 20, "char": 20, "string": 20, "varbinary": 20,
+}
+
+
+def _ctas_default_keys(cols: list) -> list[str]:
+    """Default DUP-key prefix for a keyless CREATE TABLE (CTAS):
+    leading columns while count < 3 and accumulated index size <= 36;
+    float/double/complex/json stop the scan; a varchar is added then
+    stops it (CreateTableAnalyzer.java:325-357)."""
+    keys: list[str] = []
+    key_len = 0
+    for c in cols:
+        base = re.match(r"\w+", c.sr_type.lower()).group(0)
+        if base in ("float", "double", "json", "hll", "bitmap",
+                    "percentile", "array", "map", "struct", "variant",
+                    "time"):
+            break
+        key_len += _KEY_INDEX_SIZE.get(base, 16)
+        if len(keys) >= 3 or key_len > 36:
+            if not keys and base in ("varchar", "char", "string"):
+                keys.append(c.name)
+            break
+        if base in ("varchar", "char", "string"):
+            keys.append(c.name)
+            break
+        keys.append(c.name)
+    if not keys and cols:
+        # reference raises "Data type of first column cannot be X";
+        # keep the statement executable with the leading column
+        keys = [cols[0].name]
+    return keys
 
 
 # ---------------------------------------------------------------------------
@@ -2122,6 +2200,45 @@ def classify(stmt: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# FILES() table function + oss:// staging remap
+# ---------------------------------------------------------------------------
+# The test_files suites stage reference-shipped fixtures
+# (test/sql/test_files/{csv,orc,parquet,avro}_format/*) to an object
+# store with `shell: ossutil64 cp` and read them back through
+# FILES("path"="oss://..."). The fixtures are LOCAL — the staging scan
+# below replays those cp steps into a scratch directory and the runner
+# remaps the oss:// URIs onto it, so the suites run verbatim without
+# object storage (fe catalog/TableFunctionTable.java:92 is the engine
+# surface; sources/files.py read_files implements it on Spark).
+
+_OSS_CP_RE = re.compile(
+    r"^shell:\s*ossutil64\s+cp\s+(?:--force\s+)?(?:-r\s+)?"
+    r"(\S+)\s+(oss://\S+)", re.IGNORECASE)
+_OSS_SHELL_RE = re.compile(
+    r"^shell:\s*ossutil64\s+(mkdir|cp|rm)\b", re.IGNORECASE)
+_SHELLFILE_MARK = "__shellfile__ "
+
+
+def _oss_norm(uri: str) -> str:
+    """Normalize an object-store URI the way statement substitution
+    does (${var} → _var_), drop the scheme (the suites address one
+    bucket as oss:// in shell staging and s3:// in FILES), and strip
+    the trailing slash, so staged targets and FILES() paths key
+    identically."""
+    uri = re.sub(r"^[a-z0-9]+://", "", uri)
+    return re.sub(r"\$\{(\w+)\}", r"_\1_", uri).rstrip("/")
+
+
+# option keys the FILES() reader accepts and deliberately ignores
+# (credentials/endpoints are irrelevant locally; tuning knobs have no
+# Spark analog needed for correctness)
+_FILES_IGNORED_OPTS = re.compile(
+    r"^(fs\.|aws\.|azure\.|gcp\.|oss\.)|^(auto_detect_sample_files|"
+    r"enable_collect_query_detail_info|"
+    r"replication_num|enable_push_down_schema)$")
+
+
+# ---------------------------------------------------------------------------
 # the Spark-side script runner
 # ---------------------------------------------------------------------------
 
@@ -2175,6 +2292,9 @@ class ScriptRunner:
         self.task_runs: list[tuple] = []  # one row per REFRESH MV
         self.current_db = ""             # last USE'd database
         self._load_seq = 0               # REPLACE load-order stamp
+        self.oss_map: dict[str, str] = {}  # oss:// dir → staged local dir
+        self._files_seq = 0              # FILES() temp-view counter
+        self._files_json_cols: set = set()  # parquet JSON-typed names
         # SHOW CREATE TABLE property profile: suites recorded against
         # a shared-data (cloud) cluster print a different default
         # property set; run_suite_expected flips this from the case name
@@ -2215,6 +2335,15 @@ class ScriptRunner:
         return [self.execute(s) for s in split_statements(script)]
 
     def execute(self, stmt: str) -> StatementResult:
+        if stmt.startswith(_SHELLFILE_MARK):
+            try:
+                self._shellfile(stmt)
+            except Exception as e:  # noqa: BLE001 — unchecked step
+                if self.strict:
+                    raise
+                return StatementResult(stmt, "skipped",
+                                       reason=str(e)[:500])
+            return StatementResult(stmt, "noop")
         vm = _SETVAR_RE.match(stmt)
         if vm:
             self.vars[vm.group(1)] = vm.group(2).strip()
@@ -2293,7 +2422,7 @@ class ScriptRunner:
                 ddl = _render_show_create(d, cloud=self.cloud_profile)
             except ValueError as e:
                 return StatementResult(stmt, "skipped",
-                                       reason=str(e)[:200])
+                                       reason=str(e)[:500])
             df = self.spark.createDataFrame(
                 [(d.name, ddl)],
                 "Table string, `Create Table` string")
@@ -2316,6 +2445,51 @@ class ScriptRunner:
                 rows, "Field string, Type string, Null string, "
                       "Key string, Default string, Extra string")
             return StatementResult(stmt, "select", df)
+        if re.search(r"\bfiles\s*\(", stmt, re.IGNORECASE) \
+                or re.search(r"\$\d", stmt):
+            try:
+                dfm = re.match(r"\s*DESC(?:RIBE)?\s+files\s*\(", stmt,
+                               re.IGNORECASE)
+                self._files_insert_ctx = bool(
+                    re.match(r"\s*INSERT\b", stmt, re.IGNORECASE))
+                self._files_load_state = None
+                if self._files_insert_ctx:
+                    # statement-level PROPERTIES ratio must be visible
+                    # to the files() source built here in the preamble
+                    mr9 = re.search(
+                        r'"max_filter_ratio"\s*=\s*"([^"]+)"', stmt)
+                    if mr9:
+                        self.vars["insert_max_filter_ratio"] = \
+                            mr9.group(1)
+                    sm9 = re.search(
+                        r'"strict_mode"\s*=\s*"([^"]+)"', stmt)
+                    hv9 = re.search(
+                        r"SET_VAR\s*\(\s*enable_insert_strict\s*=\s*"
+                        r"(\w+)", stmt, re.IGNORECASE)
+                    self._files_insert_strict = not (
+                        (sm9 and sm9.group(1).lower() == "false")
+                        or (hv9 and hv9.group(1).lower() == "false"))
+                    self._files_push_down = bool(re.search(
+                        r'"enable_push_down_schema"\s*=\s*"true"',
+                        stmt, re.IGNORECASE))
+                if dfm:
+                    inner, _ = _strip_parens_block(stmt, dfm.end() - 1)
+                    opts = dict(self._FILES_KV_RE.findall(inner))
+                    opts["__desc__"] = "1"
+                    fdf = self._read_files_df(opts)
+                    rows = [(f.name,
+                             "json" if f.name in self._files_json_cols
+                             else self._files_sr_type(f.dataType),
+                             "YES") for f in fdf.schema.fields]
+                    df = self.spark.createDataFrame(
+                        rows, "Field string, Type string, Null string")
+                    return StatementResult(stmt, "select", df)
+                stmt = self._rw_files(stmt)
+            except Exception as e:  # noqa: BLE001 — honest skip
+                if self.strict:
+                    raise
+                return StatementResult(stmt, "skipped",
+                                       reason=str(e)[:500])
         kind = classify(stmt)
         if kind in ("insert", "update", "delete", "truncate", "alter"):
             # any data mutation invalidates cached ANN index artifacts
@@ -2412,8 +2586,629 @@ class ScriptRunner:
         except Exception as e:  # noqa: BLE001 — surfaced in the result
             if self.strict:
                 raise
-            return StatementResult(stmt, "skipped", reason=str(e)[:200])
+            return StatementResult(stmt, "skipped", reason=str(e)[:500])
         return StatementResult(stmt, kind)
+
+    # ------------------------------------------------------------ FILES()
+
+    _FILES_KV_RE = re.compile(
+        r'"((?:[^"\\]|\\.)*)"\s*=\s*"((?:[^"\\]|\\.)*)"')
+    _FILES_ESCAPES = {"\\n": "\n", "\\t": "\t", "\\r": "\r",
+                      "\\\\": "\\", '\\"': '"', "\\x01": "\x01"}
+
+    def _files_unescape(self, v: str) -> str:
+        for k, r in self._FILES_ESCAPES.items():
+            v = v.replace(k, r)
+        return v
+
+    def _oss_dir(self, key: str) -> str:
+        """Local staging dir for a normalized object-store path,
+        nesting under an already-staged parent so directory trees
+        (mkdir a; mkdir a/b; cp f a/b/) land inside one root."""
+        if key in self.oss_map:
+            return self.oss_map[key]
+        parent = None
+        for k in self.oss_map:
+            if key.startswith(k + "/") and \
+                    (parent is None or len(k) > len(parent)):
+                parent = k
+        if parent is not None:
+            local = self.oss_map[parent] + key[len(parent):]
+        else:
+            import uuid as _uuid
+
+            from starrocks_spark.scratch import scratch_dir
+
+            local = os.path.join(scratch_dir("oss_stage"),
+                                 _uuid.uuid4().hex[:12])
+        os.makedirs(local, exist_ok=True)
+        self.oss_map[key] = local
+        return local
+
+    def _shellfile(self, stmt: str,
+                   root: str = REFERENCE_SQL_ROOT) -> None:
+        """Replay one `shell: ossutil64 ...` staging step against the
+        local staging tree, in script order (test_list_files checks
+        listings BETWEEN steps, so staging cannot be eager)."""
+        s9 = stmt[len(_SHELLFILE_MARK):].strip()
+        cm = _OSS_CP_RE.match(s9)
+        if cm:
+            src, dst = cm.group(1), cm.group(2)
+            local_src = os.path.join(
+                root, re.sub(r"^\./?sql/", "", src))
+            d = self._oss_dir(_oss_norm(dst))
+            if os.path.isdir(local_src):
+                shutil.copytree(
+                    local_src,
+                    os.path.join(d, os.path.basename(
+                        local_src.rstrip("/"))),
+                    dirs_exist_ok=True)
+            elif os.path.isfile(local_src):
+                shutil.copy(local_src, d)
+            else:
+                raise ValueError(f"shell cp: no fixture {local_src}")
+            return
+        mm9 = re.match(r"shell:\s*ossutil64\s+mkdir\s+(oss://\S+)",
+                       s9, re.IGNORECASE)
+        if mm9:
+            self._oss_dir(_oss_norm(mm9.group(1)))
+            return
+        rm9 = re.match(r"shell:\s*ossutil64\s+rm\s+(?:-rf?\s+)+"
+                       r"(oss://\S+)", s9, re.IGNORECASE)
+        if rm9:
+            key = _oss_norm(rm9.group(1))
+            for k in [k for k in self.oss_map
+                      if k == key or k.startswith(key + "/")]:
+                shutil.rmtree(self.oss_map.pop(k), ignore_errors=True)
+            return
+
+    def _resolve_files_path(self, path: str,
+                            create: bool = False) -> str:
+        """Remap an object-store FILES path (oss://, s3://, ... — the
+        suites use the same bucket template under several schemes)
+        onto the locally staged fixture dir (scan_oss_staging).
+        Longest-prefix match so nested staging dirs resolve correctly;
+        a glob tail (*/**) passes through to Spark's file index.
+        ``create=True`` (INSERT INTO FILES sink) registers a fresh
+        staging dir for an unstaged target so later reads resolve."""
+        if not re.match(r"[a-z0-9]+://", path):
+            return path
+        norm = _oss_norm(path)
+        best = None
+        for key in self.oss_map:
+            if norm == key or norm.startswith(key + "/"):
+                if best is None or len(key) > len(best):
+                    best = key
+        if best is None:
+            if create:
+                best = re.sub(r"/[*]+.*$", "", norm)
+                self._oss_dir(best)
+            else:
+                raise ValueError(f"files: object-store path not staged "
+                                 f"locally: {path[:120]}")
+        return self.oss_map[best] + norm[len(best):]
+
+    def _read_files_df(self, opts: dict[str, str]) -> DataFrame:
+        """FILES(...) → DataFrame with StarRocks naming/typing rules:
+        CSV columns are $1..$N with integers widened to bigint (FE
+        TableFunctionTable.java CSV schema inference); parquet/orc/json
+        keep file schemas; an explicit "schema" option maps by position
+        (CSV) or by name (parquet/orc). fill_mismatch_column_with
+        governs cross-file/row schema mismatches exactly like the FE:
+        'none' (default) errors with the reference's message, 'null'
+        merges with NULL fill. Engine side: sources/files.py."""
+        import glob as _glob
+
+        import pyspark.sql.functions as F
+        import pyspark.sql.types as T
+
+        fmt = opts.get("format", "parquet").lower()
+        if opts.get("list_files_only", "false").lower() == "true":
+            return self._list_files_df(opts)
+        path = self._resolve_files_path(opts["path"])
+        unknown = [k for k in opts
+                   if k not in ("path", "format", "csv.column_separator",
+                                "csv.row_delimiter", "csv.enclose",
+                                "csv.escape", "compression", "schema",
+                                "fill_mismatch_column_with",
+                                "max_filter_ratio", "strict_mode",
+                                "auto_detect_sample_rows", "__desc__",
+                                "list_files_only", "list_recursively")
+                   and not _FILES_IGNORED_OPTS.match(k)]
+        if unknown:
+            raise ValueError(f"files: unsupported option(s) {unknown}")
+        fill = opts.get("fill_mismatch_column_with", "none").lower()
+        if fill not in ("none", "null"):
+            raise ValueError(
+                f"Invalid fill_mismatch_column_with: "
+                f"'{opts['fill_mismatch_column_with']}'. Expected "
+                f"values should be none, null (case insensitive).")
+        schema_cols = None          # [(name, sr_type)] when "schema"=
+        if "schema" in opts:
+            schema_cols = []
+            for item in dialect._split_top_level(opts["schema"]):
+                im9 = re.match(r"\s*`?([^`\s]+)`?\s+(.+?)\s*$", item)
+                if not im9:
+                    raise ValueError(f"files: bad schema item {item!r}")
+                schema_cols.append((im9.group(1),
+                                    im9.group(2).strip().lower()))
+        if fmt == "avro":
+            raise ValueError("files: avro needs the spark-avro package "
+                             "(not in this container)")
+        if os.path.isfile(path):
+            pat = path
+        elif re.search(r"[*\[]", path):
+            pat = path
+        else:
+            pat = os.path.join(path, "*")
+        local_files = [f for f in sorted(_glob.glob(pat))
+                       if os.path.isfile(f)]
+        if not local_files and not _glob.glob(path):
+            raise ValueError(
+                "failed to parse files: No files were found matching "
+                "the pattern(s) or path(s)")
+        if fmt == "csv" and any(f.endswith(".lz4")
+                                for f in local_files):
+            # Hadoop's lz4 codec reads the block format; these
+            # fixtures are lz4 FRAME files — decompress via the lz4
+            # CLI into a scratch dir and read the plain copies
+            import subprocess
+            import uuid as _uuid
+
+            from starrocks_spark.scratch import scratch_dir
+
+            d9 = os.path.join(scratch_dir("oss_stage"),
+                              "lz4_" + _uuid.uuid4().hex[:8])
+            os.makedirs(d9, exist_ok=True)
+            for f in local_files:
+                if f.endswith(".lz4"):
+                    subprocess.run(
+                        ["lz4", "-d", "-f", f,
+                         os.path.join(d9, os.path.basename(f)[:-4])],
+                        check=True, capture_output=True)
+                else:
+                    shutil.copy(f, d9)
+            path = os.path.join(d9, "*")
+            local_files = [os.path.join(d9, e9)
+                           for e9 in sorted(os.listdir(d9))]
+        if fmt == "csv":
+            sep = self._files_unescape(
+                opts.get("csv.column_separator", "\t"))
+            rd = self._files_unescape(
+                opts.get("csv.row_delimiter", "\n"))
+            ropts = {"header": "false",
+                     # StarRocks CSV has no quoting unless enclose is
+                     # set — an empty quote char disables Spark's
+                     # default double-quote handling
+                     "quote": self._files_unescape(
+                         opts.get("csv.enclose", "")),
+                     "sep": sep, "mode": "PERMISSIVE"}
+            if "csv.escape" in opts:
+                ropts["escape"] = self._files_unescape(
+                    opts["csv.escape"])
+            if rd != "\n":
+                ropts["lineSep"] = rd
+            ratio = float(opts.get("max_filter_ratio")
+                          or self.vars.get("insert_max_filter_ratio",
+                                           "0") or 0)
+            desc_ctx = opts.get("__desc__") == "1"
+            insert_ctx = getattr(self, "_files_insert_ctx", False)
+            if schema_cols is not None:
+                # explicit schema maps POSITIONALLY; a wider source
+                # row contributes its prefix silently, a narrower one
+                # errors under fill=none (test_files_schema_csv)
+                probe = self.spark.read.options(**ropts).csv(path)
+                width = max(len(probe.columns), len(schema_cols))
+                if fill == "none" and ratio == 0 and not desc_ctx \
+                        and not insert_ctx:
+                    self._csv_check_counts(local_files, sep, rd,
+                                           len(schema_cols),
+                                           only_fewer=True)
+                wide = ", ".join(
+                    f"`{n}` {spark_type(t)}"
+                    for n, t in schema_cols) + "".join(
+                    f", `__pad{i}` string"
+                    for i in range(width - len(schema_cols)))
+                df = self.spark.read.options(**ropts) \
+                    .schema(wide).csv(path)
+                return df.select(*[F.col(f"`{n}`")
+                                   for n, _ in schema_cols])
+            ropts["inferSchema"] = "true"
+            sample_rows = opts.get("auto_detect_sample_rows")
+            if sample_rows and local_files:
+                # FE schema detection samples the first N rows; a
+                # type-conflicting value in a LATER row is then a
+                # data-quality error, not a wider inferred type
+                # (test_insert_properties: '4a5' under sample_rows=1)
+                import uuid as _uuid
+
+                from starrocks_spark.scratch import scratch_dir
+
+                n9 = max(int(sample_rows), 1)
+                samp = os.path.join(scratch_dir("oss_stage"),
+                                    "samp_" + _uuid.uuid4().hex[:8])
+                os.makedirs(samp, exist_ok=True)
+                with open(local_files[0], encoding="utf-8",
+                          errors="replace") as fh:
+                    head9 = fh.read().split(rd)[:n9]
+                with open(os.path.join(samp, "sample.csv"), "w",
+                          encoding="utf-8") as fh:
+                    fh.write(rd.join(head9))
+                probe9 = self.spark.read.options(**ropts).csv(samp)
+                # FE CSV inference types integers as BIGINT — a later
+                # row with a >int32 value is in-range, not an error
+                ddl9 = ", ".join(
+                    "`{}` {}".format(
+                        f.name,
+                        "bigint" if f.dataType.simpleString() in
+                        ("int", "smallint", "tinyint")
+                        else f.dataType.simpleString())
+                    for f in probe9.schema.fields)
+                ro9 = dict(ropts)
+                ro9.pop("inferSchema", None)
+                df = self.spark.read.options(**ro9) \
+                    .schema(ddl9).csv(path)
+            else:
+                df = self.spark.read.options(**ropts).csv(path)
+            if insert_ctx:
+                # FE load data-quality path: STRICT mode filters rows
+                # whose scan parse fails (bad typed field or too few
+                # fields); wider rows load their prefix; lenient mode
+                # (or fill_mismatch_column_with=null, which pads
+                # instead) NULLs bad fields. The filter-ratio decision
+                # happens in _insert (direct-column cast overflows add
+                # to the filtered count there).
+                strict = getattr(self, "_files_insert_strict", True)
+                total = df.count()
+                if strict and fill == "none":
+                    kept = self._csv_strict_rows(path, ropts, df,
+                                                 sep)
+                    self._files_load_state = (
+                        total, total - kept.count())
+                    df = kept
+                else:
+                    self._files_load_state = (total, 0)
+            elif fill == "none" and not desc_ctx:
+                # the FE fails the scan on the first row whose
+                # field count differs from the schema
+                # (TableFunctionTable fill_mismatch_column_with=none)
+                self._csv_check_counts(local_files, sep, rd,
+                                       len(df.columns))
+            cols = []
+            for i, f9 in enumerate(df.schema.fields, start=1):
+                c = F.col(f9.name)
+                if isinstance(f9.dataType,
+                              (T.ByteType, T.ShortType, T.IntegerType)):
+                    c = c.cast("bigint")
+                cols.append(c.alias(f"${i}"))
+            return df.select(*cols)
+        if fmt == "json":
+            return self.spark.read.json(path)
+        if fmt in ("parquet", "orc"):
+            file_schemas = self._file_schemas(local_files, fmt)
+            all_names: list[str] = []
+            for fs in file_schemas.values():
+                for n in fs:
+                    if n not in all_names:
+                        all_names.append(n)
+            want = ([n for n, _ in schema_cols] if schema_cols
+                    else all_names)
+            if fill == "none":
+                for f, names in file_schemas.items():
+                    for n in want:
+                        if n not in names:
+                            raise ValueError(
+                                f"Column: {n} is not found in file: "
+                                f"{f}. Consider setting "
+                                f"'fill_mismatch_column_with' = "
+                                f"'null' property.")
+            df = self.spark.read.format(fmt) \
+                .option("mergeSchema", "true").load(path)
+            json_cols = (self._parquet_json_cols(path)
+                         if fmt == "parquet" else set())
+            present = set(df.columns)
+            cols = []
+            if schema_cols is not None:
+                # name matching is case-SENSITIVE (`K2` does not find
+                # k2 — test_files_schema_csv records NULLs for it)
+                for n, t in schema_cols:
+                    c = (F.col(f"`{n}`") if n in present
+                         else F.lit(None))
+                    cols.append(c.cast(spark_type(t)).alias(n))
+                return df.select(*cols)
+            for f9 in df.schema.fields:
+                c = F.col(f9.name)
+                if f9.name in json_cols:
+                    # parquet JSON logical type: StarRocks maps it to
+                    # its JSON column type; Spark reads the physical
+                    # BYTE_ARRAY — carry it as a string and tag the
+                    # name so DESC/CTAS print `json`
+                    c = c.cast("string")
+                    self._files_json_cols.add(f9.name)
+                elif (fmt == "parquet"
+                        and isinstance(f9.dataType, T.TimestampType)):
+                    # the reference's recordings were made in a +08:00
+                    # session (its CI); parquet stores instants, so
+                    # render-parity needs the same wall-clock shift.
+                    # ORC stores writer-local wall clocks — no shift.
+                    c = F.from_utc_timestamp(c, "Asia/Shanghai")
+                cols.append(c.alias(f9.name))
+            return df.select(*cols)
+        raise ValueError(f"files: unsupported format {fmt}")
+
+    def _write_files(self, opts: dict[str, str], sel: str) -> None:
+        """INSERT INTO FILES(...) SELECT ... — write the result set as
+        files at the (staged) target path (fe TableFunctionTable sink;
+        engine side sources/files.py write_files)."""
+        from starrocks_spark.sources.files import write_files
+
+        fmt = opts.get("format", "parquet").lower()
+        path = self._resolve_files_path(opts["path"], create=True)
+        self._refresh_views()
+        df = self._select(sel)
+        wopts = {}
+        if "compression" in opts and \
+                opts["compression"].lower() != "uncompressed":
+            wopts["compression"] = opts["compression"].lower()
+        write_files(df, path, fmt=fmt, mode="append", **wopts)
+
+    def _list_files_df(self, opts: dict[str, str]) -> DataFrame:
+        """FILES(list_files_only=true): one row per listed object —
+        (path, size, is_dir), replicating the FE's object-store lister
+        (recorded in test_list_files):
+        - glob pattern: file matches list themselves; dir matches list
+          their children (non-recursive) or themselves + full subtree
+          (recursive)
+        - bare dir path with trailing /: children only (non-recursive)
+          or the dir itself + full subtree (recursive)
+        - bare dir path without /: the dir itself + children/subtree
+        """
+        import glob as _glob
+
+        raw = opts["path"]
+        path = self._resolve_files_path(raw)
+        recursive = (opts.get("list_recursively", "false").lower()
+                     == "true")
+        rows: list[tuple] = []
+
+        def _file_row(f9: str) -> None:
+            rows.append((f9, os.path.getsize(f9), False))
+
+        def _dir_row(d9: str) -> None:
+            rows.append((d9, 0, True))
+
+        def _children(d9: str) -> None:
+            for e9 in sorted(os.listdir(d9)):
+                fp9 = os.path.join(d9, e9)
+                _dir_row(fp9) if os.path.isdir(fp9) else _file_row(fp9)
+
+        def _walk(d9: str) -> None:
+            for root9, dirs9, fns9 in os.walk(d9):
+                for e9 in dirs9:
+                    _dir_row(os.path.join(root9, e9))
+                for e9 in fns9:
+                    _file_row(os.path.join(root9, e9))
+
+        if re.search(r"[*\[]", path):
+            for m9 in sorted(_glob.glob(path)):
+                if os.path.isfile(m9):
+                    _file_row(m9)
+                elif recursive:
+                    _dir_row(m9)
+                    _walk(m9)
+                else:
+                    _children(m9)
+        elif os.path.isdir(path):
+            if not raw.rstrip("*").endswith("/"):
+                _dir_row(path)
+            elif recursive:
+                _dir_row(path)
+            if recursive:
+                _walk(path)
+            else:
+                _children(path)
+        elif os.path.isfile(path):
+            _file_row(path)
+        if not rows:
+            raise ValueError(
+                "failed to parse files: No files were found matching "
+                "the pattern(s) or path(s)")
+        rows = sorted(set(rows))
+        return self.spark.createDataFrame(
+            rows, "path string, size bigint, is_dir boolean")
+
+    def _direct_positions(self, tail: str, width: int) -> list[bool]:
+        """Per-source-column flags: True when the INSERT's select-list
+        item at that position is a bare column reference (or comes
+        from *), False for computed expressions."""
+        m9 = re.match(r"\s*SELECT\s+(.*?)\s+FROM\s", tail,
+                      re.IGNORECASE | re.DOTALL)
+        if not m9:
+            return [False] * width
+        items = dialect._split_top_level(m9.group(1))
+        flags: list[bool] = []
+        star_span = width - (len(items) - 1)
+        for it in items:
+            it = it.strip()
+            if it == "*":
+                flags.extend([True] * max(star_span, 0))
+            else:
+                flags.append(bool(re.fullmatch(
+                    r"`?[\w$]+`?", it)))
+        return flags[:width] + [False] * (width - len(flags))
+
+    def _csv_strict_rows(self, path: str, ropts: dict, typed,
+                         sep: str):
+        """STRICT-mode scan: drop rows whose permissive parse was
+        malformed (unparseable typed field or too few fields), except
+        wider rows, which load their prefix (fe strict_mode load
+        semantics recorded in test_insert_properties)."""
+        import pyspark.sql.functions as F
+
+        ro = dict(ropts)
+        ro.pop("inferSchema", None)
+        ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                        for f in typed.schema.fields)
+        ncols = len(typed.columns)
+        df = self.spark.read.options(
+            **ro, columnNameOfCorruptRecord="__bad").schema(
+            ddl + ", __bad string").csv(path).cache()
+        # .cache() materializes the parse: Spark refuses filters that
+        # reference only the internal corrupt-record column otherwise
+        # (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+        wider = (F.size(F.split(F.col("__bad"),
+                                re.escape(sep))) > ncols)
+        keep = F.col("__bad").isNull() | wider
+        return df.filter(keep).drop("__bad")
+
+    def _csv_count_rows(self, files: list[str], sep: str, rd: str,
+                        ncols: int) -> tuple[int, int]:
+        """(total, mismatched) CSV row counts for the load-filter
+        ratio decision."""
+        total = bad = 0
+        for f in files:
+            if re.search(r"\.(gz|bz2|zst|lz4|deflate|snappy)$", f):
+                continue
+            try:
+                with open(f, encoding="utf-8",
+                          errors="replace") as fh:
+                    body = fh.read()
+            except OSError:
+                continue
+            for row in body.split(rd):
+                if not row:
+                    continue
+                total += 1
+                if row.count(sep) + 1 < ncols:
+                    # too-few fields filter; wider rows load their
+                    # prefix (recorded: only '4,Tom,30.4' is dropped,
+                    # the 5-field Jerry row keeps its first 4)
+                    bad += 1
+        return total, bad
+
+    def _csv_check_counts(self, files: list[str], sep: str,
+                          rd: str, ncols: int,
+                          only_fewer: bool = False) -> None:
+        """fill_mismatch_column_with=none: fail on the first CSV row
+        whose field count differs from the schema, with the FE's
+        message text."""
+        for f in files:
+            if re.search(r"\.(gz|bz2|zst|lz4|deflate|snappy)$", f):
+                continue  # count check on plain text only
+            try:
+                with open(f, encoding="utf-8", errors="replace") as fh:
+                    body = fh.read()
+            except OSError:
+                continue
+            for row in body.split(rd):
+                if not row:
+                    continue
+                n = row.count(sep) + 1
+                if (n < ncols) if only_fewer else (n != ncols):
+                    raise ValueError(
+                        f"Schema column count: {ncols} doesn't match "
+                        f"source value column count: {n}. Column "
+                        f"separator: '{sep}', Row delimiter: "
+                        f"'{rd}', Row: '{row}', File: {f}. Consider "
+                        f"setting 'fill_mismatch_column_with' = "
+                        f"'null' property.")
+
+    def _file_schemas(self, files: list[str],
+                      fmt: str) -> dict[str, list[str]]:
+        """Per-file top-level column names (pyarrow footer scans)."""
+        out: dict[str, list[str]] = {}
+        for f in files:
+            try:
+                if fmt == "parquet":
+                    import pyarrow.parquet as pq
+
+                    out[f] = list(pq.read_schema(f).names)
+                else:
+                    import pyarrow.orc as po
+
+                    out[f] = list(po.ORCFile(f).schema.names)
+            except Exception:  # noqa: BLE001 — unreadable sibling
+                continue
+        return out
+
+    def _parquet_json_cols(self, path: str) -> set:
+        """Column names with parquet logical type JSON under ``path``
+        (pyarrow footer scan of one file — metadata-scale)."""
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        pat = path if "*" in path else os.path.join(path, "*")
+        out: set = set()
+        for cand in sorted(_glob.glob(pat)):
+            if not os.path.isfile(cand):
+                continue
+            try:
+                sc = pq.ParquetFile(cand).schema
+            except Exception:  # noqa: BLE001 — non-parquet sibling
+                continue
+            for i in range(len(sc)):
+                col = sc.column(i)
+                if str(getattr(col, "logical_type", "")) == "JSON":
+                    out.add(col.name)
+            break
+        return out
+
+    def _files_sr_type(self, dt) -> str:
+        """Spark type → the name FILES()'s DESC prints (FE files
+        schema: strings report the max varchar length)."""
+        def leaf(t9, in_struct):
+            if t9 == "string":
+                return "varchar(1048576)"
+            m9 = re.match(r"decimal\((\d+),(\d+)\)$", t9)
+            if m9 and in_struct:
+                return f"decimal({m9.group(1)}, {m9.group(2)})"
+            return None
+        return _sr_from_spark(dt.simpleString(), scalar=leaf)
+
+    def _rw_files(self, stmt: str) -> str:
+        """Replace each FILES(...) call with a temp view over the
+        locally-staged read, and backtick $N positional refs so Spark
+        accepts the FE's CSV column names."""
+        pos0 = 0
+        while True:
+            m = re.search(r"\bfiles\s*\(", stmt[pos0:], re.IGNORECASE)
+            if m is None:
+                break
+            m = re.compile(r"\bfiles\s*\(", re.IGNORECASE).search(
+                stmt, pos0)
+            if re.search(r"INSERT\s+INTO\s*$", stmt[:m.start()],
+                         re.IGNORECASE):
+                # INSERT INTO FILES(...) is a SINK — leave it for
+                # _insert's _write_files; keep rewriting any source
+                # FILES() later in the statement
+                _, after = _strip_parens_block(stmt, m.end() - 1)
+                pos0 = after
+                continue
+            inner, after = _strip_parens_block(stmt, m.end() - 1)
+            opts = {k: v for k, v in self._FILES_KV_RE.findall(inner)}
+            df = self._read_files_df(opts)
+            self._files_seq += 1
+            vname = f"__files_{self._files_seq}"
+            df.createOrReplaceTempView(vname)
+            stmt = stmt[:m.start()] + vname + stmt[after:]
+        # $N column refs (CSV positional names) need backticks in Spark
+        out9, i9 = [], 0
+        while i9 < len(stmt):
+            ch9 = stmt[i9]
+            if ch9 in ("'", '"', "`"):
+                j9 = dialect.skip_quoted(stmt, i9)
+                out9.append(stmt[i9:j9])
+                i9 = j9
+                continue
+            m9 = re.match(r"\$\d+", stmt[i9:])
+            if m9:
+                out9.append(f"`{m9.group(0)}`")
+                i9 += m9.end()
+                continue
+            out9.append(ch9)
+            i9 += 1
+        return "".join(out9)
 
     _ANN_PROBE_RE = re.compile(
         r"^\s*SELECT\s+`?(\w+)`?\s+FROM\s+`?(\w+)`?\s+"
@@ -2694,16 +3489,53 @@ class ScriptRunner:
         cm = self._CTAS_RE.match(stmt)
         if cm:
             # CTAS (StarRocks.g4 createTableAsSelectStatement): the
-            # result schema defines the table; model defaults to
-            # duplicate-key on the leading column
+            # result schema defines the table after the FE's column
+            # transform (AnalyzerUtils.transformTableColumnType:1512 —
+            # float/double become decimal(38,9) so they can be keys;
+            # varchar widens to the OLAP max 1048576); default keys are
+            # the shortkey prefix (CreateTableAnalyzer.java:325)
             sel = stmt[cm.start(2):]
             self._refresh_views()
             df = self.spark.sql(translate_select_spark(sel))
-            d = TableDef(cm.group(1), [
-                ColumnDef(f.name, _sr_from_spark(f.dataType.simpleString()))
-                for f in df.schema.fields
-            ])
-            d.key_cols = [d.cols[0].name]
+            cols, casts = [], []
+            import pyspark.sql.functions as F9
+
+            def _ctas_leaf(t9, in_struct):
+                # AnalyzerUtils.transformTableColumnType applied
+                # recursively; struct fields print display widths and
+                # spaced decimals (AstToSQLBuilder)
+                if t9 in ("double", "float"):
+                    return ("decimal(38, 9)" if in_struct
+                            else "decimal(38,9)")
+                if t9 == "string":
+                    return "varchar(1048576)"
+                if in_struct and t9 in ("int", "integer"):
+                    return "int(11)"
+                return None
+
+            for f in df.schema.fields:
+                simple = f.dataType.simpleString()
+                sr = _sr_from_spark(simple, scalar=_ctas_leaf)
+                if simple == "string" \
+                        and f.name in self._files_json_cols:
+                    sr = "json"
+                    casts.append(F9.col(f.name))
+                    cols.append(ColumnDef(f.name, sr))
+                    continue
+                if re.search(r"\b(double|float)\b", simple):
+                    # the transform converts float family to
+                    # decimal(38,9) at any nesting depth; Spark casts
+                    # composites wholesale by DDL text
+                    tgt = re.sub(r"\b(double|float)\b",
+                                 "decimal(38,9)", simple)
+                    casts.append(F9.col(f.name).cast(tgt)
+                                 .alias(f.name))
+                else:
+                    casts.append(F9.col(f.name))
+                cols.append(ColumnDef(f.name, sr))
+            df = df.select(*casts)
+            d = TableDef(cm.group(1), cols)
+            d.key_cols = _ctas_default_keys(cols)
             self.tables[d.name] = ManagedTable.create(
                 self.spark, d.model, d.key_cols)
             self.defs[d.name] = d
@@ -2727,6 +3559,35 @@ class ScriptRunner:
 
     def _insert(self, stmt: str) -> None:
         stmt = _SETVAR_HINT_RE.sub("", stmt)
+        fm9 = re.match(r"\s*INSERT\s+INTO\s+files\s*\(", stmt,
+                       re.IGNORECASE)
+        if fm9:
+            # INSERT INTO FILES(...) — file sink
+            # (fe TableFunctionTable as an insert target; engine side
+            # sources/files.py write_files)
+            inner, after = _strip_parens_block(stmt, fm9.end() - 1)
+            self._write_files(dict(self._FILES_KV_RE.findall(inner)),
+                              stmt[after:].strip())
+            return
+        # INSERT INTO t PROPERTIES ("k"="v") SELECT ... — per-load
+        # properties (max_filter_ratio etc.); statement-scoped
+        saved_ratio = None
+        pm9 = re.search(r"\bPROPERTIES\s*\(", stmt, re.IGNORECASE)
+        if pm9:
+            inner, after = _strip_parens_block(stmt, pm9.end() - 1)
+            props9 = dict(self._FILES_KV_RE.findall(inner))
+            stmt = stmt[:pm9.start()] + stmt[after:]
+            if "max_filter_ratio" in props9:
+                saved_ratio = self.vars.get("insert_max_filter_ratio",
+                                            "0")
+                self.vars["insert_max_filter_ratio"] = \
+                    props9["max_filter_ratio"]
+            try:
+                self._insert(stmt)
+            finally:
+                if saved_ratio is not None:
+                    self.vars["insert_max_filter_ratio"] = saved_ratio
+            return
         lm = re.search(r"\bWITH\s+LABEL\s+`?(\w+)`?\s*", stmt,
                        re.IGNORECASE)
         if lm:
@@ -2840,6 +3701,26 @@ class ScriptRunner:
                     _rw_map_literals(" UNION ALL ".join(rows))))
         else:  # INSERT INTO ... SELECT
             self._refresh_views()
+            if by_name and getattr(self, "_files_push_down", False):
+                # enable_push_down_schema: the target schema is pushed
+                # into the file scan — absent columns read as NULL,
+                # extra file columns leave the scan schema (so * binds
+                # to the TARGET columns), and present ones take the
+                # target type (test_insert_push_down_schema)
+                import pyspark.sql.functions as F0
+
+                for v0 in set(re.findall(r"\b(__files_\d+)\b",
+                                         tail)):
+                    fdf0 = self.spark.table(v0)
+                    low0 = {c.lower(): c for c in fdf0.columns}
+                    sel0 = []
+                    for c in d.cols:
+                        src0 = low0.get(c.name.lower())
+                        col0 = (F0.col(src0) if src0 is not None
+                                else F0.lit(None))
+                        sel0.append(col0.cast(spark_type(c.sr_type))
+                                    .alias(c.name))
+                    fdf0.select(*sel0).createOrReplaceTempView(v0)
             src = self.spark.sql(translate_select_spark(tail))
             if by_name:
                 # INSERT ... BY NAME: match source columns to table
@@ -2853,15 +3734,109 @@ class ScriptRunner:
                                  for i in range(len(src.columns))])
                 by_pos = dict(zip(listed, src.columns))
             from pyspark.sql import functions as F
+            from pyspark.sql import types as T9
 
+            src_types = {f.name: f.dataType for f in src.schema.fields}
+
+            _INT_BOUNDS = {"TINYINT": 2 ** 7, "SMALLINT": 2 ** 15,
+                           "INT": 2 ** 31, "INTEGER": 2 ** 31,
+                           "BIGINT": 2 ** 63}
+
+            def _int_safe_cast(col9, tgt: str, sdt):
+                # numeric→integral overflow is NULL in the reference;
+                # Spark's non-ANSI cast WRAPS longs and CLAMPS doubles
+                lim = _INT_BOUNDS.get(tgt.upper())
+                if lim is None or not isinstance(
+                        sdt, (T9.LongType, T9.IntegerType,
+                              T9.ShortType, T9.DoubleType,
+                              T9.FloatType, T9.DecimalType)):
+                    return col9.cast(tgt)
+                # bounds as SQL literals: 2^63 exceeds the py4j long
+                # range, a Python int comparand would NumberFormat
+                wide = col9.cast("decimal(38,4)")
+                lo = F.expr(f"CAST(-{lim} AS DECIMAL(38,4))")
+                hi = F.expr(f"CAST({lim} AS DECIMAL(38,4))")
+                return F.when((wide >= lo) & (wide < hi),
+                              col9.cast(tgt))
+
+            def _coerce(cname: str, sr_type: str):
+                tgt = spark_type(sr_type)
+                sdt = src_types.get(cname)
+                if (re.match(r"(array|map|struct)\b", tgt,
+                             re.IGNORECASE)
+                        and isinstance(sdt, (T9.StringType,
+                                             T9.BinaryType))):
+                    # StarRocks casts JSON text to complex types
+                    # (json→array in the files suites); Spark needs an
+                    # explicit parse
+                    return F.from_json(F.col(cname).cast("string"), tgt)
+                return _int_safe_cast(F.col(cname), tgt, sdt)
+
+            state9 = getattr(self, "_files_load_state", None)
+            if state9 is not None and getattr(
+                    self, "_files_insert_strict", True):
+                # STRICT load: a DIRECT source-column → integral
+                # target whose cast overflows FILTERS the row (counts
+                # toward max_filter_ratio); computed expressions NULL
+                # instead (test_insert_properties: select 10,*,20
+                # filters the 2147483648 row, select $2+1 keeps it
+                # with NULL)
+                total9, bad9 = state9
+                direct9 = self._direct_positions(tail,
+                                                 len(src.columns))
+                mask9 = None
+                for c in d.cols:
+                    if c.name not in by_pos or c.name not in listed:
+                        continue
+                    src_c = by_pos[c.name]
+                    try:
+                        pos9 = list(src.columns).index(src_c)
+                    except ValueError:
+                        continue
+                    if pos9 >= len(direct9) or not direct9[pos9]:
+                        continue
+                    if not re.match(r"(tiny|small|big|large)?int",
+                                    c.sr_type.lower()):
+                        continue
+                    m9 = (F.col(src_c).isNotNull()
+                          & _int_safe_cast(
+                              F.col(src_c), spark_type(c.sr_type),
+                              src_types.get(src_c)).isNull())
+                    mask9 = m9 if mask9 is None else (mask9 | m9)
+                if mask9 is not None:
+                    bad9 += src.filter(mask9).count()
+                    src = src.filter(~mask9)
+                ratio9 = float(self.vars.get(
+                    "insert_max_filter_ratio", "0") or 0)
+                if bad9 and (ratio9 == 0
+                             or bad9 / max(total9, 1) > ratio9):
+                    raise ValueError(
+                        f"Insert has filtered data in strict mode. "
+                        f"txn_id: 0, input_rows: {total9}, "
+                        f"filtered_rows: {bad9}")
+                self._files_load_state = None
             batch = src.select(*[
-                F.col(by_pos[c.name]).cast(spark_type(c.sr_type))
-                .alias(c.name)
+                _coerce(by_pos[c.name], c.sr_type).alias(c.name)
                 if c.name in by_pos and c.name in listed
                 else F.expr(c.default or "NULL")
                 .cast(spark_type(c.sr_type)).alias(c.name)
                 for c in d.cols
             ])
+            auto0 = [c for c in d.cols if c.auto_inc
+                     and not (c.name in by_pos and c.name in listed)]
+            if auto0:
+                # unlisted AUTO_INCREMENT columns draw the next
+                # sequence ids (fe auto-inc id allocation per load)
+                from pyspark.sql import Window as W0
+
+                n0 = batch.count()
+                seq0 = F.row_number().over(
+                    W0.orderBy(F.monotonically_increasing_id()))
+                for c in auto0:
+                    batch = batch.withColumn(
+                        c.name, (seq0 + F.lit(d.auto_seq))
+                        .cast(spark_type(c.sr_type)))
+                d.auto_seq += n0
         # varchar(n)/char(n) length enforcement: overlong rows are
         # FILTERED (load data-quality path); insert_max_filter_ratio=0
         # (the default) fails the load instead (fe Load filter ratio)
@@ -3944,6 +4919,17 @@ def parse_r_file(text: str) -> list[tuple[str, list[str], bool]]:
             # the reference's per-case isolation does
             if re.match(r"--\s*name\s*:", s) and out:
                 out.append((_SECTION_MARK, [], True))
+            elif _OSS_SHELL_RE.match(s) and expected is None:
+                # ossutil staging step: run it (locally replayed) in
+                # script order, unchecked — its recorded output is the
+                # oss CLI's transfer log. Statements buffered without
+                # a result block (create database/use before the
+                # staging) flush first, unchecked, to keep order.
+                for p9 in split_statements("\n".join(stmt_lines),
+                                           keep_tags=True):
+                    _emit(p9, [], unchecked=True)
+                stmt_lines = []
+                out.append((f"{_SHELLFILE_MARK}{s}", [], True))
             continue
         stmt_lines.append(ln)
     return out
@@ -4295,6 +5281,15 @@ def _rows_match(expected: list[str], actual: list[str],
 # WHY. Matching statements are recorded as explicit skips — they stay
 # visible in the suite's skip budget, never silently dropped.
 KNOWN_DIFFS: dict[str, str] = {
+    # Spark's ORC reader (and pyarrow's) erases char(30)/varchar(200)
+    # lengths to plain string, so the CTAS'd struct prints
+    # varchar(1048576) for those two fields; every other field of the
+    # struct (int(11)/decimal(38, 9)/date/datetime/boolean) matches.
+    # Suite-scoped key: waives ONLY this suite's desc t1.
+    "test_orc_struct::desc t1":
+        "ORC char/varchar lengths inside structs are erased by the "
+        "Spark ORC reader — those two fields print the max varchar "
+        "length",
     # uint64 ids above BIGINT (2^63) — bitmaps are ARRAY<BIGINT> here;
     # the unsigned top half is the documented LARGEINT-class cap (the
     # generating inserts fail, so the select sees an empty table).
@@ -4463,7 +5458,8 @@ def run_suite_expected(spark: SparkSession, suite: str, case: str,
     matched count (so silent mass-skipping can't fake a pass)."""
     path = os.path.join(root, suite, "R", case)
     with open(path, encoding="utf-8") as f:
-        pairs = parse_r_file(f.read())
+        rtext = f.read()
+    pairs = parse_r_file(rtext)
     runner = ScriptRunner(spark, strict=False)
     cloudish = ("cloud" in case.lower() or "lake" in suite.lower()
                 or "lake" in case.lower())
@@ -4515,8 +5511,9 @@ def run_suite_expected(spark: SparkSession, suite: str, case: str,
         # [REGEX] expectation: the recorded "result" is a pattern the
         # output — or, for expected failures, the ERROR MESSAGE —
         # must match (sr_sql_lib.py REGEX_FLAG handling)
-        rx = (expected[0][len("[REGEX]"):]
-              if len(expected) == 1 and expected[0].startswith("[REGEX]")
+        rx = ("\n".join([expected[0][len("[REGEX]"):]]
+                        + expected[1:])
+              if expected and expected[0].startswith("[REGEX]")
               else None)
         res = runner.execute(stmt)
         if res.kind == "skipped":
@@ -4562,8 +5559,12 @@ def run_suite_expected(spark: SparkSession, suite: str, case: str,
                     _UNORDERED_ARRAY_FNS.search(stmt) is not None)):
             matched += 1
         else:
-            reason = KNOWN_DIFFS.get(
-                " ".join(stmt.split()).rstrip(";"))
+            norm9 = " ".join(stmt.split()).rstrip(";")
+            # suite-scoped entries ("case::stmt") take precedence so a
+            # generic statement text (desc t1) can be waived in ONE
+            # suite without hiding disagreements elsewhere
+            reason = KNOWN_DIFFS.get(f"{case}::{norm9}",
+                                     KNOWN_DIFFS.get(norm9))
             if reason is not None:
                 # the ledger waives only ACTUAL disagreements — a
                 # listed statement that matches still counts checked

@@ -231,6 +231,41 @@ def _suite_oracle(suite: str, case: str, idx: int,
                               out_names, casts)
 
 
+_FILES_FIXTURES = os.path.join(os.path.dirname(REFERENCE_SQL_ROOT),
+                               "sql", "test_files", "csv_format")
+
+
+def _files_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9 FILES() tier driver row: replay the reference's csv_format
+    staging steps (shell: ossutil64 cp → local scratch), read through
+    FILES() with the suite's verbatim options, and aggregate. The
+    DuckDB oracle reads the SAME shipped fixtures with read_csv —
+    two independent CSV readers agreeing on typed values."""
+    runner = ScriptRunner(spark, strict=False)
+    for f in ("basic1.csv", "basic2.csv"):
+        runner.execute(
+            f"__shellfile__ shell: ossutil64 cp --force "
+            f"./sql/test_files/csv_format/{f} "
+            f"oss://bkt/test_files/csv_format/drv/")
+    res = runner.execute(
+        'select $1 as id, $2 as name, $3 + 1 as score1, '
+        'cast($4 as int) as flag from files('
+        '"path" = "oss://bkt/test_files/csv_format/drv/*", '
+        '"format" = "csv", "csv.column_separator" = ",", '
+        '"csv.row_delimiter" = "\\n") order by id')
+    return res.df
+
+
+_FILES_ORACLE = f"""
+SELECT c1 AS id, c2 AS name, c3 + 1 AS score1,
+       CAST(c4 AS INT) AS flag
+FROM read_csv('{_FILES_FIXTURES}/basic[12].csv', header=false,
+              columns={{'c1':'BIGINT','c2':'VARCHAR','c3':'DOUBLE',
+                        'c4':'BOOLEAN'}})
+ORDER BY id
+"""
+
+
 QUERIES = {}
 ORACLE = {}
 if reference_available:
@@ -239,3 +274,5 @@ if reference_available:
         QUERIES[_name] = _suite_query(_suite, _case, _idx, _names, _norm)
         ORACLE[_name] = _suite_oracle(_suite, _case, _idx, _names,
                                        _casts)
+    QUERIES["dialect_sqltester_files"] = _files_query
+    ORACLE["dialect_sqltester_files"] = _FILES_ORACLE

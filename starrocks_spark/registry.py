@@ -101,9 +101,12 @@ _MODULES = [
 # TPC-H/window/setop/asof/funnel families) whose shared engine core
 # moved since their last driver check.
 _PRIORITY = [
-    # --- r8 formerly-red rows (type-normalized; stay until a green
-    # driver round confirms) + the whole SQL-tester tier whose runner
-    # moved this round (MV DDL, bitmap layer, index DDL, DML sweep)
+    # --- r9 NEW: FILES() acceptance tier (oss:// staging replay,
+    # option surface, strict-load semantics) — plus every SQL-tester
+    # row, since the runner changed broadly this round (classify word
+    # boundaries, files preamble, INSERT strict/ratio path, CTAS
+    # column transform, parse_r_file shell staging)
+    "dialect_sqltester_files",
     "dialect_sqltester_case_when",
     "dialect_sqltester_orderby_agg",
     "dialect_sqltester_asof_join",
@@ -116,50 +119,49 @@ _PRIORITY = [
     "dialect_sqltester_shorthand_cast",
     "dialect_sqltester_pk_partial_update",
     "dialect_sqltester_delete_conditions",
-    # --- r8 NEW: MV DDL tier, index DDL tier, bitmap SQL surface
     "dialect_sqltester_mv",
     "dialect_sqltester_vector_index",
     "dialect_bitmap_sql_surface",
-    # --- r8 changed engine code: q14 cache pin; models.py (agg fns,
-    # replace tie-breaks) behind the table models + streaming upsert;
-    # functions/bitmap.py behind the bitmap value ops
-    "tpcds_q14_cross_channel",
-    "table_primary_upsert_delete",
-    "table_merge_into_customers",
-    "table_merge_conditional",
+    # --- r9 changed engine code: models.py REPLACE fallback now
+    # prefers stamped load order in the rollup merge path; murmur
+    # chained-seed mask touches every fingerprint/hash row
     "table_agg_keys_rollup",
     "table_dup_keys_batches",
     "table_rollup_autoselect",
-    "stream_upsert_latest",
-    "func_bitmap_value_ops",
-    "unnest_bitmap_users",
-    # --- never-driver-checked rows, stalest families first (local
-    # pytest oracle mirror covers the rest every round)
-    "window_ignore_nulls",
-    "agg_corr_fixed",
-    "tpcds_q3_brand_year_net",
-    "tpcds_q7_demo_avgs",
-    "tpcds_q8_prefix_intersect",
-    "tpcds_q9_case_buckets",
-    "tpcds_q13_or_band_avgs",
-    "tpcds_q15_or_gate_nations",
-    "tpcds_q16_multi_supplier_clean",
-    "tpcds_q17_qty_stddev",
-    "tpcds_q18_rollup_avgs",
-    "tpcds_q19_cross_nation_brand",
-    "tpcds_q22_qoh_rollup",
-    "tpcds_q23_frequent_best",
-    "tpcds_q25_sold_returned_resold",
-    "tpcds_q27_rollup_item_avgs",
-    "tpcds_q28_band_stats",
-    "tpcds_q29_resold_quantities",
-    "tpcds_q31_nation_growth",
-    "tpcds_q32_excess_discount",
-    "tpcds_q35_demographic_stats",
-    "tpcds_q37_onhand_window",
-    "tpcds_q40_pivot_returns",
-    "tpcds_q41_item_exists",
-    "tpcds_q43_weekday_pivot",
+    "table_agg_keys_hll",
+    "table_primary_upsert_delete",
+    "func_hash_family",
+    "fingerprint_common_fragments",
+    # --- rotation: stalest never-driver-checked families (ssb last
+    # checked r2, funnel/retention r2, dedup/ann r5-r6, engine-side
+    # FILES round-trips r3-r4)
+    "ssb_q1_1",
+    "ssb_q1_2",
+    "ssb_q1_3",
+    "ssb_q2_1",
+    "ssb_q2_2",
+    "ssb_q2_3",
+    "ssb_q3_1",
+    "ssb_q3_2",
+    "ssb_q3_3",
+    "ssb_q3_4",
+    "ssb_q4_1",
+    "ssb_q4_2",
+    "ssb_q4_3",
+    "funnel_counts",
+    "funnel_modes",
+    "retention_weekly",
+    "dedup_exact_clusters",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "ann_brute_force",
+    "ann_ivf_probe",
+    "ann_lsh_bucketed",
+    "files_csv_roundtrip",
+    "files_json_roundtrip",
+    "files_orc_partitioned_export",
+    "multimodal_wav_decode",
+    "asof_purchase_view",
 ]
 
 
