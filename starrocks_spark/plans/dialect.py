@@ -638,6 +638,278 @@ def _rw_array_agg_over(args: list[str], over: str | None):
             f"('v', {a0})){w}, s -> s.v)")
 
 
+def _dw_scale_in(arg: str) -> int | None:
+    """Decimal scale of a DISTINCT-agg argument (explicit cast),
+    shared by the framed and unbounded desugars. The sqltester's
+    int-overflow guard rewrites CAST(x AS BIGINT) into a CASE
+    carrying TRY_CAST(... AS DECIMAL(38,0)) comparisons — its ELSE
+    branch holds the TRUE target type, so an int-family ELSE wins
+    over any decimal text in the guard."""
+    guard_int = re.search(
+        r"ELSE\s+TRY_CAST\s*\(.*?\bAS\s+(?:big|small|tiny)?int\b",
+        arg, re.IGNORECASE | re.DOTALL)
+    tmx = None if guard_int else re.search(
+        r"\bAS\s+DECIMAL\s*\(\s*\d+\s*,\s*(\d+)\s*\)",
+        arg, re.IGNORECASE)
+    s = int(tmx.group(1)) if tmx else None
+    # scale-0 decimal = LARGEINT's mapped type — integer family
+    return None if s == 0 else s
+
+
+def _exact_avg_render(sum_expr: str, cnt_expr: str, s_in: int) -> str:
+    """EXACT decimal division (a double intermediate mangles digits
+    beyond ~16): (28,s)/(10,0) divides losslessly at scale >= 18
+    under Spark's precision-loss adjustment, then rounds half-up to
+    the reference's render scale (sum keeps s capped at 18, avg
+    widens to s+6 capped at 18 — solved against the recorded
+    fingerprints of test_distinct_aggregation_over_framed_window)."""
+    s_sum = min(s_in, 18)
+    s_out = min(s_in + 6, 18)
+    return (f"CAST(CAST({sum_expr} AS DECIMAL(28,{s_sum})) / "
+            f"CAST({cnt_expr} AS DECIMAL(10,0)) "
+            f"AS DECIMAL(38,{s_out}))")
+
+
+def _int_avg_render(sum_expr: str, cnt_expr: str) -> str:
+    """avg over the integer family: the reference computes at DECIMAL
+    scale 6 and renders with trailing zeros stripped — exactly a
+    DOUBLE render of the 6-digit rounding."""
+    return (f"CAST(CAST(CAST({sum_expr} AS DECIMAL(28,6)) / "
+            f"CAST({cnt_expr} AS DECIMAL(10,0)) "
+            f"AS DECIMAL(38,6)) AS DOUBLE)")
+
+
+def _paren_span(text: str, i: int) -> tuple[str | None, int]:
+    """``text[i]`` is '(': return (inner text, index past the close),
+    quote-aware. (None, i) when unbalanced."""
+    depth, j, n = 0, i, len(text)
+    while j < n:
+        ch = text[j]
+        if ch in ("'", '"'):
+            j = skip_quoted(text, j)
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return text[i + 1:j], j + 1
+        j += 1
+    return None, i
+
+
+def _kw_pos(text: str, kw: str, start: int = 0) -> int:
+    """First top-level (paren-depth-0, unquoted) position of keyword
+    ``kw`` in text, or -1."""
+    depth, i, n = 0, start, len(text)
+    kl = len(kw)
+    while i < n:
+        ch = text[i]
+        if ch in ("'", '"'):
+            i = skip_quoted(text, i)
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (depth == 0 and text[i:i + kl].upper() == kw.upper()
+              and (i == 0 or not (text[i - 1].isalnum()
+                                  or text[i - 1] == "_"))
+              and (i + kl >= n or not (text[i + kl].isalnum()
+                                       or text[i + kl] == "_"))):
+            return i
+        i += 1
+    return -1
+
+
+def _find_distinct_over_unbounded(sql: str):
+    """First ``count|sum|avg(DISTINCT x) OVER (partition-only)``
+    call: (start, end, fname, arg, over_inner) or None. Windows with
+    ORDER BY or an explicit frame are left to the set-based desugar
+    (their state is bounded by the frame)."""
+    for m in re.finditer(r"\b(count|sum|avg)\s*\(", sql, re.IGNORECASE):
+        arg, after = _paren_span(sql, m.end() - 1)
+        if arg is None:
+            continue
+        dm = re.match(r"\s*DISTINCT\b(.*)$", arg,
+                      re.IGNORECASE | re.DOTALL)
+        if not dm:
+            continue
+        om = re.match(r"\s*OVER\s*\(", sql[after:], re.IGNORECASE)
+        if not om:
+            continue
+        over, oafter = _paren_span(sql, after + om.end() - 1)
+        if over is None or re.search(
+                r"\bORDER\s+BY\b|\bROWS\b|\bRANGE\b", over,
+                re.IGNORECASE):
+            continue
+        return (m.start(), oafter, m.group(1).lower(),
+                dm.group(1).strip(), over.strip())
+    return None
+
+
+def _owner_select_pos(sql: str, pos: int) -> tuple[int, int]:
+    """(index of the SELECT owning position ``pos``, its paren
+    depth) — the nearest preceding SELECT at pos's depth."""
+    depth, i = 0, 0
+    sel_at: dict[int, int] = {}
+    while i < pos:
+        ch = sql[i]
+        if ch in ("'", '"'):
+            i = skip_quoted(sql, i)
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            sel_at.pop(depth, None)
+            depth -= 1
+        elif (sql[i:i + 6].upper() == "SELECT"
+              and (i == 0 or not (sql[i - 1].isalnum()
+                                  or sql[i - 1] == "_"))
+              and not (sql[i + 6:i + 7].isalnum()
+                       or sql[i + 6:i + 7] == "_")):
+            sel_at[depth] = i
+        i += 1
+    return sel_at.get(depth, -1), depth
+
+
+def _select_block_end(sql: str, owner: int, depth: int) -> int:
+    """End of the SELECT block starting at ``owner``: the close-paren
+    that drops below its depth, or a same-depth set-op keyword, or
+    end of text."""
+    d, i, n = 0, owner, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch in ("'", '"'):
+            i = skip_quoted(sql, i)
+            continue
+        if ch == "(":
+            d += 1
+        elif ch == ")":
+            if d == 0:
+                return i
+            d -= 1
+        elif d == 0 and i > owner:
+            for kw in ("UNION", "EXCEPT", "INTERSECT"):
+                if (sql[i:i + len(kw)].upper() == kw
+                        and not (sql[i - 1].isalnum()
+                                 or sql[i - 1] == "_")):
+                    return i
+        i += 1
+    return n
+
+
+def _dw_replace_calls(text: str, helpers: dict) -> str:
+    """Rewrite every qualifying DISTINCT-over call in ``text`` into a
+    first-occurrence-marker aggregate, registering marker definitions
+    in ``helpers`` keyed by (arg, over)."""
+    while True:
+        h = _find_distinct_over_unbounded(text)
+        if h is None:
+            return text
+        s0, e0, fn, x, ov = h
+        pkey = (x.lower(), ov.lower())
+        if pkey not in helpers:
+            hn = f"__dw{len(helpers)}"
+            pm = re.match(r"PARTITION\s+BY\s+(.*)$", ov,
+                          re.IGNORECASE | re.DOTALL)
+            plist = ((pm.group(1).strip() + ", ") if pm else "") + x
+            helpers[pkey] = (
+                hn, f"row_number() OVER (PARTITION BY {plist} "
+                    f"ORDER BY {x}) AS {hn}")
+        hn = helpers[pkey][0]
+        ow = f" OVER ({ov})"
+        first = f"CASE WHEN {hn} = 1 THEN ({x}) END"
+        cnt = (f"sum(CASE WHEN {hn} = 1 AND ({x}) IS NOT NULL "
+               f"THEN 1 END){ow}")
+        s_in = _dw_scale_in(x)
+        is_float = re.search(r"\bAS\s+(FLOAT|DOUBLE)\b", x,
+                             re.IGNORECASE)
+        if fn == "count":
+            rep = f"coalesce({cnt}, 0)"
+        elif fn == "sum":
+            if s_in is not None:
+                acc_s = min(s_in, 18)
+                rep = (f"CAST(sum(CAST({first} AS "
+                       f"DECIMAL(37,{acc_s}))){ow} "
+                       f"AS DECIMAL(38,{acc_s}))")
+            elif is_float:
+                rep = f"sum(CAST({first} AS DOUBLE)){ow}"
+            else:
+                rep = f"sum(CAST({first} AS BIGINT)){ow}"
+        else:  # avg
+            if s_in is not None:
+                acc_s = min(s_in, 18)
+                ssum = (f"sum(CAST({first} AS "
+                        f"DECIMAL(37,{acc_s}))){ow}")
+                rep = _exact_avg_render(ssum, cnt, s_in)
+            elif is_float:
+                rep = (f"(sum(CAST({first} AS DOUBLE)){ow} / {cnt})")
+            else:
+                ssum = f"sum(CAST({first} AS BIGINT)){ow}"
+                rep = _int_avg_render(ssum, cnt)
+        text = text[:s0] + rep + text[e0:]
+
+
+def _rw_distinct_over_unbounded(sql: str) -> str:
+    """DISTINCT aggregates over an UNBOUNDED window (no ORDER BY, no
+    frame — the whole partition, test_distinct_aggregation_over_
+    window_without_sliding_frame). The expression-level desugar
+    (collect_set over the frame) writes the partition's distinct set
+    into EVERY output row — O(n*d) bytes per partition, quadratic
+    when d~n — where the reference's window state is O(1)-per-row
+    (be/src/exprs/agg/window.h). Restructure instead: an inner
+    projection marks each (partition, value) pair's first occurrence
+    with row_number(), the outer window SUMS the markers — scalar
+    state only, safe at any partition size. Framed (sliding) windows
+    keep the set-based desugar: their state is bounded by the frame
+    length."""
+    for _ in range(16):
+        hit = _find_distinct_over_unbounded(sql)
+        if hit is None:
+            return sql
+        owner, depth = _owner_select_pos(sql, hit[0])
+        if owner < 0:
+            return sql
+        end = _select_block_end(sql, owner, depth)
+        block = sql[owner:end]
+        if re.match(r"SELECT\s+DISTINCT\b", block, re.IGNORECASE):
+            return sql
+        fp = _kw_pos(block, "FROM")
+        if fp < 0 or _kw_pos(block, "GROUP") >= 0:
+            return sql
+        sel = block[len("SELECT"):fp]
+        rest = block[fp:]
+        tps = [p for p in (_kw_pos(rest, "ORDER"),
+                           _kw_pos(rest, "LIMIT")) if p >= 0]
+        tp = min(tps) if tps else -1
+        body, tail = ((rest, "") if tp < 0
+                      else (rest[:tp], " " + rest[tp:]))
+        helpers: dict = {}
+        new_sel = _dw_replace_calls(sel, helpers)
+        if not helpers:
+            return sql
+        hdefs = ", ".join(d for _, d in helpers.values())
+        new_block = (f"SELECT {new_sel.strip()} FROM (SELECT *, "
+                     f"{hdefs} {body.strip()}) __dwsrc{tail}")
+        sql = sql[:owner] + new_block + sql[end:]
+    return sql
+
+
+def _rw_round_single(args: list[str]) -> str | None:
+    """round(x) with one argument: BIGINT result via a DOUBLE hop
+    (be math_functions.cpp round). Arguments that mention decimals
+    keep Spark's decimal round — the reference's decimal overload
+    returns DECIMAL(p,0) with the same render."""
+    if len(args) != 1:
+        return None
+    a = args[0]
+    if re.search(r"DECIMAL", a, re.IGNORECASE) \
+            or re.search(r"(?<![\w.])\d+\.\d+", a):
+        return None
+    return f"CAST(\0round\0(CAST(({a}) AS DOUBLE)) AS BIGINT)"
+
+
 def _rw_distinct_agg_over(name: str):
     """DISTINCT scalar aggregates over a window (Spark rejects
     DISTINCT in window functions; the reference evaluates them —
@@ -651,58 +923,23 @@ def _rw_distinct_agg_over(name: str):
         dm = re.match(r"^\s*DISTINCT\s+(.*)$", args[0],
                       re.IGNORECASE | re.DOTALL)
         w = f" OVER ({over})"
-        # decimal scale of the argument (explicit cast), and the
-        # reference's RESULT scales: sum keeps s capped at 18
-        # (decimal128 sum render), avg widens to s+6 capped at 18 —
-        # both solved empirically against the recorded fingerprints
-        # of test_distinct_aggregation_over_framed_window (s=2 → avg
+        # result scales: sum keeps s capped at 18 (decimal128 sum
+        # render), avg widens to s+6 capped at 18 — both solved
+        # empirically against the recorded fingerprints of
+        # test_distinct_aggregation_over_framed_window (s=2 → avg
         # scale 8; s=19 → sum and avg scale 18)
-        # the sqltester's int-overflow guard rewrites CAST(x AS
-        # BIGINT) into a CASE carrying TRY_CAST(... AS DECIMAL(38,0))
-        # comparisons — its ELSE branch holds the TRUE target type, so
-        # an int-family ELSE wins over any decimal text in the guard
-        guard_int = re.search(
-            r"ELSE\s+TRY_CAST\s*\(.*?\bAS\s+(?:big|small|tiny)?int\b",
-            args[0] if args else "", re.IGNORECASE | re.DOTALL)
-        tmx = None if guard_int else re.search(
-            r"\bAS\s+DECIMAL\s*\(\s*\d+\s*,\s*(\d+)\s*\)",
-            args[0] if args else "", re.IGNORECASE)
-        s_in = int(tmx.group(1)) if tmx else None
-
-        def exact_avg(sum_expr: str, cnt_expr: str) -> str:
-            # EXACT decimal division (a double intermediate mangles
-            # digits beyond ~16): (28,s)/(10,0) divides losslessly at
-            # scale ≥ 18 under Spark's precision-loss adjustment, then
-            # rounds half-up to the reference's render scale
-            s_sum = min(s_in, 18)
-            s_out = min(s_in + 6, 18)
-            return (f"CAST(CAST({sum_expr} AS DECIMAL(28,{s_sum})) / "
-                    f"CAST({cnt_expr} AS DECIMAL(10,0)) "
-                    f"AS DECIMAL(38,{s_out}))")
-
-        def int_avg(sum_expr: str, cnt_expr: str) -> str:
-            # avg over the integer family: the reference computes at
-            # DECIMAL scale 6 and renders with trailing zeros
-            # stripped — exactly a DOUBLE render of the 6-digit
-            # rounding (solved against the q70–q73 fingerprints)
-            return (f"CAST(CAST(CAST({sum_expr} AS DECIMAL(28,6)) / "
-                    f"CAST({cnt_expr} AS DECIMAL(10,0)) "
-                    f"AS DECIMAL(38,6)) AS DOUBLE)")
-
+        s_in = _dw_scale_in(args[0] if args else "")
         fp_arg = args[0] if args else ""
         is_float = re.search(r"\bAS\s+(FLOAT|DOUBLE)\b", fp_arg,
                              re.IGNORECASE)
-        if s_in == 0:
-            # scale-0 decimal = LARGEINT's mapped type — integer
-            # family for avg rendering
-            tmx, s_in = None, None
         if not dm:
             if name == "avg" and s_in is not None:
-                return exact_avg(f"\0sum\0({args[0]}){w}",
-                                 f"\0count\0({args[0]}){w}")
+                return _exact_avg_render(f"\0sum\0({args[0]}){w}",
+                                         f"\0count\0({args[0]}){w}",
+                                         s_in)
             if name == "avg" and not is_float:
-                return int_avg(f"\0sum\0({args[0]}){w}",
-                               f"\0count\0({args[0]}){w}")
+                return _int_avg_render(f"\0sum\0({args[0]}){w}",
+                                       f"\0count\0({args[0]}){w}")
             if s_in is None:
                 return None
             # plain sum over a wide-scale DECIMAL window: Spark keeps
@@ -716,20 +953,21 @@ def _rw_distinct_agg_over(name: str):
         if name == "count":
             return f"size(\0collect_set\0({x}){w})"
         # integer-family args sum as BIGINT (sum_types.h)
-        acc = f"DECIMAL(37,{min(s_in, 18)})" if tmx else "BIGINT"
+        acc = (f"DECIMAL(37,{min(s_in, 18)})" if s_in is not None
+               else "BIGINT")
         cs = f"\0collect_set\0(CAST({x} AS {acc})){w}"
         ssum = (f"aggregate({cs}, CAST(NULL AS {acc}), "
                 f"(__a, __e) -> CAST(coalesce(__a, 0) + __e "
                 f"AS {acc}))")
         if name == "sum":
-            if tmx:
+            if s_in is not None:
                 return (f"CAST({ssum} AS "
                         f"DECIMAL(38,{min(s_in, 18)}))")
             return ssum
-        if tmx:
-            return exact_avg(ssum, f"size({cs})")
+        if s_in is not None:
+            return _exact_avg_render(ssum, f"size({cs})", s_in)
         if not is_float:
-            return int_avg(ssum, f"size({cs})")
+            return _int_avg_render(ssum, f"size({cs})")
         return f"(CAST({ssum} AS DOUBLE) / size({cs}))"
     return fn
 
@@ -1708,16 +1946,44 @@ def translate(sql: str) -> str:
     # ranking functions with an empty OVER () — MySQL/StarRocks allow
     # it (arbitrary order); Spark demands ORDER BY
     sql = re.sub(
-        r"\b(row_number|rank|dense_rank)\s*\(\s*\)\s*"
+        r"\brow_number\s*\(\s*\)\s*"
         r"(?:OVER|\0OVER\0)\s*\(\s*\)",
-        r"\1() OVER (ORDER BY monotonically_increasing_id())",
+        r"row_number() OVER (ORDER BY monotonically_increasing_id())",
         sql, flags=re.IGNORECASE)
+    # rank/dense_rank WITHOUT an ORDER BY (empty or partition-only
+    # window): every row is a peer — the reference assigns rank 1 to
+    # all (window.h rank over unordered peers); row_number keeps an
+    # arbitrary 1..n
+    sql = re.sub(
+        r"\b(?:rank|dense_rank)\s*\(\s*\)\s*(?:OVER|\0OVER\0)\s*"
+        r"\(\s*((?:PARTITION\s+BY\s+(?:(?!ORDER\s+BY)[^()])*)?)\)",
+        "CAST(1 AS BIGINT)", sql, flags=re.IGNORECASE)
+    sql = re.sub(
+        r"\brow_number\s*\(\s*\)\s*(?:OVER|\0OVER\0)\s*"
+        r"\(\s*(PARTITION\s+BY\s+(?:(?!ORDER\s+BY)[^()])*)\)",
+        r"row_number() OVER (\1 "
+        r"ORDER BY monotonically_increasing_id())",
+        sql, flags=re.IGNORECASE)
+    # single-arg round over the double/integer family returns BIGINT
+    # in the reference (be math_functions round(double)->bigint; FE
+    # coerces integer args to DOUBLE first, so int64 values beyond
+    # 2^53 LOSE precision — reproduced by the explicit double hop).
+    # Decimal args keep Spark's decimal round (scale-0 decimal, which
+    # already matches the decimal overload).
+    if re.search(r"\bround\s*\(", sql, re.IGNORECASE):
+        sql = rewrite_calls(sql, "round", _rw_round_single)
     for name in sorted(_FMT_FUNCS):
         sql = rewrite_calls(sql, name, _rw_fmt_func(name))
     for name, fn in _BITMAP_WRAPS.items():
         if re.search(rf"\b{name}\s*\(", sql, re.IGNORECASE):
             sql = rewrite_calls(sql, name, fn)
     sql = rewrite_calls_over(sql, "array_agg", _rw_array_agg_over)
+    # unbounded DISTINCT-over windows restructure into marker sums
+    # (scalar window state) BEFORE the set-based desugar, which then
+    # only sees the frame-bounded (sliding) forms
+    if re.search(r"\(\s*DISTINCT\b", sql, re.IGNORECASE) \
+            and re.search(r"\bOVER\b", sql, re.IGNORECASE):
+        sql = _rw_distinct_over_unbounded(sql)
     for name in ("sum", "count", "avg", "min", "max"):
         if re.search(rf"\b{name}\s*\(\s*DISTINCT\b", sql,
                      re.IGNORECASE):

@@ -60,6 +60,7 @@ import hashlib
 import os
 import re
 import shutil
+import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -245,6 +246,13 @@ class MVDef:
     inactive_reason: str = ""
     populated: bool = False
     path: str | None = None
+    #: last REFRESH's job record (information_schema.
+    #: materialized_view_refresh_jobs ↔ materialized_views cross-keys)
+    last_refresh: dict | None = None
+    #: identity that ran CREATE MATERIALIZED VIEW (EXECUTE AS swaps
+    #: currentUserIdentity — CREATOR/RUN_AS_USER read it; SUBMIT_USER
+    #: reads the refresh-time identity)
+    creator: str = "root"
 
 
 def _strip_parens_block(text: str, start: int) -> tuple[str, int]:
@@ -282,8 +290,15 @@ def _split_coldefs(body: str) -> list[str]:
             depth += 1
         elif ch == ")":
             depth -= 1
-        elif ch == "<" and cur and cur[-1] and cur[-1][-1].isalnum():
-            depth += 1
+        elif ch == "<":
+            # a generic opener may be spaced from its type word
+            # (``map < int, varchar(20) >`` — test_lake_sync_mv DDL)
+            wm9 = re.search(r"(\w+)\s*$", "".join(cur))
+            if wm9 and (wm9.group(1).lower()
+                        in ("array", "map", "struct")
+                        or (cur and cur[-1]
+                            and cur[-1][-1].isalnum())):
+                depth += 1
         elif ch == ">" and depth > 0:
             depth -= 1
         if ch == "," and depth == 0:
@@ -304,7 +319,8 @@ _CREATE_RE = re.compile(
 
 # type token: word, optional (args), optional <...> for array/map
 _COLDEF_RE = re.compile(
-    r"^`?(\w+)`?\s+([a-zA-Z_]+(?:\s*\([^)]*\))?(?:\s*<.*>)?)\s*(.*)$",
+    r"^`?(\w+)`?\s+([a-zA-Z_][a-zA-Z_0-9]*(?:\s*\([^)]*\))?"
+    r"(?:\s*<.*>)?)\s*(.*)$",
     re.DOTALL,
 )
 
@@ -483,9 +499,15 @@ def parse_create_table(stmt: str) -> TableDef:
 _SPARK_TYPES = {
     "tinyint": "TINYINT", "smallint": "SMALLINT", "int": "INT",
     "integer": "INT", "bigint": "BIGINT", "largeint": "DECIMAL(38,0)",
+    # largeint column that received a value beyond DECIMAL(38) —
+    # int128's last decade (|v| in (10^38-1, 2^127]) is stored as a
+    # canonical digit string; _rw_int_decimal_cast supplies the
+    # reference's cast/arithmetic semantics over it
+    "largeint_wide": "STRING",
     "float": "FLOAT", "double": "DOUBLE", "boolean": "BOOLEAN",
     "date": "DATE", "datetime": "TIMESTAMP", "json": "STRING",
     "string": "STRING", "text": "STRING",
+    "binary": "BINARY", "varbinary": "BINARY",
     # bitmaps are sorted-distinct id arrays (dialect _BITMAP_WRAPS)
     "bitmap": "ARRAY<BIGINT>",
 }
@@ -493,9 +515,11 @@ _SPARK_TYPES = {
 _DUCK_TYPES = {
     "tinyint": "TINYINT", "smallint": "SMALLINT", "int": "INTEGER",
     "integer": "INTEGER", "bigint": "BIGINT", "largeint": "HUGEINT",
+    "largeint_wide": "HUGEINT",
     "float": "FLOAT", "double": "DOUBLE", "boolean": "BOOLEAN",
     "date": "DATE", "datetime": "TIMESTAMP", "json": "VARCHAR",
     "string": "VARCHAR", "text": "VARCHAR",
+    "binary": "BLOB", "varbinary": "BLOB",
     "bitmap": "BIGINT[]",
 }
 
@@ -1063,6 +1087,198 @@ def _rw_recursive_unroll(sql: str, max_depth: int) -> str:
             for k, lv in enumerate(levels))
         out_ctes.append(f"{name} AS ({unrolled})")
     return f"{m.group(1)}WITH " + ", ".join(out_ctes) + " " + main
+
+
+_INT_DEC_CAST_RE = re.compile(
+    r"\bCAST\s*\(\s*`?(\w+)`?\s*(?:\*\s*(\d+)\s*)?AS\s+"
+    r"DECIMAL(?:32|64|128)?\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)\s*\)",
+    re.IGNORECASE)
+
+_WIDE_MUL_RE = re.compile(r"`?(\w+)`?\s*\*\s*([01])\b")
+
+
+def _rw_int_decimal_cast(sql: str, ints: dict, wide: set) -> str:
+    """StarRocks int→decimal CAST keeps any value whose scaled twin
+    fits the decimal class's storage integer — NULL only on that
+    arithmetic overflow, never on a precision check
+    (be/src/types/decimalv3.h:264 scale_up: the multiply by 10^s runs
+    in the class width W — int64 for p<=18, int128 for p>18 — so
+    values beyond precision p survive, e.g. cast(int64max AS
+    DECIMAL(9,0)) renders in full while the same value at (9,1) is
+    NULL). Spark's CAST is precision-strict; rewrite casts over
+    integer-family columns into the W-threshold CASE. Wide
+    (digit-string-stored) largeint columns use string-domain
+    fits/render logic so int128's 39-digit decade round-trips."""
+    def sub(m):
+        col, mul, p, s = (m.group(1), m.group(2), int(m.group(3)),
+                          int(m.group(4) or 0))
+        lc = col.lower()
+        if lc not in ints or s > 30:
+            return m.group(0)
+        # W is two's-complement: the negative range reaches one past
+        # the positive one (v*10^s >= -2^w vs <= 2^w-1)
+        w = 63 if p <= 18 else 127
+        hi = (2 ** w - 1) // (10 ** s)
+        lo_abs = (2 ** w) // (10 ** s)
+        if lc in wide:
+            if mul is not None and mul not in ("0", "1"):
+                return m.group(0)
+            if mul == "0":
+                rend = "'0'" if s == 0 else f"'0.{'0' * s}'"
+                return (f"(IF({col} IS NULL, CAST(NULL AS STRING), "
+                        f"{rend}))")
+            a = (f"(CASE WHEN {col} LIKE '-%' THEN SUBSTRING({col}, 2) "
+                 f"ELSE {col} END)")
+
+            def _le(bound: int) -> str:
+                ts = str(bound)
+                return (f"(LENGTH({a}) < {len(ts)} OR (LENGTH({a}) = "
+                        f"{len(ts)} AND {a} <= '{ts}'))")
+
+            fits = (f"(CASE WHEN {col} LIKE '-%' THEN {_le(lo_abs)} "
+                    f"ELSE {_le(hi)} END)")
+            rend = col if s == 0 else f"CONCAT({col}, '.', '{'0' * s}')"
+            return (f"(CASE WHEN {col} IS NULL THEN CAST(NULL AS STRING)"
+                    f" WHEN {fits} THEN {rend} "
+                    f"ELSE CAST(NULL AS STRING) END)")
+        inner = f"CAST({col} AS DECIMAL(38,0))"
+        if mul is not None:
+            inner = f"({inner} * {mul})"
+        if hi >= 10 ** 38:
+            return f"CAST({inner} AS DECIMAL(38,{s}))"
+        return (f"(CASE WHEN {inner} BETWEEN -{lo_abs} AND {hi} "
+                f"THEN CAST({inner} AS DECIMAL(38,{s})) "
+                f"ELSE CAST(NULL AS DECIMAL(38,{s})) END)")
+    return _INT_DEC_CAST_RE.sub(sub, sql)
+
+
+def _rw_wide_mul(sql: str, wide: set) -> str:
+    """Bare ``wide_largeint * 0|1`` outside a CAST — the only
+    largeint arithmetic whose int128 result can't be reproduced in
+    a Spark decimal (the reference renders the full 39-digit
+    product)."""
+    def sub(m):
+        col, mul = m.group(1), m.group(2)
+        if col.lower() not in wide:
+            return m.group(0)
+        if mul == "0":
+            return f"(IF({col} IS NULL, CAST(NULL AS STRING), '0'))"
+        return col
+    return _WIDE_MUL_RE.sub(sub, sql)
+
+
+_MULT_CHAIN_RE = re.compile(
+    r"(?<![\w.`])((?:`?[A-Za-z_]\w*`?|\d+\.\d+)"
+    r"(?:\s*\*\s*(?:`?[A-Za-z_]\w*`?|\d+\.\d+))+)(?![\w.(])")
+
+
+def _rw_decimal_mul_chains(sql: str, flag: bool, coltypes: dict) -> str:
+    """StarRocks decimal multiply: result precision p1+p2 capped at
+    decimal128's 38 — beyond it the product is NULL, or DOUBLE when
+    the decimal_overflow_to_double session variable is on
+    (fe ArithmeticExpr + DecimalV3 overflow policy). Literals wider
+    than 38 digits are decimal256-typed: products up to precision 76
+    stay EXACT regardless of the flag (folded here with Python
+    decimals, like the FE's BigDecimal constant fold); only past 76
+    do they fall to NULL/DOUBLE. Rewrites top-level ``a * b * c``
+    chains whose members are decimal literals/columns."""
+    from decimal import Decimal, localcontext
+
+    def sub(m):
+        toks = [t.strip() for t in m.group(1).split("*")]
+        typed = []   # (token, p, s, is_literal)
+        for t in toks:
+            bare = t.strip("`")
+            if re.fullmatch(r"\d+\.\d+", bare):
+                ip, fp = bare.split(".")
+                p = len((ip + fp).lstrip("0")) or 1
+                typed.append((t, max(p, len(fp)), len(fp), True))
+            elif bare.lower() in coltypes:
+                p, s = coltypes[bare.lower()]
+                typed.append((t, p, s, False))
+            else:
+                return m.group(0)
+        if len(typed) < 2:
+            return m.group(0)
+        if any(p > 38 for _, p, _, lit in typed):
+            # decimal256 constant fold — literal-only chains
+            if not all(lit for _, _, _, lit in typed):
+                return m.group(0)
+            ptot = sum(p for _, p, _, _ in typed)
+            stot = sum(s for _, _, s, _ in typed)
+            with localcontext() as ctx:
+                ctx.prec = 100
+                val = Decimal(1)
+                for t, _, _, _ in typed:
+                    val *= Decimal(t)
+                if ptot <= 76:
+                    q = val.quantize(Decimal(1).scaleb(-stot))
+                    return f"'{q}'"
+                if not flag:
+                    return "CAST(NULL AS STRING)"
+                return f"'{float(val)!r}'"
+        # decimal128 arithmetic: fold left, drop to double at the
+        # step whose product precision passes 38
+        expr, (p, s) = typed[0][0], (typed[0][1], typed[0][2])
+        dbl = False
+        changed = False
+        for t, p2, s2, _ in typed[1:]:
+            if dbl:
+                expr = f"({expr} * CAST({t} AS DOUBLE))"
+                continue
+            if p + p2 > 38:
+                if not flag:
+                    return m.group(0)  # NULL via allowPrecisionLoss=false
+                expr = (f"(CAST({expr} AS DOUBLE) * "
+                        f"CAST({t} AS DOUBLE))")
+                dbl = True
+                changed = True
+            else:
+                expr = f"({expr} * {t})"
+                p, s = p + p2, s + s2
+        return expr if changed else m.group(0)
+
+    return _MULT_CHAIN_RE.sub(sub, sql)
+
+
+_ERRIFOVERFLOW_RE = re.compile(
+    r"SET_VAR\s*\(\s*sql_mode\s*=\s*'ERROR_IF_OVERFLOW'", re.IGNORECASE)
+
+
+def _cast_targets(stmt: str) -> set[tuple[int, int]]:
+    """Resolved (p,s) of every explicit decimal cast target in the
+    StarRocks text (bare widths default to (9,9)/(18,18)/(38,38),
+    fe TypeFactory.createDecimalV3Type(type))."""
+    t: set[tuple[int, int]] = set()
+    for m in re.finditer(
+            r"\bAS\s+DECIMAL(32|64|128)?\s*"
+            r"(?:\(\s*(\d+)\s*(?:,\s*(\d+))?\s*\))?",
+            stmt, re.IGNORECASE):
+        wd, p, s = m.group(1), m.group(2), m.group(3)
+        if p:
+            t.add((int(p), int(s or 0)))
+        elif wd:
+            t.add({"32": (9, 9), "64": (18, 18),
+                   "128": (38, 38)}[wd])
+    return t
+
+
+def _overflow_msg(stmt: str, err: str) -> str:
+    """Render a Spark ANSI decimal-overflow error the way the
+    reference's ERROR_IF_OVERFLOW sql_mode reports it
+    (be/src/exprs overflow policy): a failure at an explicit cast
+    target is a cast overflow; anything else is the arithmetic op."""
+    tm = re.search(r"Decimal\((\d+),\s*(\d+)\)", err)
+    tgt = (int(tm.group(1)), int(tm.group(2))) if tm else None
+    if tgt and tgt in _cast_targets(stmt):
+        return ("Expr evaluate meet error: The type cast from decimal "
+                "to decimal overflows")
+    body = _strip_line_comments(stmt)
+    op = ("mul" if "*" in body else "div" if "/" in body
+          else "sub" if re.search(r"[\w)']\s*-\s*[\w(']", body)
+          else "add")
+    return (f"Expr evaluate meet error: The '{op}' operation involving "
+            f"decimal values overflows")
 
 
 def _rw_user_variable_hint(sql: str) -> str:
@@ -1792,6 +2008,15 @@ def translate_select_spark(sql: str) -> str:
     sql = _JOIN_HINT_RE.sub(r"\1", sql)
     sql = _RIGHT_SEMIANTI_RE.sub(r"\1\4 LEFT \3 JOIN \2 ON", sql)
     sql = _DECIMAL_WIDTH_RE.sub("DECIMAL", sql)
+    # bare storage-width spellings default to (max precision, default
+    # scale) = width itself (fe TypeFactory.createDecimalV3Type(type):
+    # PrimitiveType.getDefaultScaleOfDecimal — 9/18/38)
+    sql = re.sub(r"\bDECIMAL32\b(?!\s*\()", "DECIMAL(9,9)", sql,
+                 flags=re.IGNORECASE)
+    sql = re.sub(r"\bDECIMAL64\b(?!\s*\()", "DECIMAL(18,18)", sql,
+                 flags=re.IGNORECASE)
+    sql = re.sub(r"\bDECIMAL128\b(?!\s*\()", "DECIMAL(38,38)", sql,
+                 flags=re.IGNORECASE)
     sql = _rw_asof_join(sql)
     sql = _SLEEP_RE.sub("1", sql)
     sql = _rw_fingerprint(sql)
@@ -2095,7 +2320,14 @@ _NOOP_RE = re.compile(
     # database namespacing: the tester keeps a single flat namespace
     # (scripts create a uuid-suffixed scratch db, use it, drop it —
     # run.py does the same substitution dance; sr_sql_lib `${uuid}`)
-    r"|CREATE\s+DATABASE|USE\s|DROP\s+DATABASE)", re.IGNORECASE
+    r"|CREATE\s+DATABASE|USE\s|DROP\s+DATABASE"
+    # resource groups gate scheduling, not results; MV suites create
+    # one only to see its NAME reflected in refresh-job rows (which
+    # read it from the MV's resource_group property)
+    r"|CREATE\s+RESOURCE\s+GROUP|DROP\s+RESOURCE\s+GROUP"
+    # single-identity tester: users/grants gate access, not results
+    r"|CREATE\s+USER|DROP\s+USER|GRANT\s|REVOKE\s)",
+    re.IGNORECASE
 )
 _SETVAR_RE = re.compile(
     r"^\s*SET\s+@(\w+)\s*=\s*(.+)$", re.IGNORECASE | re.DOTALL
@@ -2290,6 +2522,8 @@ class ScriptRunner:
         self.view_deps: dict[str, set] = {}  # view -> referenced names
         self.mvs: dict[str, MVDef] = {}  # CREATE MATERIALIZED VIEW
         self.task_runs: list[tuple] = []  # one row per REFRESH MV
+        self.refresh_jobs: list[dict] = []  # mv_refresh_jobs rows
+        self.current_user = "root"       # EXECUTE AS identity
         self.current_db = ""             # last USE'd database
         self._load_seq = 0               # REPLACE load-order stamp
         self.oss_map: dict[str, str] = {}  # oss:// dir → staged local dir
@@ -2335,6 +2569,14 @@ class ScriptRunner:
         return [self.execute(s) for s in split_statements(script)]
 
     def execute(self, stmt: str) -> StatementResult:
+        if stmt.startswith("__fnassert__"):
+            try:
+                return self._fn_assert(stmt)
+            except Exception as e:  # noqa: BLE001
+                if self.strict:
+                    raise
+                return StatementResult(stmt, "skipped",
+                                       reason=str(e)[:500])
         if stmt.startswith(_SHELLFILE_MARK):
             try:
                 self._shellfile(stmt)
@@ -2379,7 +2621,8 @@ class ScriptRunner:
                 "ALLOW_THROW_EXCEPTION" in sqm.group(1).upper())
             return StatementResult(stmt, "noop")
         svm = re.match(r"\s*SET\s+(?:GLOBAL\s+)?"
-                       r"(enable_\w+|insert_max_filter_ratio)"
+                       r"(enable_\w+|cbo_\w+|insert_max_filter_ratio"
+                       r"|decimal_overflow_to_double)"
                        r"\s*=\s*['\"]?([\w.]+)['\"]?\s*$",
                        stmt, re.IGNORECASE)
         if svm:
@@ -2399,6 +2642,14 @@ class ScriptRunner:
                            "auto|row|column")
             self.vars["partial_update_mode"] = val
             return StatementResult(stmt, "noop")
+        eam = re.match(r"\s*EXECUTE\s+AS\s+`?([\w.]+)`?(?:@\S+)?"
+                       r"(?:\s+WITH\s+NO\s+REVERT)?\s*;?\s*$",
+                       stmt, re.IGNORECASE)
+        if eam:
+            # EXECUTE AS swaps the current identity (fe ExecuteAsStmt)
+            # — read by MV CREATOR/RUN_AS_USER vs refresh SUBMIT_USER
+            self.current_user = eam.group(1)
+            return StatementResult(stmt, "noop")
         tzm = re.match(r"\s*SET\s+time_zone\s*=\s*['\"]([^'\"]+)",
                        stmt, re.IGNORECASE)
         if tzm:
@@ -2414,6 +2665,34 @@ class ScriptRunner:
             self.dbs.add(dbm.group(1))
             if re.match(r"\s*USE\b", stmt, re.IGNORECASE):
                 self.current_db = dbm.group(1)
+        cim = re.match(r"\s*CREATE\s+INDEX\s+`?(\w+)`?\s+ON\s+"
+                       r"`?(\w+)`?\s*\(\s*`?(\w+)`?\s*\)\s*"
+                       r"(?:USING\s+(\w+)\s*)?"
+                       r"(?:COMMENT\s+'[^']*'\s*)?$",
+                       stmt, re.IGNORECASE)
+        if cim:
+            # CREATE INDEX — the standalone spelling of ALTER TABLE
+            # ADD INDEX (fe CreateIndexStmt); also valid on an async
+            # MV (test_alter_mv: bitmap index on an MV column)
+            iname, tgt, icol, iusing = cim.groups()
+            if tgt in self.defs:
+                return self.execute(
+                    f"ALTER TABLE {tgt} ADD INDEX {iname} ({icol}) "
+                    f"USING {(iusing or 'BITMAP').upper()}")
+            if tgt in self.mvs:
+                self._refresh_views()
+                cols = [f.name for f in
+                        self._select(self.mvs[tgt].select_sql)
+                        .schema.fields]
+                if icol not in cols:
+                    raise ValueError(
+                        f"Unknown column '{icol}' in MV '{tgt}'")
+                self.mvs[tgt].props.setdefault(
+                    "__indexes", {})[iname] = {
+                    "col": icol,
+                    "using": (iusing or "BITMAP").upper()}
+                return StatementResult(stmt, "noop")
+            raise ValueError(f"create index: unknown target {tgt}")
         scm = re.match(r"\s*SHOW\s+CREATE\s+TABLE\s+`?(\w+)`?\s*$",
                        stmt, re.IGNORECASE)
         if scm and scm.group(1) in self.defs:
@@ -3280,7 +3559,175 @@ class ScriptRunner:
                        query_id="q_id", vec_col=vcol, metric=met)
         return res.orderBy("rank").select(out_col).limit(k)
 
+    def _int_col_profile(self) -> tuple[dict, set]:
+        """Bare column name → integer-family sr type across the
+        runner's tables, for _rw_int_decimal_cast. Names that are
+        ambiguous (same name, different family elsewhere) are
+        dropped so the rewrite never fires on the wrong column."""
+        ints: dict[str, str] = {}
+        wide: set[str] = set()
+        bad: set[str] = set()
+        for d in self.defs.values():
+            for c in d.cols:
+                base = c.sr_type.split("(")[0].lower()
+                lc = c.name.lower()
+                if base in ("tinyint", "smallint", "int", "integer",
+                            "bigint", "largeint", "largeint_wide"):
+                    if lc in ints and ints[lc] != base:
+                        bad.add(lc)
+                    ints[lc] = base
+                    if base == "largeint_wide":
+                        wide.add(lc)
+                else:
+                    bad.add(lc)
+        for b in bad:
+            ints.pop(b, None)
+            wide.discard(b)
+        return ints, wide
+
+    def _fn_assert(self, stmt: str) -> StatementResult:
+        """``function: assert_query_contains(q, expected)`` — run the
+        query, require the expected text in (or absent from) the
+        MySQL-rendered result (sr_sql_lib assert_query_contains;
+        booleans print 1/0). Success records None, like the
+        reference's runner."""
+        m = re.match(r"__fnassert__\s*(assert_query_(?:not_)?contains)"
+                     r"\s*\((.*)\)\s*$", stmt, re.DOTALL)
+        if not m:
+            raise ValueError(f"unparsed function step: {stmt[:120]}")
+        fn, body = m.group(1).lower(), m.group(2)
+        body = _substitute_vars(body, self.vars)
+        args = dialect._split_top_level(body)
+        if len(args) < 2:
+            raise ValueError(f"{fn}: need (query, expected)")
+        q = args[0].strip().strip('"')
+        exp = args[1].strip().strip('"')
+        self._refresh_views()
+        df = self._select(q)
+
+        def cell(c):
+            if c is True:
+                return "1"
+            if c is False:
+                return "0"
+            return "None" if c is None else str(c)
+
+        text = "\n".join("\t".join(cell(c) for c in row)
+                         for row in df.collect())
+        ok = (exp in text) if fn == "assert_query_contains" \
+            else (exp not in text)
+        if not ok:
+            raise ValueError(
+                f"{fn} failed: {exp!r} vs result {text[:300]!r}")
+        return StatementResult(
+            stmt, "select",
+            self.spark.createDataFrame([(None,)], "r string"))
+
+    def _dec_col_types(self) -> dict[str, tuple[int, int]]:
+        """Bare column name → stored (p,s) for decimal-family
+        columns, for _rw_decimal_mul_chains; ambiguous names drop."""
+        out: dict[str, tuple] = {}
+        for d in self.defs.values():
+            for c in d.cols:
+                if not c.sr_type.lower().startswith("decimal"):
+                    continue
+                dm = re.match(r"DECIMAL\((\d+),(\d+)\)",
+                              spark_type(c.sr_type))
+                if not dm:
+                    continue
+                lc = c.name.lower()
+                t = (int(dm.group(1)), int(dm.group(2)))
+                out[lc] = t if out.get(lc, t) == t else (None, None)
+        return {k: v for k, v in out.items() if v[0] is not None}
+
     def _select(self, stmt: str) -> DataFrame:
+        """Scope wrapper over _select_impl: StarRocks decimal
+        arithmetic keeps the full result scale and NULLs on int128
+        overflow (be/src/types/decimalv3.h DecimalV3Arithmetics) —
+        Spark's equivalent is allowPrecisionLoss=false, set for the
+        statement's ANALYSIS only (result types bake into the plan).
+        The ERROR_IF_OVERFLOW SET_VAR hint additionally runs the
+        statement under ANSI mode and re-reports a decimal overflow
+        with the reference's message text."""
+        conf = self.spark.conf
+        hint = bool(_ERRIFOVERFLOW_RE.search(stmt))
+        prev_loss = conf.get(
+            "spark.sql.decimalOperations.allowPrecisionLoss", "true")
+        prev_ansi = conf.get("spark.sql.ansi.enabled", "false")
+        conf.set("spark.sql.decimalOperations.allowPrecisionLoss",
+                 "false")
+        if hint:
+            conf.set("spark.sql.ansi.enabled", "true")
+            stmt = _SETVAR_HINT_RE.sub("", stmt)
+        self._overflow_strict = hint
+        od_flag = (self.vars.get("decimal_overflow_to_double", "")
+                   == "true")
+        stmt = _rw_decimal_mul_chains(stmt, od_flag,
+                                      self._dec_col_types())
+        try:
+            df = self._select_impl(stmt)
+            clamped = self._clamp_agg_scale(stmt, df)
+            if clamped is not None:
+                df = clamped
+            if hint:
+                try:
+                    rows = df.collect()
+                except Exception as e:  # noqa: BLE001 — re-reported
+                    raise ValueError(
+                        _overflow_msg(stmt, str(e))) from None
+                df = self.spark.createDataFrame(rows, df.schema)
+            return df
+        finally:
+            self._overflow_strict = False
+            conf.set("spark.sql.decimalOperations.allowPrecisionLoss",
+                     prev_loss)
+            if hint:
+                conf.set("spark.sql.ansi.enabled", prev_ansi)
+
+    def _clamp_agg_scale(self, stmt: str, df: DataFrame):
+        """StarRocks clamps sum/avg over a decimal argument with
+        scale > 18 to DECIMAL(38,18) — input and return type both
+        (fe DecimalV3FunctionAnalyzer.rectifyAggregationFunction).
+        Detect by position: a top-level select item that is avg(..)/
+        sum(..) whose analyzed output scale exceeds the clamp
+        (avg: arg scale + 4 under Spark, sum: arg scale)."""
+        from pyspark.sql.types import DecimalType as _Dec
+
+        sm = re.match(r"\s*SELECT\s+(.*)$", stmt,
+                      re.IGNORECASE | re.DOTALL)
+        if not sm or "*" in stmt.split("FROM")[0]:
+            return None
+        head = sm.group(1)
+        fp = _find_top_level_keyword_st(head, "FROM")
+        sel = head[:fp] if fp >= 0 else head
+        items = _split_top_level_commas(sel)
+        if len(items) != len(df.schema.fields):
+            return None
+        new_items, changed = [], False
+        for it, f in zip(items, df.schema.fields):
+            im = re.match(r"\s*(avg|sum)\s*\(", it, re.IGNORECASE)
+            dt = f.dataType
+            lim = 22 if (im and im.group(1).lower() == "avg") else 18
+            if (im and isinstance(dt, _Dec) and dt.scale > lim
+                    and "(" in it):
+                inner, after = _strip_parens_block(it, im.end() - 1)
+                if inner.strip().upper().startswith("DISTINCT"):
+                    new_items.append(it)
+                    continue
+                fn = im.group(1)
+                new_items.append(
+                    f" CAST({fn}(CAST({inner} AS DECIMAL(38,18))) "
+                    f"AS DECIMAL(38,18)){it[after:]}")
+                changed = True
+            else:
+                new_items.append(it)
+        if not changed:
+            return None
+        rebuilt = ("SELECT " + ",".join(new_items)
+                   + (" " + head[fp:] if fp >= 0 else ""))
+        return self._select_impl(rebuilt)
+
+    def _select_impl(self, stmt: str) -> DataFrame:
         from pyspark.errors import AnalysisException
 
         # transparent MV mode: a SELECT against the MV returns mv-
@@ -3297,6 +3744,15 @@ class ScriptRunner:
                 self._select(mv.select_sql) \
                     .createOrReplaceTempView(mv.name)
                 _MV_VIEWS_CREATED.add(mv.name)
+        if re.search(r"\binformation_schema\."
+                     r"materialized_view_refresh_jobs\b",
+                     stmt, re.IGNORECASE):
+            self._mv_refresh_jobs_infoschema().createOrReplaceTempView(
+                "__is_mv_refresh_jobs")
+            stmt = re.sub(r"\binformation_schema\."
+                          r"materialized_view_refresh_jobs\b",
+                          "__is_mv_refresh_jobs", stmt,
+                          flags=re.IGNORECASE)
         if re.search(r"\binformation_schema\.task_runs\b",
                      stmt, re.IGNORECASE):
             self._task_runs_infoschema().createOrReplaceTempView(
@@ -3310,6 +3766,9 @@ class ScriptRunner:
             stmt = re.sub(r"\binformation_schema\.materialized_views\b",
                           "__is_materialized_views", stmt,
                           flags=re.IGNORECASE)
+        # [_SYNC_MV_] scan hint: forces the sync-MV index path in the
+        # reference runner; the transparent registration IS that path
+        stmt = re.sub(r"\[\s*_SYNC_MV_\s*\]", "", stmt)
         # the tester's namespace is flat (CREATE DATABASE/USE are
         # no-ops) — drop db qualifiers from db.table.col references
         stmt = re.sub(r"\bdefault_catalog\.", "", stmt,
@@ -3339,7 +3798,17 @@ class ScriptRunner:
                 out9.append(ch9)
                 i9 += 1
             stmt = "".join(out9)
+        ints9, wide9 = self._int_col_profile()
+        if ints9:
+            stmt = _rw_int_decimal_cast(stmt, ints9, wide9)
+        if wide9:
+            stmt = _rw_wide_mul(stmt, wide9)
         sql = translate_select_spark(stmt)
+        if getattr(self, "_overflow_strict", False):
+            # ERROR_IF_OVERFLOW: the dialect's null-on-overflow
+            # TRY_CASTs must RAISE instead (ANSI CAST), so the
+            # wrapper can re-report with the reference's message
+            sql = re.sub(r"\bTRY_CAST\b", "CAST", sql)
         try:
             df = self.spark.sql(sql)
             df.schema  # force analysis now, not at first action
@@ -3634,6 +4103,48 @@ class ScriptRunner:
         if tail.upper().startswith("VALUES"):
             # bracket array literals appear inside VALUES rows too
             vals = _rw_bracket_arrays(tail[len("VALUES"):].strip())
+            # largeint beyond DECIMAL(38): int128's 39-digit decade
+            # (|v| in (10^38-1, 2^127]) can't live in a Spark decimal.
+            # Flip the table's largeint columns to canonical digit-
+            # string storage and quote the literals; SELECT-side
+            # cast/multiply semantics are re-supplied by
+            # _rw_int_decimal_cast (be/src/types/decimalv3.h scale_up).
+            li_pos = {i: listed[i] for i in range(len(listed))
+                      if self.defs[name].col(listed[i]).sr_type
+                      .split("(")[0].lower()
+                      in ("largeint", "largeint_wide")}
+            if li_pos:
+                tups0 = _split_values_tuples(vals)
+                need = any(c.sr_type == "largeint_wide" for c in d.cols)
+                if tups0 is not None and not need:
+                    for t in tups0:
+                        cells0 = dialect._split_top_level(t[1:-1])
+                        for i in li_pos:
+                            if i < len(cells0):
+                                cs = cells0[i].strip()
+                                if re.fullmatch(r"-?\d+", cs) \
+                                        and len(cs.lstrip("-")) > 38:
+                                    need = True
+                if need and tups0 is not None:
+                    if (self.tables[name]._exists()
+                            and not any(c.sr_type == "largeint_wide"
+                                        for c in d.cols)):
+                        raise ValueError(
+                            "largeint value beyond DECIMAL(38) after "
+                            "rows were stored at decimal width")
+                    for c in d.cols:
+                        if c.sr_type.split("(")[0].lower() == "largeint":
+                            c.sr_type = "largeint_wide"
+                    fixed0 = []
+                    for t in tups0:
+                        cells0 = dialect._split_top_level(t[1:-1])
+                        for i in li_pos:
+                            if i < len(cells0):
+                                cs = cells0[i].strip()
+                                if re.fullmatch(r"-?\d+", cs):
+                                    cells0[i] = f"'{int(cs)}'"
+                        fixed0.append("(" + ", ".join(cells0) + ")")
+                    vals = ", ".join(fixed0)
             vnames = [f"c{i}" for i in range(len(listed))]
             proj = ", ".join(
                 f"CAST(v.{vnames[listed.index(c.name)]} AS "
@@ -4298,9 +4809,34 @@ class ScriptRunner:
         base = [t for t in (list(self.defs) + sorted(self.views)
                             + list(self.mvs))
                 if re.search(rf"\b{re.escape(t)}\b", select_sql)]
+        sync = not re.search(r"\bREFRESH\b", head, re.IGNORECASE) \
+            and not re.search(r"\bDISTRIBUTED\b", head, re.IGNORECASE)
+        if sync:
+            # SYNC materialized view (no REFRESH clause): a rollup
+            # index on the base table, always consistent with it (fe
+            # CreateMaterializedViewStmt vs the async CREATE ... Stmt).
+            # Aggregate output columns auto-name mv_<agg>_<col>.
+            # Model: a transparent MV — each SELECT re-registers the
+            # live defining query, which IS the sync contract.
+            sm9 = re.match(r"\s*SELECT\s+(.*?)(\bFROM\b.*)$",
+                           select_sql, re.IGNORECASE | re.DOTALL)
+            if sm9:
+                items9 = []
+                for it in _split_top_level_commas(sm9.group(1)):
+                    am9 = re.fullmatch(
+                        r"\s*(sum|min|max|count)\s*\(\s*`?(\w+)`?"
+                        r"\s*\)\s*", it, re.IGNORECASE)
+                    items9.append(
+                        f"{it.strip()} AS mv_{am9.group(1).lower()}"
+                        f"_{am9.group(2)}" if am9 else it)
+                select_sql = (f"SELECT {', '.join(items9)} "
+                              f"{sm9.group(2)}")
+            props["transparent_mv_rewrite_mode"] = "true"
+            mode = "SYNC"
         mv = MVDef(name, select_sql, self.current_db, mode, deferred,
                    pb.group(1).strip() if pb else None, props, base,
                    columns=[])
+        mv.creator = self.current_user
         immediate = bool(re.search(r"\bREFRESH\s+IMMEDIATE\b", head,
                                    re.IGNORECASE))
         if immediate or (mode in ("ASYNC", "INCREMENTAL")
@@ -4327,9 +4863,28 @@ class ScriptRunner:
             raise ValueError(
                 f"Refresh materialized view failed because "
                 f"[{name}] is not active.")
+        from datetime import datetime as _dt
+
+        jid = str(uuid.uuid4())
+        now9 = _dt.now().strftime("%Y-%m-%d %H:%M:%S")
+        job = {
+            "job_id": jid,
+            "mv_id": str(1000 + list(self.mvs).index(name)),
+            "task_id": str(20000 + len(self.task_runs)),
+            "db": mv.db or self.current_db, "name": name,
+            "state": "SUCCESS", "trigger": "MANUAL",
+            "mode": "PCT" if mv.partition_by else "FULL",
+            "rg": mv.props.get("resource_group", "default_mv_wg"),
+            "submit": now9, "finish": now9,
+            "submit_user": self.current_user,
+            "creator": mv.creator, "run_as": mv.creator,
+        }
+        self.refresh_jobs.append(job)
+        mv.last_refresh = job
         self.task_runs.append(
             (f"mv-{10000 + len(self.task_runs)}", self.current_db,
-             "SUCCESS", f"insert overwrite `{name}` {mv.select_sql}"))
+             "SUCCESS", f"insert overwrite `{name}` {mv.select_sql}",
+             jid))
         if re.search(r"\bWITH\s+SYNC\s+MODE\b", tail, re.IGNORECASE):
             prm = re.search(r"PARTITION\s+start\s*\(\s*'([^']*)'\s*\)"
                             r"\s+end\s*\(\s*'([^']*)'\s*\)", tail,
@@ -4515,30 +5070,74 @@ class ScriptRunner:
                 f"enable_drop_table_check_mv_dependency=false`.")
 
     def _task_runs_infoschema(self) -> DataFrame:
-        rows = self.task_runs or [("", "", "", "")]
+        rows = self.task_runs or [("", "", "", "", "")]
         df = self.spark.createDataFrame(
             rows, "task_name string, `database` string, state string, "
-                  "definition string")
+                  "definition string, job_id string")
         return df.filter("task_name != ''") if not self.task_runs \
             else df
 
     def _mv_infoschema(self) -> DataFrame:
         """information_schema.materialized_views over the runner's MV
         catalog (schema_scanner materialized_views; is_active /
-        inactive_reason as the reference's FE prints them)."""
+        inactive_reason as the reference's FE prints them; r9 adds the
+        last-refresh cross-keys that materialized_view_refresh_jobs
+        joins on)."""
         rows = [(str(1000 + i), mv.db, mv.name,
                  mv.refresh_mode, "true" if mv.is_active else "false",
                  mv.inactive_reason,
                  mv.partition_by or "UNPARTITIONED",
                  mv.select_sql,
-                 str(len(mv.columns)))
+                 str(len(mv.columns)),
+                 str(1000 + i),
+                 (mv.last_refresh or {}).get("task_id"),
+                 (mv.last_refresh or {}).get("job_id"),
+                 (mv.last_refresh or {}).get("submit"),
+                 (mv.last_refresh or {}).get("finish"))
                 for i, mv in enumerate(self.mvs.values())]
         return self.spark.createDataFrame(
             rows,
             "table_id string, table_schema string, table_name string, "
             "refresh_type string, is_active string, "
             "inactive_reason string, partition_type string, "
-            "materialized_view_definition string, n_columns string")
+            "materialized_view_definition string, n_columns string, "
+            "materialized_view_id string, task_id string, "
+            "last_refresh_job_id string, "
+            "last_refresh_start_time string, "
+            "last_refresh_finished_time string")
+
+    def _mv_refresh_jobs_infoschema(self) -> DataFrame:
+        """information_schema.materialized_view_refresh_jobs: one row
+        per REFRESH MATERIALIZED VIEW job (fe MaterializedView
+        RefreshJobsSystemTable; success-path columns only — a live
+        FAILED refresh is not reproducible deterministically, exactly
+        the reference suite's own reasoning)."""
+        schema = (
+            "job_id string, materialized_view_id string, "
+            "task_id string, table_schema string, table_name string, "
+            "refresh_state string, refresh_trigger string, "
+            "refresh_mode string, resource_group string, "
+            "submit_time string, finish_time string, "
+            "duration_time bigint, warehouse string, creator string, "
+            "submit_user string, run_as_user string, "
+            "imv_source_version_range string, "
+            "imv_source_timestamp_range string, "
+            "imv_source_pinned_snapshot_id_map string, "
+            "error_code string, error_message string, "
+            "failed_task_run_id string, failed_query_id string")
+        rows = [(j["job_id"], j["mv_id"], j["task_id"], j["db"],
+                 j["name"], j["state"], j["trigger"], j["mode"],
+                 j["rg"], j["submit"], j["finish"], 0,
+                 "default_warehouse", j.get("creator", "root"),
+                 j.get("submit_user", "root"),
+                 j.get("run_as", "root"),
+                 None, None, None, None, None, None, None)
+                for j in self.refresh_jobs]
+        if not rows:
+            rows = [("",) * 11 + (0,) + ("",) * 4 + (None,) * 7]
+            return self.spark.createDataFrame(rows, schema).filter(
+                "job_id != ''")
+        return self.spark.createDataFrame(rows, schema)
 
     def _stamp_load_order(self, name: str, batch: DataFrame) -> DataFrame:
         """REPLACE tables (and every duplicate-key table, whose stored
@@ -4913,6 +5512,14 @@ def parse_r_file(text: str) -> list[tuple[str, list[str], bool]]:
             expected.append(ln)
             continue
         if s.startswith("--") or _DIRECTIVE_RE.match(s):
+            # assert_query_* function steps are CHECKED (sr_sql_lib
+            # records None on success) — surface them as statements
+            fm9 = re.match(
+                r"function:\s*(assert_query_(?:not_)?contains"
+                r"\s*\(.*)$", s, re.IGNORECASE)
+            if fm9:
+                stmt_lines.append("__fnassert__ " + fm9.group(1))
+                continue
             # each `-- name:` opens a NEW reference test case (run.py
             # runs it in its own uuid database) — emit a boundary
             # marker so the executor can reset table state the way

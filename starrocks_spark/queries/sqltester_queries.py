@@ -163,6 +163,18 @@ _SUITES: dict[str, tuple] = {
         {"id": "BIGINT"},
         {},
     ),
+    "dialect_sqltester_decimal": (
+        # r9 decimal tier: integer-family multiply over the full
+        # int128 domain — largeint's 39-digit extremes survive via
+        # digit-string storage + _rw_wide_mul (be/src/types/
+        # decimalv3.h scale_up semantics). DuckDB's HUGEINT computes
+        # the same products natively; both sides render as VARCHAR.
+        "test_decimal", "test_decimal_cast", 7,
+        ["k1", "t1x", "i1x", "b1x", "l1x"],
+        {"t1x": "VARCHAR", "i1x": "VARCHAR", "b1x": "VARCHAR",
+         "l1x": "VARCHAR"},
+        {"t1x": "str", "i1x": "str", "b1x": "str", "l1x": "str"},
+    ),
     "dialect_sqltester_asof_join": (
         # ASOF LEFT JOIN over datetime keys (session-3 desugar:
         # equi+inequality join pruned by row_number with the stored
@@ -194,6 +206,8 @@ def _normalize(df: DataFrame, norm: dict[str, str]) -> DataFrame:
     for col, kind in norm.items():
         if kind == "double":
             df = df.withColumn(col, F.col(col).cast("double"))
+        elif kind == "str":
+            df = df.withColumn(col, F.col(col).cast("string"))
         elif kind == "datestr":
             df = df.withColumn(col, F.col(col).cast("string"))
         elif kind == "tsstr":

