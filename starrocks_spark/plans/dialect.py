@@ -658,14 +658,15 @@ def _dw_scale_in(arg: str) -> int | None:
 
 def _exact_avg_render(sum_expr: str, cnt_expr: str, s_in: int) -> str:
     """EXACT decimal division (a double intermediate mangles digits
-    beyond ~16): (28,s)/(10,0) divides losslessly at scale >= 18
-    under Spark's precision-loss adjustment, then rounds half-up to
-    the reference's render scale (sum keeps s capped at 18, avg
-    widens to s+6 capped at 18 — solved against the recorded
+    beyond ~16): (27,s)/(10,0) divides losslessly at scale >= 17 and
+    its result type fits precision 38 even under
+    allowPrecisionLoss=false (27-s + max(6, s+11) = 38), then rounds
+    half-up to the reference's render scale (sum keeps s capped at
+    18, avg widens to s+6 capped at 18 — solved against the recorded
     fingerprints of test_distinct_aggregation_over_framed_window)."""
     s_sum = min(s_in, 18)
     s_out = min(s_in + 6, 18)
-    return (f"CAST(CAST({sum_expr} AS DECIMAL(28,{s_sum})) / "
+    return (f"CAST(CAST({sum_expr} AS DECIMAL(27,{s_sum})) / "
             f"CAST({cnt_expr} AS DECIMAL(10,0)) "
             f"AS DECIMAL(38,{s_out}))")
 
@@ -673,8 +674,9 @@ def _exact_avg_render(sum_expr: str, cnt_expr: str, s_in: int) -> str:
 def _int_avg_render(sum_expr: str, cnt_expr: str) -> str:
     """avg over the integer family: the reference computes at DECIMAL
     scale 6 and renders with trailing zeros stripped — exactly a
-    DOUBLE render of the 6-digit rounding."""
-    return (f"CAST(CAST(CAST({sum_expr} AS DECIMAL(28,6)) / "
+    DOUBLE render of the 6-digit rounding. (27,6) keeps the division
+    type within precision 38 under allowPrecisionLoss=false."""
+    return (f"CAST(CAST(CAST({sum_expr} AS DECIMAL(27,6)) / "
             f"CAST({cnt_expr} AS DECIMAL(10,0)) "
             f"AS DECIMAL(38,6)) AS DOUBLE)")
 

@@ -571,6 +571,26 @@ _SUITES = [
     # its VALUES insert a NULL map KEY, which Spark's MapType cannot
     # represent (documented capability cap).
     ("test_lake_sync_mv", "test_lake_sync_mv", 1, 0),
+    # --- r9: statement papercuts — temporary tables (shadowing,
+    # SHOW [TEMPORARY] TABLES, temp_tables infoschema, feature gate,
+    # alter/view/MV restrictions), 49 checked across 12 cases
+    ("test_temporary_table", "temporary_table", 49, 0),
+    # view tier: OR REPLACE + COMMENT + SECURITY NONE/INVOKER, SHOW
+    # CREATE VIEW (verbatim body, aws credentials masked),
+    # information_schema.tables, invoker-view privilege enforcement
+    # over GRANT SELECT + EXECUTE AS identities
+    ("test_view", "test_alter_view", 2, 0),
+    ("test_view", "test_show_create_view", 4, 0),
+    ("test_view", "test_files_view", 3, 0),
+    ("test_view", "test_security_view", 9, 0),
+    # dynamic INSERT OVERWRITE (expression-partitioned tables replace
+    # only touched partitions; RANGE/LIST full-overwrite), tiny
+    # query/insert_timeout enforcement, SHOW VARIABLES
+    ("test_dynamic_overwrite", "test_overwrite", 18, 0),
+    # stream-load curl replay (merge_condition conditional update,
+    # shipped CSV fixtures, checked JSON status blocks) + INSERT
+    # PROPERTIES merge_condition
+    ("test_condition_update", "test_condition_update", 15, 0),
 ]
 
 
