@@ -898,6 +898,84 @@ def _rw_distinct_over_unbounded(sql: str) -> str:
     return sql
 
 
+def _binfmt(arg: str | None) -> str:
+    """to_binary/from_binary format argument: quoted or bare
+    identifier, case-insensitive; default hex
+    (be binary_functions.cpp)."""
+    if arg is None:
+        return "hex"
+    return arg.strip().strip("'\"").lower()
+
+
+def _rw_to_binary(args: list[str]) -> str | None:
+    """to_binary(str[, fmt]) — hex (strictly validated, EMPTY binary
+    on bad input), base64 (NULL on empty, EMPTY on invalid), utf8."""
+    if not args or len(args) > 2:
+        return None
+    s = args[0]
+    fmt = _binfmt(args[1] if len(args) > 1 else None)
+    if fmt == "hex":
+        return (f"IF(({s}) RLIKE '^([0-9a-fA-F]{{2}})*$', "
+                f"unhex({s}), CAST('' AS BINARY))")
+    if fmt == "encode64":
+        return (f"CASE WHEN ({s}) = '' THEN CAST(NULL AS BINARY) "
+                f"WHEN ({s}) RLIKE '^(?:[A-Za-z0-9+/]{{4}})*"
+                f"(?:[A-Za-z0-9+/]{{2}}==|[A-Za-z0-9+/]{{3}}=)?$' "
+                f"THEN unbase64({s}) ELSE CAST('' AS BINARY) END")
+    if fmt == "utf8":
+        return f"CAST(({s}) AS BINARY)"
+    return None
+
+
+def _rw_from_binary(args: list[str]) -> str | None:
+    """from_binary(bin[, fmt]) — hex (uppercase), encode64, utf8."""
+    if not args or len(args) > 2:
+        return None
+    b = args[0]
+    fmt = _binfmt(args[1] if len(args) > 1 else None)
+    if fmt == "hex":
+        return f"hex({b})"
+    if fmt == "encode64":
+        return f"base64({b})"
+    if fmt == "utf8":
+        return f"CAST(({b}) AS STRING)"
+    return None
+
+
+def _rw_map_agg(args: list[str], over=None) -> str | None:
+    """map_agg(k, v) (be map_agg.h): one map per group, NULL keys
+    skipped, first occurrence wins on duplicate keys."""
+    if len(args) != 2 or over is not None:
+        return None
+    k, v = args[0], args[1]
+    ent = (f"\0collect_list\0(CASE WHEN ({k}) IS NOT NULL THEN "
+           f"\0named_struct\0('k', ({k}), 'v', ({v})) END)")
+    return (f"map_from_entries(filter({ent}, (__e, __i) -> "
+            f"NOT exists(slice({ent}, 1, __i), "
+            f"__p -> __p.k <=> __e.k)))")
+
+
+def _rw_url_extract_parameter(args: list[str]) -> str | None:
+    """url_extract_parameter(url, name) (be url_functions.cpp):
+    first query parameter named exactly ``name`` — '' when present
+    without '=', NULL when absent or the URL is malformed (a raw
+    space invalidates the whole URI), %XX-decoded value otherwise."""
+    if len(args) != 2:
+        return None
+    u, k = args[0], args[1]
+    q = f"parse_url({u}, 'QUERY')"
+    arr = (f"filter(transform(split({q}, '&'), __p -> CASE "
+           f"WHEN __p = ({k}) THEN '' "
+           f"WHEN startswith(__p, concat(({k}), '=')) "
+           f"THEN substring(__p, length(({k})) + 2) END), "
+           f"__x -> __x IS NOT NULL)")
+    first = f"try_element_at({arr}, 1)"
+    return (f"CASE WHEN {first} IS NULL THEN NULL "
+            f"WHEN {first} = '' THEN '' "
+            f"ELSE reflect('java.net.URLDecoder', 'decode', {first}, "
+            f"'UTF-8') END")
+
+
 def _rw_round_single(args: list[str]) -> str | None:
     """round(x) with one argument: BIGINT result via a DOUBLE hop
     (be math_functions.cpp round). Arguments that mention decimals
@@ -1974,6 +2052,15 @@ def translate(sql: str) -> str:
     # already matches the decimal overload).
     if re.search(r"\bround\s*\(", sql, re.IGNORECASE):
         sql = rewrite_calls(sql, "round", _rw_round_single)
+    if re.search(r"\burl_extract_parameter\s*\(", sql, re.IGNORECASE):
+        sql = rewrite_calls(sql, "url_extract_parameter",
+                            _rw_url_extract_parameter)
+    if re.search(r"\bfrom_binary\s*\(", sql, re.IGNORECASE):
+        sql = rewrite_calls(sql, "from_binary", _rw_from_binary)
+    if re.search(r"\bmap_agg\s*\(", sql, re.IGNORECASE):
+        sql = rewrite_calls_over(sql, "map_agg", _rw_map_agg)
+    if re.search(r"\bto_binary\s*\(", sql, re.IGNORECASE):
+        sql = rewrite_calls(sql, "to_binary", _rw_to_binary)
     for name in sorted(_FMT_FUNCS):
         sql = rewrite_calls(sql, name, _rw_fmt_func(name))
     for name, fn in _BITMAP_WRAPS.items():

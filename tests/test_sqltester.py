@@ -517,8 +517,9 @@ _SUITES = [
     # 1 skip: the avro leg
     ("test_files", "test_files_schema_basic", 3, 1),
     ("test_files", "test_files_schema_csv", 3, 0),
-    # 3 skips: CTAS with DISTRIBUTED BY into files (unparsed DDL)
-    ("test_files", "test_files_schema_insert", 1, 3),
+    # r9: CTAS accepts DISTRIBUTED BY clauses and inherits FILES()
+    # declared schema types (varchar widths survive)
+    ("test_files", "test_files_schema_insert", 3, 0),
     # 1 skip: by-position schema over a file missing the column
     ("test_files", "test_files_schema_missing", 2, 1),
     # 2 skips: fake:// scheme validation errors (message differs)
@@ -591,6 +592,29 @@ _SUITES = [
     # shipped CSV fixtures, checked JSON status blocks) + INSERT
     # PROPERTIES merge_condition
     ("test_condition_update", "test_condition_update", 15, 0),
+    # --- r9: plan-shape + function suites. nest_loop's 1 skip is the
+    # guarded double-band-join whose 8e12-row product exceeds a
+    # single-node JVM (visible skip instead of an executor OOM)
+    ("test_nest_loop_join", "test_nest_loop_join", 50, 1),
+    ("test_split_or", "test_split_or", 13, 0),
+    ("test_skew_join", "test_skew_join_with_pre_topn", 24, 0),
+    # meta-scan: named range partitions, [_META_]/TABLET hints,
+    # column_size fns; 2 skips are EXPLAIN steps with ${tablet_id}
+    ("test_meta_scan", "test_meta_scan", 111, 2),
+    ("test_rollup", "test_rollup_basic", 4, 0),
+    # 2 skips: alter-distribution statements the reference rejects
+    # with messages the runner renders differently
+    ("test_random_distribution", "test_random_distribution", 24, 2),
+    ("test_drop_table", "test_drop_table", 7, 0),
+    ("test_url_extract_parameter", "test_url_extract_parameter",
+     74, 0),
+    ("test_binary_functions", "test_binary_functions", 24, 0),
+    ("test_binary_type", "test_binary_type", 5, 0),
+    ("test_binary_type", "test_binary_in_nested", 11, 0),
+    # named range/list partition DDL: DROP PARTITION [FORCE] /
+    # DROP PARTITIONS START..END..EVERY, RECOVER PARTITION via the
+    # recycle bin (list partitions refuse recovery, like the FE)
+    ("test_drop_partition", "test_drop_partition", 21, 0),
 ]
 
 
