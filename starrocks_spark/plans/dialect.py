@@ -942,6 +942,90 @@ def _rw_from_binary(args: list[str]) -> str | None:
     return None
 
 
+#: get_variant_<t>(variant, path) → Spark variant_get target types
+_VARIANT_GETS = {
+    "get_variant_bool": "boolean", "get_variant_int": "bigint",
+    "get_variant_bigint": "bigint", "get_variant_double": "double",
+    "get_variant_float": "float", "get_variant_string": "string",
+    "get_variant_date": "date", "get_variant_datetime": "timestamp",
+}
+
+
+def _rw_get_variant(t: str):
+    def fn(args: list[str]) -> str | None:
+        if len(args) != 2:
+            return None
+        return f"variant_get({args[0]}, {args[1]}, '{t}')"
+    return fn
+
+
+def _rw_variant_to_json(args: list[str]) -> str | None:
+    """CAST(<variant-expr> AS JSON): the reference renders JSON text
+    with a space after commas; Spark's variant→string is compact."""
+    if len(args) != 1:
+        return None
+    m = re.match(r"^(.*?)\s+AS\s+JSON\s*$", args[0],
+                 re.IGNORECASE | re.DOTALL)
+    if not m:
+        return None
+    return (f"regexp_replace(CAST(({m.group(1).strip()}) AS STRING),"
+            f" ',', ', ')")
+
+
+def _rw_get_variant_time(args: list[str]) -> str | None:
+    # Spark's variant has no TIME member; round-trip via string
+    if len(args) != 2:
+        return None
+    return (f"CAST(variant_get({args[0]}, {args[1]}, 'string') "
+            f"AS TIME)")
+
+
+# variant-to-variant comparisons (the reference's variant is
+# comparable; Spark's VariantType has no ordering) — compare the
+# canonical JSON renders instead
+_VARIANT_CMP_RE = re.compile(
+    r"((?:TRY_)?CAST\s*\((?:[^()]|\([^()]*\))*?AS\s+VARIANT\s*\))\s*"
+    r"(<=>|!=|<>|=)\s*"
+    r"((?:TRY_)?CAST\s*\((?:[^()]|\([^()]*\))*?AS\s+VARIANT\s*\))",
+    re.IGNORECASE)
+
+
+def _rw_cast_variant(args: list[str]) -> str | None:
+    """CAST(x AS VARIANT) forms Spark's native cast refuses:
+    composites (incl. from_json results and typed-literal casts) go
+    through parse_json(to_json(x)) — the same variant value the
+    reference builds — and TIME hops through a string. Also handles
+    CAST(<variant> AS JSON) (space-after-comma render)."""
+    if len(args) != 1:
+        return None
+    jm = re.match(r"^(.*\bVARIANT\b.*?)\s+AS\s+JSON\s*$", args[0],
+                  re.IGNORECASE | re.DOTALL)
+    if jm:
+        # the reference's JSON render: space after ',' and after ':'
+        return (f"regexp_replace(regexp_replace("
+                f"CAST(({jm.group(1).strip()}) AS STRING), "
+                f"',', ', '), '\":', '\": ')")
+    m = re.match(r"^(.*?)\s+AS\s+VARIANT\s*$", args[0],
+                 re.IGNORECASE | re.DOTALL)
+    if not m:
+        return None
+    op = m.group(1).strip()
+    if re.match(r"^\x00?from_json\x00?\s*\(", op, re.IGNORECASE):
+        return (f"parse_json(to_json({op}, "
+                f"map('ignoreNullFields', 'false')))")
+    if re.match(r"^(\x00?(?:map|named_struct|row|array|struct)"
+                r"\x00?\s*[({\[<]|\[)", op, re.IGNORECASE) \
+            or re.search(r"\bAS\s+(?:ARRAY|MAP|STRUCT)\s*<.*>\s*\)\s*$",
+                         op, re.IGNORECASE | re.DOTALL):
+        # ignoreNullFields=false: the reference's variant KEEPS null
+        # struct/object fields ({"col1":null})
+        return (f"parse_json(to_json({op}, "
+                f"map('ignoreNullFields', 'false')))")
+    if re.search(r"\bAS\s+TIME\s*\)\s*$", op, re.IGNORECASE):
+        return f"CAST(CAST({op} AS STRING) AS VARIANT)"
+    return None
+
+
 def _rw_map_agg(args: list[str], over=None) -> str | None:
     """map_agg(k, v) (be map_agg.h): one map per group, NULL keys
     skipped, first occurrence wins on duplicate keys."""
@@ -2059,6 +2143,19 @@ def translate(sql: str) -> str:
         sql = rewrite_calls(sql, "from_binary", _rw_from_binary)
     if re.search(r"\bmap_agg\s*\(", sql, re.IGNORECASE):
         sql = rewrite_calls_over(sql, "map_agg", _rw_map_agg)
+    if re.search(r"\bVARIANT\b", sql, re.IGNORECASE):
+        sql = _VARIANT_CMP_RE.sub(
+            r"to_json(\1) \2 to_json(\3)", sql)
+        sql = rewrite_calls(sql, "cast", _rw_cast_variant)
+        sql = rewrite_calls(sql, "try_cast", _rw_cast_variant)
+        # bare VARCHAR inside cast target types needs no length
+        sql = re.sub(r"\bVARCHAR\b(?!\s*\()", "STRING", sql,
+                     flags=re.IGNORECASE)
+    if re.search(r"\bget_variant_\w+\s*\(", sql, re.IGNORECASE):
+        for gname, gt in _VARIANT_GETS.items():
+            sql = rewrite_calls(sql, gname, _rw_get_variant(gt))
+        sql = rewrite_calls(sql, "get_variant_time",
+                            _rw_get_variant_time)
     if re.search(r"\bto_binary\s*\(", sql, re.IGNORECASE):
         sql = rewrite_calls(sql, "to_binary", _rw_to_binary)
     for name in sorted(_FMT_FUNCS):

@@ -1926,6 +1926,56 @@ def _rw_typed_array_literals(sql: str) -> str:
 _MAP_LIT_RE = re.compile(r"\bmap\s*\{", re.IGNORECASE)
 
 
+def _split_map_lit_entries(body: str) -> list[str]:
+    """Split a map-literal body on top-level commas, tracking
+    ()/[]/{} and generic <> (a ``<`` glued to a type word — typed
+    array literals appear as map VALUES)."""
+    parts, cur, depth, i, n = [], [], 0, 0, len(body)
+    while i < n:
+        ch = body[i]
+        if ch in ("'", '"'):
+            j = dialect.skip_quoted(body, i)
+            cur.append(body[i:j])
+            i = j
+            continue
+        if ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        elif ch == "<" and cur and cur[-1] and cur[-1][-1].isalnum():
+            depth += 1
+        elif ch == ">" and depth > 0 and (i == 0
+                                          or body[i - 1] != "="):
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    parts.append("".join(cur))
+    return parts
+
+
+def _split_map_lit_kv(entry: str) -> tuple[str, str]:
+    """Split one ``key : value`` map entry on the top-level colon
+    (values may hold ':' inside nested literals/strings)."""
+    depth, i, n = 0, 0, len(entry)
+    while i < n:
+        ch = entry[i]
+        if ch in ("'", '"'):
+            i = dialect.skip_quoted(entry, i)
+            continue
+        if ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        elif ch == ":" and depth == 0:
+            return entry[:i], entry[i + 1:]
+        i += 1
+    raise ValueError(f"map literal entry without ':': {entry!r}")
+
+
 def _rw_map_literals(sql: str) -> str:
     """``map{'a':1,'b':2}`` literals (StarRocks.g4 mapExpression) →
     map('a', 1, 'b', 2)."""
@@ -1944,8 +1994,10 @@ def _rw_map_literals(sql: str) -> str:
                 depth -= 1
             i += 1
         pairs = []
-        for entry in dialect._split_top_level(sql[m.end():i - 1]):
-            k, v = entry.split(":", 1)
+        for entry in _split_map_lit_entries(sql[m.end():i - 1]):
+            if not entry.strip():  # MAP{} — the empty map literal
+                continue
+            k, v = _split_map_lit_kv(entry)
             pairs.extend((k.strip(), v.strip()))
         sql = (f"{sql[:m.start()]}\0map\0({', '.join(pairs)})"
                f"{sql[i:]}")
@@ -2662,6 +2714,11 @@ class ScriptRunner:
         _MV_VIEWS_CREATED.clear()
         # a prior script's SET time_zone must not leak across runs
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # the reference's TIME type (time_functions); Spark gates it
+        try:
+            spark.conf.set("spark.sql.timeType.enabled", "true")
+        except Exception:  # noqa: BLE001 — older Spark: no TIME
+            pass
         global BINARY_ENC_FORMAT, BINARY_ENC_LEVEL
         BINARY_ENC_FORMAT, BINARY_ENC_LEVEL = "hex", "nested"
         # MySQL's one-row dummy table

@@ -615,6 +615,16 @@ _SUITES = [
     # DROP PARTITIONS START..END..EVERY, RECOVER PARTITION via the
     # recycle bin (list partitions refuse recovery, like the FE)
     ("test_drop_partition", "test_drop_partition", 21, 0),
+    # VARIANT type tier: Spark's native VariantType carries the
+    # semantics (cast round-trips incl. TIME via string, composites
+    # via parse_json(to_json(..., keep nulls)), variant_get twins for
+    # get_variant_*, JSON renders with the reference's spacing,
+    # comparisons over canonical JSON)
+    ("test_variant_cast", "test_cast_to_variant_basic.sql", 1, 0),
+    ("test_variant_cast", "test_cast_to_variant_complex.sql", 9, 0),
+    ("test_variant_cast", "test_get_variant_basic.sql", 1, 0),
+    ("test_variant_cast", "test_get_variant_complex.sql", 8, 0),
+    ("test_variant_cast", "test_variant_comparable.sql", 1, 0),
 ]
 
 
