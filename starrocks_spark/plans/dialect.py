@@ -1026,6 +1026,64 @@ def _rw_cast_variant(args: list[str]) -> str | None:
     return None
 
 
+def _rw_ngram_search(ci: bool):
+    """ngram_search[_case_insensitive](haystack, needle, n)
+    (be exprs/ngram.cpp:548): 1 - misses/needle_gram_count with
+    MULTISET gram counting over overlapping character n-grams.
+    Literal needles expand their gram table at rewrite time."""
+    def fn(args: list[str]) -> str | None:
+        if len(args) != 3:
+            return None
+        h = args[0]
+        nm = re.match(r"^\s*(['\"])(.*)\1\s*$", args[1], re.DOTALL)
+        gm = re.match(r"^\s*(\d+)\s*$", args[2])
+        if not gm:
+            return None
+        if not nm:
+            # non-constant needle: fully dynamic gram multisets
+            n = int(gm.group(1))
+            hx = f"lower({h})" if ci else f"({h})"
+            nx = f"lower({args[1]})" if ci else f"({args[1]})"
+
+            def gs(e: str) -> str:
+                return (f"IF(length({e}) >= {n}, transform("
+                        f"sequence(1, length({e}) - {n} + 1), "
+                        f"__i -> substring({e}, __i, {n})), "
+                        f"CAST(array() AS ARRAY<STRING>))")
+
+            ng, hg = gs(nx), gs(hx)
+            return (
+                f"CAST(IF(({h}) IS NULL OR ({args[1]}) IS NULL, NULL,"
+                f" 1.0 - aggregate(array_distinct({ng}), "
+                f"CAST(0 AS DOUBLE), (__a, __g) -> __a + "
+                f"GREATEST(size(filter({ng}, __x -> __x = __g)) - "
+                f"size(filter({hg}, __y -> __y = __g)), 0)) / "
+                f"GREATEST(size({ng}), 1)) AS FLOAT)")
+        nd = nm.group(2)
+        if ci:
+            nd = nd.lower()
+        n = int(gm.group(1))
+        grams: dict[str, int] = {}
+        for i in range(max(len(nd) - n + 1, 0)):
+            g = nd[i:i + n]
+            grams[g] = grams.get(g, 0) + 1
+        total = sum(grams.values())
+        hx = f"lower({h})" if ci else f"({h})"
+        if not grams:
+            return (f"IF(({h}) IS NULL, CAST(NULL AS FLOAT), "
+                    f"CAST(1.0 AS FLOAT))")
+        miss = []
+        for g, c in grams.items():
+            ge = g.replace("'", "''")
+            cnt = (f"IF(length({hx}) >= {n}, size(filter("
+                   f"sequence(1, length({hx}) - {n} + 1), "
+                   f"__i -> substring({hx}, __i, {n}) = '{ge}')), 0)")
+            miss.append(f"GREATEST({c} - {cnt}, 0)")
+        return (f"CAST(1.0 - ({' + '.join(miss)}) / {total} "
+                f"AS FLOAT)")
+    return fn
+
+
 def _rw_map_agg(args: list[str], over=None) -> str | None:
     """map_agg(k, v) (be map_agg.h): one map per group, NULL keys
     skipped, first occurrence wins on duplicate keys."""
@@ -2143,6 +2201,10 @@ def translate(sql: str) -> str:
         sql = rewrite_calls(sql, "from_binary", _rw_from_binary)
     if re.search(r"\bmap_agg\s*\(", sql, re.IGNORECASE):
         sql = rewrite_calls_over(sql, "map_agg", _rw_map_agg)
+    if re.search(r"\bngram_search", sql, re.IGNORECASE):
+        sql = rewrite_calls(sql, "ngram_search_case_insensitive",
+                            _rw_ngram_search(True))
+        sql = rewrite_calls(sql, "ngram_search", _rw_ngram_search(False))
     if re.search(r"\bVARIANT\b", sql, re.IGNORECASE):
         sql = _VARIANT_CMP_RE.sub(
             r"to_json(\1) \2 to_json(\3)", sql)

@@ -523,6 +523,21 @@ def parse_create_table(stmt: str) -> TableDef:
     d.has_index = any(
         e.split(None, 1)[0].upper().strip("`") == "INDEX"
         for e in _split_coldefs(body) if e.strip())
+    # in-DDL secondary index defs (SHOW INDEX / ngram bloom filters)
+    for e in _split_coldefs(body):
+        im9 = re.match(
+            r"\s*INDEX\s+`?(\w+)`?\s*\(\s*`?(\w+)`?\s*\)\s*"
+            r"(?:USING\s+(\w+)\s*)?(?:\((.*?)\)\s*)?"
+            r"(?:COMMENT\s+['\"][^'\"]*['\"]\s*)?$",
+            e.strip(), re.IGNORECASE | re.DOTALL)
+        if im9:
+            props9 = dict(re.findall(
+                r"['\"]([^'\"]+)['\"]\s*=\s*['\"]([^'\"]*)['\"]",
+                im9.group(4) or ""))
+            d.indexes[im9.group(1)] = {
+                "col": im9.group(2),
+                "using": (im9.group(3) or "BITMAP").upper(),
+                "props": props9}
     pm2 = re.search(r"\bPROPERTIES\s*\(", tail, re.IGNORECASE)
     if pm2:
         pbody, _ = _strip_parens_block(tail, pm2.end() - 1)
@@ -2937,6 +2952,42 @@ class ScriptRunner:
                            f"needs a rename")
             self.defs[nm9], self.tables[nm9] = self.trash.pop(nm9)
             return StatementResult(stmt, "noop")
+        sim = re.match(r"\s*SHOW\s+INDEX(?:ES)?\s+FROM\s+`?(\w+)`?"
+                       r"\s*$", stmt, re.IGNORECASE)
+        if sim and sim.group(1) in self.defs:
+            d9 = self.defs[sim.group(1)]
+            rows9 = []
+            for iname9, ix9 in d9.indexes.items():
+                if ix9["using"] == "NGRAMBF":
+                    pr9 = dict(ix9.get("props") or {})
+                    pr9.setdefault("bloom_filter_fpp", "0.05")
+                    pr9.setdefault("case_sensitive", "true")
+                    pr9.setdefault("gram_num", "2")
+                    ty9 = "NGRAMBF(" + ", ".join(
+                        f'"{k}" = "{pr9[k]}"'
+                        for k in sorted(pr9)) + ")"
+                else:
+                    ty9 = ix9["using"]
+                rows9.append((
+                    f"{self.current_db or 'db'}.{d9.name}", "",
+                    iname9, "", ix9["col"], "", "", "", "", "",
+                    ty9, ""))
+            schema9 = ("Table string, Non_unique string, Key_name "
+                       "string, Seq_in_index string, Column_name "
+                       "string, Collation string, Cardinality string, "
+                       "Sub_part string, Packed string, Null string, "
+                       "Index_type string, Comment string")
+            if not rows9:
+                df9 = self.spark.createDataFrame(
+                    [("",) * 12], schema9).filter("Table != ''")
+            else:
+                df9 = self.spark.createDataFrame(rows9, schema9)
+            return StatementResult(stmt, "select", df9)
+        dio = re.match(r"\s*DROP\s+INDEX\s+`?(\w+)`?\s+ON\s+"
+                       r"`?(\w+)`?\s*$", stmt, re.IGNORECASE)
+        if dio and dio.group(2) in self.defs:
+            return self.execute(f"ALTER TABLE {dio.group(2)} "
+                                f"DROP INDEX {dio.group(1)}")
         stp = re.match(r"\s*SHOW\s+TEMPORARY\s+PARTITIONS\s+FROM\s+"
                        r"`?(\w+)`?\s*$", stmt, re.IGNORECASE)
         if stp:
@@ -4486,6 +4537,45 @@ class ScriptRunner:
         for db9 in self.dropped_dbs:
             if re.search(rf"\b{re.escape(db9)}\.", stmt):
                 raise ValueError(f"Unknown database '{db9}'")
+        # ngram bloom-filter index pruning: ORDER BY ngram_search over
+        # an indexed column skips PAGES with no needle gram at all
+        # (function_call_expr.cpp:316 index-filtering fns). Each
+        # insert batch is one page here, so the scan is all-or-nothing
+        # per table — emulated as a whole-set max(score)>0 guard.
+        ngm = re.match(
+            r"^\s*(SELECT\s+.*?)\bFROM\s+`?(\w+)`?\s+ORDER\s+BY\s+"
+            r"(ngram_search(_case_insensitive)?\s*\(\s*`?(\w+)`?\s*,"
+            r"\s*(?:'[^']*'|\"[^\"]*\")\s*,\s*(\d+)\s*\))\s*"
+            r"(DESC|ASC)?\s*;?\s*$",
+            stmt, re.IGNORECASE | re.DOTALL)
+        if ngm and ngm.group(2) in self.defs:
+            d9 = self.defs[ngm.group(2)]
+            ci9 = bool(ngm.group(4))
+            usable = any(
+                ix["using"] == "NGRAMBF"
+                and ix["col"].lower() == ngm.group(5).lower()
+                and (ix.get("props") or {}).get("gram_num", "4")
+                == ngm.group(6)
+                and ((ix.get("props") or {})
+                     .get("case_sensitive", "true")
+                     == ("false" if ci9 else "true"))
+                for ix in d9.indexes.values())
+            if usable:
+                stmt = (f"SELECT * EXCEPT(__ng, __mx) FROM "
+                        f"({ngm.group(1).strip()}, {ngm.group(3)} "
+                        f"AS __ng, max({ngm.group(3)}) OVER () "
+                        f"AS __mx FROM {ngm.group(2)}) "
+                        f"WHERE __mx > 0 "
+                        f"ORDER BY __ng {ngm.group(7) or 'ASC'}")
+        # ALTER-added columns have no physical segments until the
+        # next load — their meta-scan column_size reads 0
+        for d9 in self.defs.values():
+            for cn9 in getattr(d9, "added_cols", ()):  # noqa: B007
+                stmt = re.sub(
+                    rf"\bcolumn_(?:compressed_)?size\s*\(\s*`?{cn9}`?"
+                    rf"\s*\)",
+                    "coalesce(MIN(CAST(0 AS BIGINT)), 0)", stmt,
+                    flags=re.IGNORECASE)
         # two or more unbounded band joins multiply row counts
         # geometrically (the nest-loop suite's tail statement builds
         # an 8e12-row intermediate); a local[32] JVM dies on it where
@@ -5492,10 +5582,15 @@ class ScriptRunner:
                         .cast(spark_type(c.sr_type)))
                 t._rewrite(raw)
             d.cols.extend(new_cols)
+            # no physical segments yet: meta-scan column_size is 0
+            # until the next load writes them
+            d.added_cols = (getattr(d, "added_cols", set())
+                            | {c.name for c in new_cols})
             return
 
         aim = re.match(r"ADD\s+INDEX\s+`?(\w+)`?\s*\(\s*`?(\w+)`?"
-                       r"\s*\)\s*(?:USING\s+(VECTOR|GIN|BITMAP)\s*)?"
+                       r"\s*\)\s*"
+                       r"(?:USING\s+(VECTOR|GIN|BITMAP|NGRAMBF)\s*)?"
                        r"(?:\((.*)\)\s*)?(?:COMMENT\s+'[^']*'\s*)?$",
                        action, re.IGNORECASE | re.DOTALL)
         if aim:
@@ -5511,8 +5606,9 @@ class ScriptRunner:
             d.col(icol)  # raises on unknown column
             if iname in d.indexes:
                 raise ValueError(f"index {iname} already exists")
-            props = dict(re.findall(r'"([^"]+)"\s*=\s*"([^"]*)"',
-                                    iprops or ""))
+            props = dict(re.findall(
+                r"['\"]([^'\"]+)['\"]\s*=\s*['\"]([^'\"]*)['\"]",
+                iprops or ""))
             d.indexes[iname] = {"col": icol,
                                 "using": (iusing or "BITMAP").upper(),
                                 "props": props}
@@ -5659,6 +5755,7 @@ class ScriptRunner:
     def _apply_insert(self, mode, name, part_pred, batch,
                       listed=None) -> None:
         t, d = self.tables[name], self.defs[name]
+        d.added_cols = set()  # a load writes segments for every column
         mc9 = self.vars.pop("__merge_condition", None)
         if mc9 and mode != "OVERWRITE" and t._exists():
             if "__pos" in batch.columns:

@@ -122,6 +122,13 @@ _PRIORITY = [
     "dialect_sqltester_mv",
     "dialect_sqltester_vector_index",
     "dialect_bitmap_sql_surface",
+    # --- r9 session 2: decimal tier (int→decimal W-rule casts,
+    # largeint digit-string storage, allowPrecisionLoss=false scale
+    # retention) + the distinct-over-window restructure and the
+    # single-arg round() BIGINT rule touch these rows' shared desugars
+    "dialect_sqltester_decimal",
+    "distinct_multi_agg",
+    "window_running_total",
     # --- r9 changed engine code: models.py REPLACE fallback now
     # prefers stamped load order in the rollup merge path; murmur
     # chained-seed mask touches every fingerprint/hash row

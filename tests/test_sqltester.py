@@ -625,6 +625,15 @@ _SUITES = [
     ("test_variant_cast", "test_get_variant_basic.sql", 1, 0),
     ("test_variant_cast", "test_get_variant_complex.sql", 8, 0),
     ("test_variant_cast", "test_variant_comparable.sql", 1, 0),
+    # ngram bloom-filter tier: ngram_search[_case_insensitive]
+    # (ngram.cpp multiset gram scoring, literal + dynamic needles),
+    # SHOW INDEX renders, in-DDL index defs, page-level index pruning
+    # under ORDER BY ngram_search
+    ("test_index", "test_ngram_bloom_filter", 27, 0),
+    ("test_index", "test_ngram_non_const_needle", 7, 0),
+    # ALTER-added columns read column_size 0 until the next load
+    # (fast schema evolution); 3 skips: be_tablets rowset counters
+    ("test_meta_scan", "test_meta_scan_schema_change", 3, 3),
 ]
 
 
