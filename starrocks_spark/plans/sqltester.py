@@ -5049,23 +5049,30 @@ class ScriptRunner:
             # script's VALUES order, exactly and deterministically
             # (partition layout never decides a tie again)
             tuples = _split_values_tuples(vals)
-            if tuples is not None and re.search(r"\bDEFAULT\b", vals,
-                                                re.IGNORECASE):
+            has_auto = any(c.auto_inc for c in d.cols)
+            if tuples is not None and (
+                    has_auto or re.search(r"\bDEFAULT\b", vals,
+                                          re.IGNORECASE)):
                 # DEFAULT cells: AUTO_INCREMENT columns draw the next
                 # sequence id (assigned at parse time — deterministic);
-                # other columns take their declared default
+                # other columns take their declared default. A NULL
+                # cell on an AUTO_INCREMENT column also draws an id
+                # (fe AutoIncrementInfo null-as-generate).
                 fixed = []
                 for t in tuples:
                     cells = dialect._split_top_level(t[1:-1])
                     for ci, cell in enumerate(cells):
-                        if cell.strip().upper() != "DEFAULT":
+                        cu = cell.strip().upper()
+                        if ci >= len(listed):
                             continue
                         cdef = d.col(listed[ci])
-                        if cdef.auto_inc:
-                            d.auto_seq += 1
-                            cells[ci] = str(d.auto_seq)
-                        else:
-                            cells[ci] = cdef.default or "NULL"
+                        if cu == "DEFAULT" or (cu == "NULL"
+                                               and cdef.auto_inc):
+                            if cdef.auto_inc:
+                                d.auto_seq += 1
+                                cells[ci] = str(d.auto_seq)
+                            else:
+                                cells[ci] = cdef.default or "NULL"
                     fixed.append("(" + ", ".join(cells) + ")")
                 tuples = fixed
             if tuples is not None:

@@ -634,6 +634,7 @@ _SUITES = [
     # ALTER-added columns read column_size 0 until the next load
     # (fast schema evolution); 3 skips: be_tablets rowset counters
     ("test_meta_scan", "test_meta_scan_schema_change", 3, 3),
+    ("test_materialized_view", "test_auto_refresh", 5, 0),
 ]
 
 
