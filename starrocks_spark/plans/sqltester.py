@@ -4294,6 +4294,15 @@ class ScriptRunner:
                 stmt, "select",
                 self.spark.createDataFrame([(None,)], "r string"))
 
+        pam9 = re.match(r"\s*(alter|truncate)\s+plan\s+advisor\b",
+                        q, re.IGNORECASE)
+        if pam9:
+            # plan advisor is a tuning cache, not a result surface;
+            # acknowledge with the FE's response text
+            return _check_text(
+                "Add query into plan advisor in FE"
+                if pam9.group(1).lower() == "alter"
+                else "Clear all plan advisor in FE")
         sct9 = re.match(r"\s*show\s+create\s+table\s+`?(\w+)`?"
                         r"\s*;?\s*$", q, re.IGNORECASE)
         if sct9 and sct9.group(1) in self.defs:

@@ -266,7 +266,9 @@ _SUITES = [
     ("test_colocate_range", "test_colocate_range_cross_table_join", 1, 0),
     ("test_colocate_range", "test_colocate_range_intra_partition_split", 1, 0),
     ("test_column_with_row", "test_column_with_row_variable", 6, 0),
-    ("test_feedback", "test_join_predicate_reuse_feedback", 1, 0),
+    # r9: plan-advisor function steps are now CHECKED (the FE's
+    # acknowledge texts)
+    ("test_feedback", "test_join_predicate_reuse_feedback", 3, 0),
     ("test_function", "test_cbrt", 6, 0),
     ("test_function", "test_encode_fingerprint_sha256_const", 9, 0),
     ("test_function", "test_regexp_extract_all_zero_len", 8, 0),
