@@ -725,10 +725,14 @@ def _kw_pos(text: str, kw: str, start: int = 0) -> int:
 
 
 def _find_distinct_over_unbounded(sql: str):
-    """First ``count|sum|avg(DISTINCT x) OVER (partition-only)``
-    call: (start, end, fname, arg, over_inner) or None. Windows with
-    ORDER BY or an explicit frame are left to the set-based desugar
-    (their state is bounded by the frame)."""
+    """First ``count|sum|avg(DISTINCT x) OVER (...)`` call whose
+    window state is UNBOUNDED: partition-only windows, and running
+    (ORDER BY) windows with the default or an explicit
+    ``UNBOUNDED PRECEDING .. CURRENT ROW|UNBOUNDED FOLLOWING``
+    frame. Returns (start, end, fname, arg, over_inner) or None.
+    Only explicitly bounded ``BETWEEN n PRECEDING ...`` frames are
+    left to the set-based desugar (their state is bounded by the
+    frame length)."""
     for m in re.finditer(r"\b(count|sum|avg)\s*\(", sql, re.IGNORECASE):
         arg, after = _paren_span(sql, m.end() - 1)
         if arg is None:
@@ -741,13 +745,39 @@ def _find_distinct_over_unbounded(sql: str):
         if not om:
             continue
         over, oafter = _paren_span(sql, after + om.end() - 1)
-        if over is None or re.search(
-                r"\bORDER\s+BY\b|\bROWS\b|\bRANGE\b", over,
-                re.IGNORECASE):
+        if over is None:
+            continue
+        fm = re.search(r"\b(ROWS|RANGE)\b", over, re.IGNORECASE)
+        if fm and not re.match(
+                r"\s*(?:BETWEEN\s+)?UNBOUNDED\s+PRECEDING"
+                r"(?:\s+AND\s+(?:CURRENT\s+ROW"
+                r"|UNBOUNDED\s+FOLLOWING))?\s*$",
+                over[fm.end():], re.IGNORECASE):
             continue
         return (m.start(), oafter, m.group(1).lower(),
                 dm.group(1).strip(), over.strip())
     return None
+
+
+def _split_over(ov: str) -> tuple[str, str, str]:
+    """(partition_exprs, order_exprs, frame_clause) from an OVER
+    body — each '' when absent; exprs verbatim (ASC/DESC kept)."""
+    op = _kw_pos(ov, "ORDER")
+    fps = [p for p in (_kw_pos(ov, "ROWS"), _kw_pos(ov, "RANGE"))
+           if p >= 0]
+    fp = min(fps) if fps else -1
+    end_p = op if op >= 0 else (fp if fp >= 0 else len(ov))
+    pm = re.match(r"\s*PARTITION\s+BY\s+(.*)$", ov[:end_p],
+                  re.IGNORECASE | re.DOTALL)
+    part = pm.group(1).strip() if pm else ""
+    order = ""
+    if op >= 0:
+        oend = fp if fp >= 0 else len(ov)
+        om = re.match(r"\s*ORDER\s+BY\s+(.*)$", ov[op:oend],
+                      re.IGNORECASE | re.DOTALL)
+        order = om.group(1).strip() if om else ""
+    frame = ov[fp:].strip() if fp >= 0 else ""
+    return part, order, frame
 
 
 def _owner_select_pos(sql: str, pos: int) -> tuple[int, int]:
@@ -813,16 +843,24 @@ def _dw_replace_calls(text: str, helpers: dict) -> str:
         pkey = (x.lower(), ov.lower())
         if pkey not in helpers:
             hn = f"__dw{len(helpers)}"
-            pm = re.match(r"PARTITION\s+BY\s+(.*)$", ov,
-                          re.IGNORECASE | re.DOTALL)
-            plist = ((pm.group(1).strip() + ", ") if pm else "") + x
+            plist_s, order_s, _ = _split_over(ov)
+            plist = ((plist_s + ", ") if plist_s else "") + x
+            # running (ORDER BY) windows mark each value's first
+            # occurrence in window order; with the outer window's
+            # default RANGE frame a peer carrying the marker is in
+            # every peer row's frame, so ties resolve exactly as the
+            # reference's O(1)-per-row removable-cumulative state
+            # (be/src/exprs/agg/window.h)
             helpers[pkey] = (
                 hn, f"row_number() OVER (PARTITION BY {plist} "
-                    f"ORDER BY {x}) AS {hn}")
+                    f"ORDER BY {order_s or x}) AS {hn}")
         hn = helpers[pkey][0]
         ow = f" OVER ({ov})"
         first = f"CASE WHEN {hn} = 1 THEN ({x}) END"
-        cnt = (f"sum(CASE WHEN {hn} = 1 AND ({x}) IS NOT NULL "
+        # \0-marked sums: the later set-based desugar pass must not
+        # re-match these (the CASE text can contain the original
+        # DECIMAL cast, which would trigger its scale renders)
+        cnt = (f"\0sum\0(CASE WHEN {hn} = 1 AND ({x}) IS NOT NULL "
                f"THEN 1 END){ow}")
         s_in = _dw_scale_in(x)
         is_float = re.search(r"\bAS\s+(FLOAT|DOUBLE)\b", x,
@@ -832,23 +870,24 @@ def _dw_replace_calls(text: str, helpers: dict) -> str:
         elif fn == "sum":
             if s_in is not None:
                 acc_s = min(s_in, 18)
-                rep = (f"CAST(sum(CAST({first} AS "
+                rep = (f"CAST(\0sum\0(CAST({first} AS "
                        f"DECIMAL(37,{acc_s}))){ow} "
                        f"AS DECIMAL(38,{acc_s}))")
             elif is_float:
-                rep = f"sum(CAST({first} AS DOUBLE)){ow}"
+                rep = f"\0sum\0(CAST({first} AS DOUBLE)){ow}"
             else:
-                rep = f"sum(CAST({first} AS BIGINT)){ow}"
+                rep = f"\0sum\0(CAST({first} AS BIGINT)){ow}"
         else:  # avg
             if s_in is not None:
                 acc_s = min(s_in, 18)
-                ssum = (f"sum(CAST({first} AS "
+                ssum = (f"\0sum\0(CAST({first} AS "
                         f"DECIMAL(37,{acc_s}))){ow}")
                 rep = _exact_avg_render(ssum, cnt, s_in)
             elif is_float:
-                rep = (f"(sum(CAST({first} AS DOUBLE)){ow} / {cnt})")
+                rep = (f"(\0sum\0(CAST({first} AS DOUBLE)){ow} "
+                       f"/ {cnt})")
             else:
-                ssum = f"sum(CAST({first} AS BIGINT)){ow}"
+                ssum = f"\0sum\0(CAST({first} AS BIGINT)){ow}"
                 rep = _int_avg_render(ssum, cnt)
         text = text[:s0] + rep + text[e0:]
 
@@ -875,8 +914,6 @@ def _rw_distinct_over_unbounded(sql: str) -> str:
             return sql
         end = _select_block_end(sql, owner, depth)
         block = sql[owner:end]
-        if re.match(r"SELECT\s+DISTINCT\b", block, re.IGNORECASE):
-            return sql
         fp = _kw_pos(block, "FROM")
         if fp < 0 or _kw_pos(block, "GROUP") >= 0:
             return sql
@@ -915,10 +952,12 @@ def _rw_to_binary(args: list[str]) -> str | None:
     s = args[0]
     fmt = _binfmt(args[1] if len(args) > 1 else None)
     if fmt == "hex":
-        return (f"IF(({s}) RLIKE '^([0-9a-fA-F]{{2}})*$', "
-                f"unhex({s}), CAST('' AS BINARY))")
+        return (f"CASE WHEN ({s}) IS NULL THEN CAST(NULL AS BINARY) "
+                f"WHEN ({s}) RLIKE '^([0-9a-fA-F]{{2}})*$' "
+                f"THEN unhex({s}) ELSE CAST('' AS BINARY) END")
     if fmt == "encode64":
-        return (f"CASE WHEN ({s}) = '' THEN CAST(NULL AS BINARY) "
+        return (f"CASE WHEN ({s}) IS NULL THEN CAST(NULL AS BINARY) "
+                f"WHEN ({s}) = '' THEN CAST(NULL AS BINARY) "
                 f"WHEN ({s}) RLIKE '^(?:[A-Za-z0-9+/]{{4}})*"
                 f"(?:[A-Za-z0-9+/]{{2}}==|[A-Za-z0-9+/]{{3}}=)?$' "
                 f"THEN unbase64({s}) ELSE CAST('' AS BINARY) END")
@@ -1079,8 +1118,11 @@ def _rw_ngram_search(ci: bool):
                    f"sequence(1, length({hx}) - {n} + 1), "
                    f"__i -> substring({hx}, __i, {n}) = '{ge}')), 0)")
             miss.append(f"GREATEST({c} - {cnt}, 0)")
-        return (f"CAST(1.0 - ({' + '.join(miss)}) / {total} "
-                f"AS FLOAT)")
+        # NULL haystack → NULL (ngram.cpp union_nullable_column),
+        # not 0.0 from the IF(length(...) >= n, ..., 0) fallthrough.
+        return (f"IF(({h}) IS NULL, CAST(NULL AS FLOAT), "
+                f"CAST(1.0 - ({' + '.join(miss)}) / {total} "
+                f"AS FLOAT))")
     return fn
 
 
@@ -1159,9 +1201,10 @@ def _rw_distinct_agg_over(name: str):
                 return _exact_avg_render(f"\0sum\0({args[0]}){w}",
                                          f"\0count\0({args[0]}){w}",
                                          s_in)
-            if name == "avg" and not is_float:
-                return _int_avg_render(f"\0sum\0({args[0]}){w}",
-                                       f"\0count\0({args[0]}){w}")
+            # non-distinct integer avg stays plain: Spark's DOUBLE
+            # avg matches the reference render (recorded
+            # test_distinct_aggregation_over_window_without_sliding_
+            # frame mixed statements)
             if s_in is None:
                 return None
             # plain sum over a wide-scale DECIMAL window: Spark keeps
@@ -2228,15 +2271,20 @@ def translate(sql: str) -> str:
     sql = rewrite_calls_over(sql, "array_agg", _rw_array_agg_over)
     # unbounded DISTINCT-over windows restructure into marker sums
     # (scalar window state) BEFORE the set-based desugar, which then
-    # only sees the frame-bounded (sliding) forms
+    # only sees the frame-bounded (sliding) forms. Gate the desugar
+    # pass on the PRE-restructure text: _rw_distinct_agg_over also
+    # normalizes the NON-distinct sum/avg renders of a statement that
+    # mixes both, and must keep firing when the restructure consumed
+    # every DISTINCT form.
+    gated = [name for name in ("sum", "count", "avg", "min", "max")
+             if re.search(rf"\b{name}\s*\(\s*DISTINCT\b", sql,
+                          re.IGNORECASE)]
     if re.search(r"\(\s*DISTINCT\b", sql, re.IGNORECASE) \
             and re.search(r"\bOVER\b", sql, re.IGNORECASE):
         sql = _rw_distinct_over_unbounded(sql)
-    for name in ("sum", "count", "avg", "min", "max"):
-        if re.search(rf"\b{name}\s*\(\s*DISTINCT\b", sql,
-                     re.IGNORECASE):
-            sql = rewrite_calls_over(sql, name,
-                                     _rw_distinct_agg_over(name))
+    for name in gated:
+        sql = rewrite_calls_over(sql, name,
+                                 _rw_distinct_agg_over(name))
     for name, tmpl in _SIMPLE_WRAPS.items():
         sql = rewrite_calls(sql, name, lambda a, t=tmpl: t(a))
     for sr_name, spark_name in (("boolor_agg", "bool_or"),

@@ -2895,6 +2895,14 @@ class ScriptRunner:
                 gm9.group(3).split("@")[0].lower(), set()).add(
                 (gm9.group(1).lower(), gm9.group(2)))
             return StatementResult(stmt, "noop")
+        rv9 = re.match(r"\s*REVOKE\s+SELECT\s+ON\s+(VIEW|TABLE)\s+"
+                       r"`?(\w+)`?\s+FROM\s+(?:USER\s+)?`?([\w.]+)",
+                       stmt, re.IGNORECASE)
+        if rv9:
+            self.grants.get(
+                rv9.group(3).split("@")[0].lower(), set()).discard(
+                (rv9.group(1).lower(), rv9.group(2)))
+            return StatementResult(stmt, "noop")
         avs = re.match(r"\s*ALTER\s+VIEW\s+`?(\w+)`?\s+SET\s+"
                        r"SECURITY\s+(NONE|INVOKER)\s*$",
                        stmt, re.IGNORECASE)
@@ -3335,12 +3343,14 @@ class ScriptRunner:
             elif kind == "createview":
                 vm2 = re.match(
                     r"\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+"
-                    r"(?:IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?"
+                    r"(IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?"
                     r"(?:\s+COMMENT\s+'([^']*)')?"
                     r"(?:\s+SECURITY\s+(NONE|INVOKER))?\s+AS\s+(.*)$",
                     stmt, re.IGNORECASE | re.DOTALL)
-                vname, vbody = vm2.group(2), vm2.group(5)
+                vname, vbody = vm2.group(3), vm2.group(6)
                 if vm2.group(1) is None and vname in self.views:
+                    if vm2.group(2):  # IF NOT EXISTS → no-op
+                        return StatementResult(stmt, "noop")
                     raise ValueError(
                         f"View '{vname}' already exists")
                 tv9 = [t for t in self.temp_tables
@@ -3373,10 +3383,10 @@ class ScriptRunner:
                     if om9:
                         body_src = om9.group(1)
                 self.view_meta[vname] = {
-                    "comment": vm2.group(3) or "",
+                    "comment": vm2.group(4) or "",
                     "body": body_src,
                     "cols": list(vdf.columns),
-                    "security": (vm2.group(4) or "none").lower(),
+                    "security": (vm2.group(5) or "none").lower(),
                 }
                 self.view_deps[vname] = {
                     t for t in (set(self.defs) | self.views
@@ -4005,6 +4015,9 @@ class ScriptRunner:
         """Replace each FILES(...) call with a temp view over the
         locally-staged read, and backtick $N positional refs so Spark
         accepts the FE's CSV column names."""
+        # declared schema types apply only to the statement that
+        # declared them — clear stale state from a prior FILES() read
+        self._files_declared = {}
         pos0 = 0
         while True:
             m = re.search(r"\bfiles\s*\(", stmt[pos0:], re.IGNORECASE)

@@ -145,3 +145,67 @@ def test_rank_without_order_is_constant_one():
     sql2 = dialect.translate(
         "select rank() over(partition by v1 order by v2) r from t0")
     assert "rank()" in sql2
+
+
+def test_ngram_search_null_haystack_is_null(spark):
+    # ngram.cpp union_nullable_column: NULL haystack → NULL score,
+    # for both constant and dynamic needles (ADVICE r9)
+    from starrocks_spark.plans import dialect
+
+    sql = dialect.translate(
+        "select ngram_search(CAST(NULL AS STRING), 'chinese', 4) s")
+    assert spark.sql(sql).first()["s"] is None
+    sql2 = dialect.translate(
+        "select ngram_search(CAST(NULL AS STRING), "
+        "concat('chin', 'ese'), 4) s")
+    assert spark.sql(sql2).first()["s"] is None
+
+
+def test_to_binary_null_propagates(spark):
+    # to_binary null-propagates its input in every format
+    # (be binary_functions.cpp; ADVICE r9)
+    from starrocks_spark.plans import dialect
+
+    for fmt in ("'hex'", "'encode64'", "'utf8'"):
+        sql = dialect.translate(
+            f"select to_binary(CAST(NULL AS STRING), {fmt}) b")
+        assert spark.sql(sql).first()["b"] is None, fmt
+    # non-null invalid inputs keep the EMPTY-binary semantics
+    sql = dialect.translate("select to_binary('zz', 'hex') b")
+    assert spark.sql(sql).first()["b"] == bytearray(b"")
+
+
+def test_distinct_over_running_frame_restructures():
+    # r10: ORDER BY (running) frames — default RANGE UNBOUNDED
+    # PRECEDING..CURRENT ROW and explicit unbounded frames — use the
+    # first-occurrence-marker restructure (scalar window state), NOT
+    # collect_set (whose per-row set materialization is O(n*d) per
+    # partition); be/src/exprs/agg/window.h keeps O(1)-per-row state
+    import re
+
+    from starrocks_spark.plans import dialect
+
+    sql = dialect.translate(
+        "select count(distinct v3) over(partition by v1 order by v2) c,"
+        " sum(distinct v3) over(partition by v1 order by v2) s,"
+        " avg(distinct v3) over(partition by v1 order by v2) a"
+        " from t0")
+    assert "collect_set" not in sql.lower()
+    assert re.search(r"row_number\(\) OVER \(PARTITION BY v1, v3 "
+                     r"ORDER BY v2", sql)
+    # one shared marker for the three aggregates over the same window
+    assert sql.count("row_number()") == 1
+    # explicit unbounded frames restructure too
+    for frame in ("range between unbounded preceding and current row",
+                  "rows unbounded preceding",
+                  "rows between unbounded preceding and unbounded "
+                  "following"):
+        s2 = dialect.translate(
+            f"select count(distinct v3) over(partition by v1 "
+            f"order by v2 {frame}) c from t0")
+        assert "collect_set" not in s2.lower(), frame
+    # bounded sliding frames KEEP the set-based desugar
+    s3 = dialect.translate(
+        "select count(distinct v3) over(partition by v1 order by v2 "
+        "rows between 3 preceding and current row) c from t0")
+    assert "collect_set" in s3.lower()
