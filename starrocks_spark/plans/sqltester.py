@@ -66,6 +66,12 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 
 from starrocks_spark.plans import dialect
+from starrocks_spark.plans.sqlddl import (_AGG_TYPES, _MODEL_MAP,
+                                          ColumnDef, TableDef,
+                                          parse_create_table)
+from starrocks_spark.plans.sqllex import DIRECTIVE_RE as _DIRECTIVE_RE
+from starrocks_spark.plans.sqllex import TAG_RE as _TAG_RE
+from starrocks_spark.plans.sqllex import classify, split_statements
 from starrocks_spark.tables.models import ManagedTable, TableModel
 
 REFERENCE_SQL_ROOT = "/root/reference/test/sql"
@@ -89,67 +95,9 @@ _FUSED_EMPTY = "__sr_fused_empty__"
 # script scanning
 # ---------------------------------------------------------------------------
 
-# ONLY the runner's real mode tags (sr_sql_lib UNCHECK/ORDER/REGEX
-# flags) — a permissive [WORD] pattern would eat array literals like
-# "[NULL]," on INSERT continuation lines
-_TAG_RE = re.compile(r"^\[(UC|ORDER|REGEX)\]\s*", re.IGNORECASE)
-_DIRECTIVE_RE = re.compile(r"^(function|shell|trino|spark|hive)\s*:", re.I)
-
-
-def split_statements(script: str, keep_tags: bool = False) -> list[str]:
-    """Split a T-file script into statements: strip full-line comments
-    and runner directives, drop leading ``[TAG]`` markers (run-mode
-    hints like [UC]/[ORDER] — sr_sql_lib consumes them the same way),
-    then split on ``;`` outside quotes. ``keep_tags=True`` preserves
-    the markers so R-file parsing can honor per-statement [UC]."""
-    lines = []
-    for ln in script.splitlines():
-        s = ln.strip()
-        if not s or s.startswith("--"):
-            continue
-        if _DIRECTIVE_RE.match(s):
-            continue
-        lines.append(ln if keep_tags
-                     else _TAG_RE.sub("", ln.lstrip()) if s.startswith("[")
-                     else ln)
-    text = "\n".join(lines)
-    stmts, cur, i, n = [], [], 0, len(text)
-    while i < n:
-        ch = text[i]
-        if ch in ("'", '"'):
-            j = i + 1
-            while j < n:
-                if text[j] == "\\":
-                    j += 2
-                    continue
-                if text[j] == ch:
-                    break
-                j += 1
-            cur.append(text[i:j + 1])
-            i = j + 1
-            continue
-        if ch == ";":
-            s = _finalize_stmt("".join(cur))
-            if s:
-                stmts.append(s)
-            cur = []
-        else:
-            cur.append(ch)
-        i += 1
-    s = _finalize_stmt("".join(cur))
-    if s:
-        stmts.append(s)
-    return stmts
-
-
-def _finalize_stmt(s: str) -> str:
-    """Strip leading comment fragments: when ``;`` and ``--`` share a
-    line (``insert ...; -- 20000``), the comment tail lands at the
-    head of the NEXT statement and must not poison it."""
-    lines = s.strip().splitlines()
-    while lines and lines[0].lstrip().startswith("--"):
-        lines.pop(0)
-    return "\n".join(lines).strip()
+# statement splitting, classification, and CREATE TABLE parsing are
+# token-based since r10 (sqllex/sqlddl; the r8/r9 verdicts' tokenizer
+# promotion) — this module re-exports them for its callers.
 
 
 def read_suite(suite: str, case: str,
@@ -165,61 +113,6 @@ def read_suite(suite: str, case: str,
 # ---------------------------------------------------------------------------
 # DDL parsing (StarRocks.g4:1346 createTableStatement subset)
 # ---------------------------------------------------------------------------
-
-_AGG_TYPES = {"SUM", "MIN", "MAX", "REPLACE", "REPLACE_IF_NOT_NULL",
-              "HLL_UNION", "BITMAP_UNION"}
-
-_MODEL_MAP = {
-    "DUPLICATE": TableModel.DUP_KEYS,
-    "AGGREGATE": TableModel.AGG_KEYS,
-    "UNIQUE": TableModel.UNIQUE_KEYS,
-    "PRIMARY": TableModel.PRIMARY_KEYS,
-}
-
-
-@dataclass
-class ColumnDef:
-    name: str
-    sr_type: str                 # normalized lowercase StarRocks type
-    agg: str | None = None       # AGG_KEYS value-column agg type
-    default: str | None = None   # DEFAULT literal (SQL text)
-    nullable: bool = True        # NOT NULL absent in the DDL
-    # generated column: `name type AS <expr>` — computed from the
-    # other columns of the same row at LOAD time (fe
-    # GeneratedColumnUtil; StarRocks.g4 columnDesc generatedColumn)
-    gen_expr: str | None = None
-    auto_inc: bool = False       # AUTO_INCREMENT (fe auto-inc ids)
-
-
-@dataclass
-class TableDef:
-    name: str
-    cols: list[ColumnDef]
-    model: TableModel = TableModel.DUP_KEYS
-    key_cols: list[str] = field(default_factory=list)
-    hash_cols: list[str] = field(default_factory=list)
-    buckets: int | None = None
-    bf_cols: list[str] = field(default_factory=list)  # bloom filters
-    # physical names of renamed-away columns: the reference keeps the
-    # original column name reserved in the storage schema, so ADD
-    # COLUMN with a renamed-away name is rejected
-    reserved: list[str] = field(default_factory=list)
-    raw_props: dict = field(default_factory=dict)  # DDL PROPERTIES
-    has_partition: bool = False     # PARTITION BY present in the DDL
-    has_index: bool = False         # secondary INDEX defs present
-    comment: str | None = None      # table COMMENT text
-    sort_cols: list[str] = field(default_factory=list)  # ORDER BY
-    # secondary index DDL: name -> {"col", "using", "props"}
-    # (ALTER TABLE ADD INDEX ... USING VECTOR/GIN/BITMAP)
-    indexes: dict = field(default_factory=dict)
-    auto_seq: int = 0            # next AUTO_INCREMENT id - 1
-
-    def col(self, name: str) -> ColumnDef:
-        for c in self.cols:
-            if c.name == name:
-                return c
-        raise KeyError(name)
-
 
 @dataclass
 class MVDef:
@@ -317,14 +210,6 @@ _CREATE_RE = re.compile(
     re.IGNORECASE,
 )
 
-# type token: word, optional (args), optional <...> for array/map
-_COLDEF_RE = re.compile(
-    r"^`?(\w+)`?\s+([a-zA-Z_][a-zA-Z_0-9]*(?:\s*\([^)]*\))?"
-    r"(?:\s*<.*>)?)\s*(.*)$",
-    re.DOTALL,
-)
-
-
 def _strip_line_comments(text: str) -> str:
     """Remove ``-- ...`` line comments outside quotes (inline comments
     inside CREATE TABLE bodies annotate column defs in the reference
@@ -378,196 +263,6 @@ def _split_values_tuples(vals: str) -> list[str] | None:
         out.append(vals[i:j + 1])
         i = j + 1
     return out or None
-
-
-def parse_create_table(stmt: str) -> TableDef:
-    stmt = _strip_line_comments(stmt)
-    m = _CREATE_RE.match(stmt)
-    if not m:
-        raise ValueError(f"not a CREATE TABLE: {stmt[:60]}")
-    name = m.group(1)
-    open_paren = stmt.index("(", m.end() - 1)
-    body, after = _strip_parens_block(stmt, open_paren)
-    cols = []
-    for entry in _split_coldefs(body):
-        head = entry.split(None, 1)[0].upper().strip("`")
-        if head in ("INDEX", "KEY", "CONSTRAINT"):
-            continue  # secondary index defs — not table columns
-        cm = _COLDEF_RE.match(entry.strip())
-        if not cm:
-            raise ValueError(f"unparsed column def: {entry!r}")
-        cname, ctype, rest = cm.group(1), cm.group(2), cm.group(3)
-        agg = None
-        first_rest = rest.split(None, 1)[0].upper() if rest.strip() else ""
-        if first_rest in _AGG_TYPES:
-            agg = first_rest
-        # DEFAULT "lit" / DEFAULT 'lit' / DEFAULT NULL — keep the SQL
-        # literal text (double quotes normalized to single)
-        dm0 = re.search(r"\bDEFAULT\s+(\"[^\"]*\"|'[^']*'|NULL|"
-                        r"[-\w.]+)", rest or "", re.IGNORECASE)
-        dflt = None
-        if dm0:
-            dflt = dm0.group(1)
-            if dflt.startswith('"'):
-                dflt = "'" + dflt[1:-1] + "'"
-        # generated column: [NULL] AS <expr> [COMMENT ".."] — store
-        # the defining expression; the insert path computes it
-        gexpr = None
-        gm2 = re.search(r"\bAS\s+(.+)$", rest or "",
-                        re.IGNORECASE | re.DOTALL)
-        if gm2:
-            gexpr = re.sub(r'\s*COMMENT\s+"[^"]*"\s*$', "",
-                           gm2.group(1).strip())
-        # collapse (don't strip) whitespace: struct<a int, b int>
-        # needs the space between field name and type
-        cols.append(ColumnDef(
-            cname,
-            re.sub(r"\s*([<>,()])\s*", r"\1",
-                   re.sub(r"\s+", " ", ctype.lower())).strip(),
-            agg,
-            dflt,
-            nullable=not re.search(r"\bNOT\s+NULL\b", rest or "",
-                                   re.IGNORECASE),
-            gen_expr=gexpr,
-            auto_inc=bool(re.search(r"\bAUTO_INCREMENT\b",
-                                    rest or "", re.IGNORECASE)),
-        ))
-    tail = stmt[after:]
-    d = TableDef(name, cols)
-    km = re.search(r"\b(DUPLICATE|AGGREGATE|UNIQUE|PRIMARY)\s+KEY\s*\(",
-                   tail, re.IGNORECASE)
-    if km:
-        inner, _ = _strip_parens_block(tail, km.end() - 1)
-        d.model = _MODEL_MAP[km.group(1).upper()]
-        d.key_cols = [c.strip().strip("`") for c in inner.split(",")]
-    else:
-        d.key_cols = [cols[0].name]  # reference default: prefix key
-    if d.model is TableModel.PRIMARY_KEYS:
-        # PK columns are implicitly NOT NULL (CreateTableAnalyzer)
-        for c in d.cols:
-            if c.name in d.key_cols:
-                c.nullable = False
-    obm = re.search(r"\bORDER\s+BY\s*\(", tail, re.IGNORECASE)
-    if obm:
-        inner_ob, _ = _strip_parens_block(tail, obm.end() - 1)
-        seen_ob: set[str] = set()
-        for cn in inner_ob.split(","):
-            cn = cn.strip().strip("`")
-            if cn in seen_ob:
-                raise ValueError(
-                    f"Duplicate sort key column {cn} is not allowed.")
-            seen_ob.add(cn)
-            d.sort_cols.append(cn)
-    tcm = re.search(r'\bCOMMENT\s+"([^"]*)"', tail)
-    if tcm:
-        d.comment = tcm.group(1)
-    bfm = re.search(r"\"bloom_filter_columns\"\s*=\s*\"([^\"]*)\"",
-                    tail, re.IGNORECASE)
-    if bfm:
-        d.bf_cols = [c.strip().strip("`")
-                     for c in bfm.group(1).split(",") if c.strip()]
-    d.has_partition = bool(re.search(r"\bPARTITION\s+BY\b", tail,
-                                     re.IGNORECASE))
-    # named RANGE partitions: pname → (lo, hi, is_first); NULL keys
-    # live in the FIRST partition (fe RangePartitionInfo)
-    d.range_col, d.named_parts = None, {}
-    prm8 = re.search(r"\bPARTITION\s+BY\s+RANGE\s*\(\s*`?(\w+)`?\s*\)",
-                     tail, re.IGNORECASE)
-    if prm8:
-        d.range_col = prm8.group(1)
-        pairs8 = re.findall(
-            r"PARTITION\s+`?(\w+)`?\s+VALUES\s+LESS\s+THAN\s*"
-            r"\(\s*(?:(MAXVALUE)|[\"']([^\"']*)[\"'])\s*\)",
-            tail, re.IGNORECASE)
-        prev8 = None
-        for i8, (pn8, mx8, up8) in enumerate(pairs8):
-            d.named_parts[pn8] = (prev8, None if mx8 else up8,
-                                  i8 == 0)
-            prev8 = None if mx8 else up8
-        for i8, (pn8, lo8, hi8) in enumerate(re.findall(
-                r"PARTITION\s+`?(\w+)`?\s+VALUES\s+\[\s*\(\s*"
-                r"[\"']([^\"']*)[\"']\s*\)\s*,\s*\(\s*"
-                r"[\"']([^\"']*)[\"']\s*\)\s*\)", tail,
-                re.IGNORECASE)):
-            d.named_parts[pn8] = (lo8, hi8, i8 == 0)
-    # named LIST partitions: pname → [values]
-    d.list_parts = {}
-    plm8 = re.search(r"\bPARTITION\s+BY\s+LIST\s*\(\s*`?(\w+)`?\s*\)",
-                     tail, re.IGNORECASE)
-    if plm8:
-        d.range_col = plm8.group(1)
-        for pn8, vals8 in re.findall(
-                r"PARTITION\s+`?(\w+)`?\s+VALUES\s+IN\s*\(([^)]*)\)",
-                tail, re.IGNORECASE):
-            d.list_parts[pn8] = [v.strip().strip("'\"")
-                                 for v in vals8.split(",")]
-    # EXPRESSION partitioning's expr, for dynamic INSERT OVERWRITE
-    # (only touched partitions replaced — classic RANGE/LIST tables
-    # full-overwrite even under the flag: test_dynamic_overwrite_on_
-    # other_table records exactly that)
-    d.part_expr = None
-    if d.has_partition and not re.search(
-            r"\bPARTITION\s+BY\s+(?:RANGE|LIST)\b", tail,
-            re.IGNORECASE):
-        pem9 = re.search(
-            r"\bPARTITION\s+BY\s+(.+?)(?=\bDISTRIBUTED\b|"
-            r"\bPROPERTIES\b|\bORDER\s+BY\b|\bCOMMENT\b|$)",
-            tail, re.IGNORECASE | re.DOTALL)
-        if pem9:
-            pe9 = pem9.group(1).strip()
-            if pe9.startswith("("):
-                inner9, after9 = _strip_parens_block(pe9, 0)
-                if not pe9[after9:].strip():
-                    pe9 = inner9.strip()
-            d.part_expr = pe9.strip("`") or None
-    d.has_index = any(
-        e.split(None, 1)[0].upper().strip("`") == "INDEX"
-        for e in _split_coldefs(body) if e.strip())
-    # in-DDL secondary index defs (SHOW INDEX / ngram bloom filters)
-    for e in _split_coldefs(body):
-        im9 = re.match(
-            r"\s*INDEX\s+`?(\w+)`?\s*\(\s*`?(\w+)`?\s*\)\s*"
-            r"(?:USING\s+(\w+)\s*)?(?:\((.*?)\)\s*)?"
-            r"(?:COMMENT\s+['\"][^'\"]*['\"]\s*)?$",
-            e.strip(), re.IGNORECASE | re.DOTALL)
-        if im9:
-            props9 = dict(re.findall(
-                r"['\"]([^'\"]+)['\"]\s*=\s*['\"]([^'\"]*)['\"]",
-                im9.group(4) or ""))
-            d.indexes[im9.group(1)] = {
-                "col": im9.group(2),
-                "using": (im9.group(3) or "BITMAP").upper(),
-                "props": props9}
-    pm2 = re.search(r"\bPROPERTIES\s*\(", tail, re.IGNORECASE)
-    if pm2:
-        pbody, _ = _strip_parens_block(tail, pm2.end() - 1)
-        d.raw_props = dict(re.findall(
-            r'"([^"]+)"\s*=\s*"([^"]*)"', pbody))
-    rdm = re.search(r"DISTRIBUTED\s+BY\s+RANDOM"
-                    r"(?:\s+BUCKETS\s+(\d+))?", tail, re.IGNORECASE)
-    # no DISTRIBUTED clause → the FE defaults DUP tables to RANDOM
-    # (CreateTableAnalyzer defaultDistributionInfo); non-dup models
-    # default to hash on the key — and reject EXPLICIT random
-    d.random_explicit = bool(rdm)
-    d.random_dist = bool(rdm) or (
-        d.model is TableModel.DUP_KEYS and not re.search(
-            r"DISTRIBUTED\s+BY", tail, re.IGNORECASE))
-    if rdm and rdm.group(1):
-        d.buckets = int(rdm.group(1))
-    dm = re.search(r"DISTRIBUTED\s+BY\s+HASH\s*\(", tail, re.IGNORECASE)
-    if dm:
-        inner, after_d = _strip_parens_block(tail, dm.end() - 1)
-        d.hash_cols = [c.strip().strip("`") for c in inner.split(",")]
-        bm = re.match(r"\s*BUCKETS\s+(\d+)", tail[after_d:],
-                      re.IGNORECASE)
-        if bm:
-            d.buckets = int(bm.group(1))
-    # PARTITION BY / ORDER BY / PROPERTIES / ENGINE / COMMENT clauses
-    # are environment hints at fixture scale — partition pruning and
-    # distribution have their own first-class tests (tables/
-    # partitioning.py, join_colocate_bucketed); the tester ignores
-    # them rather than mis-modeling them.
-    return d
 
 
 # ---------------------------------------------------------------------------
@@ -2533,23 +2228,6 @@ def translate_select_duck(sql: str) -> str:
 # statement classification
 # ---------------------------------------------------------------------------
 
-_NOOP_RE = re.compile(
-    r"^\s*(SET|ADMIN\s|ANALYZE\s|ALTER\s+SYSTEM"
-    # database namespacing: the tester keeps a single flat namespace
-    # (scripts create a uuid-suffixed scratch db, use it, drop it —
-    # run.py does the same substitution dance; sr_sql_lib `${uuid}`)
-    r"|CREATE\s+DATABASE|USE\s|DROP\s+DATABASE"
-    # resource groups gate scheduling, not results; MV suites create
-    # one only to see its NAME reflected in refresh-job rows (which
-    # read it from the MV's resource_group property)
-    r"|CREATE\s+RESOURCE\s+GROUP|DROP\s+RESOURCE\s+GROUP"
-    # single-identity tester: users/grants gate access, not results
-    r"|CREATE\s+USER|DROP\s+USER|GRANT\s|REVOKE\s"
-    # sync waits for loads to become visible; loads here are
-    # synchronous already
-    r"|SYNC\s*;?\s*$)",
-    re.IGNORECASE
-)
 _SETVAR_RE = re.compile(
     r"^\s*SET\s+@(\w+)\s*=\s*(.+)$", re.IGNORECASE | re.DOTALL
 )
@@ -2573,83 +2251,6 @@ _INSERT_RE = re.compile(
 _DROP_RE = re.compile(
     r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?`?(\w+)`?", re.IGNORECASE
 )
-
-
-def classify(stmt: str) -> str:
-    # leading /*tag*/ block comments (the reference's fingerprint
-    # suites label statements /*q0*/select ...) don't change the kind
-    s = re.sub(r"^\s*(/\*.*?\*/\s*)+", "", stmt,
-               flags=re.DOTALL).lstrip().upper()
-    if s.startswith("CREATE TABLE"):
-        return "create"
-    if re.match(r"CREATE\s+(OR\s+REPLACE\s+)?VIEW\s", s):
-        return "createview"
-    if re.match(r"DROP\s+VIEW\s", s):
-        return "dropview"
-    if _NOOP_RE.match(stmt):
-        return "noop"
-    if _DROP_RE.match(stmt):
-        return "drop"
-    if s.startswith("INSERT"):
-        return "insert"
-    if re.match(r"TRUNCATE\s+TABLE\s", s):
-        return "truncate"
-    if s.startswith("WITH"):
-        # a WITH prefix can head UPDATE/DELETE too (StarRocks.g4
-        # updateStatement withClause) — classify by the keyword AFTER
-        # the CTE list
-        i0, n0 = 4, len(s)
-        depth0 = 0
-        while i0 < n0:
-            c0 = s[i0]
-            if c0 == "'":
-                j0 = i0 + 1
-                while j0 < n0 and s[j0] != "'":
-                    j0 += 1
-                i0 = j0 + 1
-                continue
-            if c0 == "(":
-                depth0 += 1
-            elif c0 == ")":
-                depth0 -= 1
-            elif depth0 == 0:
-                # word-boundary check: a CTE named e.g. deleted_rows
-                # must not classify the statement as a DELETE
-                # (r8 ADVICE, medium)
-                def _kw(kw: str) -> bool:
-                    if not s.startswith(kw, i0):
-                        return False
-                    if i0 > 0 and (s[i0 - 1].isalnum() or s[i0 - 1] == "_"):
-                        return False
-                    j = i0 + len(kw)
-                    return j >= n0 or not (s[j].isalnum() or s[j] == "_")
-                if _kw("UPDATE"):
-                    return "update"
-                if _kw("DELETE"):
-                    return "delete"
-                if _kw("SELECT") or _kw("INSERT"):
-                    break
-            i0 += 1
-        return "select"
-    if s.startswith(("SELECT", "VALUES")):
-        return "select"
-    if s.startswith("UPDATE"):
-        return "update"
-    if re.match(r"DELETE\s+FROM\s", s):
-        return "delete"
-    if re.match(r"ALTER\s+TABLE\s", s):
-        return "alter"
-    if re.match(r"CREATE\s+MATERIALIZED\s+VIEW\s", s):
-        return "createmv"
-    if re.match(r"REFRESH\s+MATERIALIZED\s+VIEW\s", s):
-        return "refreshmv"
-    if re.match(r"DROP\s+MATERIALIZED\s+VIEW\s", s):
-        return "dropmv"
-    if re.match(r"ALTER\s+MATERIALIZED\s+VIEW\s", s):
-        return "altermv"
-    if re.match(r"CANCEL\s+REFRESH\s+MATERIALIZED\s+VIEW\s", s):
-        return "noop"
-    return "unsupported"
 
 
 # ---------------------------------------------------------------------------

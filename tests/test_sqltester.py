@@ -391,14 +391,11 @@ _SUITES = [
     ("test_low_cardinality", "test_low_cardinality_window", 14, 3),
     ("test_materialized_view", "test_materialized_view_force_rewrite", 14, 6),
     ("test_materialized_view", "test_materialized_view_rewrite2", 7, 6),
-    ("test_materialized_view", "test_materialized_view_union_all_rewrite", 48, 4),
     ("test_materialized_view", "test_materialized_view_union_rewrite", 4, 1),
-    ("test_materialized_view", "test_mv_inactive", 3, 1),
     ("test_materialized_view", "test_mv_inactive_list", 3, 1),
     ("test_materialized_view", "test_mv_with_multi_partition_columns_optimize", 3, 2),
     ("test_materialized_view", "test_sync_materialized_view_rewrite", 20, 18),
     ("test_materialized_view", "test_sync_materialized_view_unorder", 10, 9),
-    ("test_materialized_view", "test_sync_materialized_view_with_where", 22, 12),
     ("test_materialized_view_refresh", "test_mv_refresh_list_partitions_multi_columns", 7, 2),
     ("test_materialized_view_refresh", "test_mv_refresh_list_partitions_multi_columns2", 14, 0),
     ("test_materialized_view_refresh", "test_mv_refresh_list_partitions_rewrite", 44, 0),
@@ -636,7 +633,6 @@ _SUITES = [
     # ALTER-added columns read column_size 0 until the next load
     # (fast schema evolution); 3 skips: be_tablets rowset counters
     ("test_meta_scan", "test_meta_scan_schema_change", 3, 3),
-    ("test_materialized_view", "test_auto_refresh", 5, 0),
 ]
 
 
