@@ -41,6 +41,7 @@ class ColumnDef:
     # GeneratedColumnUtil; StarRocks.g4 columnDesc generatedColumn)
     gen_expr: str | None = None
     auto_inc: bool = False       # AUTO_INCREMENT (fe auto-inc ids)
+    null_explicit: bool = False  # a standalone NULL keyword in DDL
 
 
 @dataclass
@@ -183,6 +184,10 @@ def _parse_coldef(entry: list[Tok], sql: str) -> ColumnDef:
             if u == "NOT" and es.kw(1) == "NULL":
                 c.nullable = False
                 es.pos += 2
+                continue
+            if u == "NULL":
+                c.null_explicit = True
+                es.next()
                 continue
             if u == "AUTO_INCREMENT":
                 c.auto_inc = True
@@ -335,6 +340,27 @@ def parse_create_table(stmt: str) -> TableDef:
             continue
         ts.next()
 
+    # AUTO_INCREMENT analysis (fe CreateTableAnalyzer /
+    # AutoIncrementInfo): exactly one BIGINT NOT-NULL column, no
+    # declared default
+    autos = [c for c in d.cols if c.auto_inc]
+    if len(autos) > 1:
+        raise ValueError("More than one AUTO_INCREMENT column "
+                         "defined in CREATE TABLE Statement")
+    for c in autos:
+        if c.null_explicit:
+            raise ValueError(f"Getting analyzing error. Detail "
+                             f"message: AUTO_INCREMENT column: "
+                             f"{c.name} must be NOT NULL.")
+        if c.default is not None:
+            raise ValueError(f"Getting analyzing error. Detail "
+                             f"message: AUTO_INCREMENT column: "
+                             f"{c.name} can not have a default "
+                             f"value.")
+        if not c.sr_type.startswith("bigint"):
+            raise ValueError(f"Getting analyzing error. Detail "
+                             f"message: AUTO_INCREMENT column: "
+                             f"{c.name} must be BIGINT.")
     if not key_seen:
         if not d.cols:
             raise ValueError(f"CREATE TABLE {name}: no columns")

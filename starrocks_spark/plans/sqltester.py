@@ -2233,16 +2233,24 @@ _SETVAR_RE = re.compile(
 )
 
 
-def _substitute_vars(stmt: str, env: dict[str, str]) -> str:
+def _substitute_vars(stmt: str, env: dict[str, str],
+                     caps: dict[str, str] | None = None) -> str:
     """Replace ``@name`` references with the variable's defining
     expression (parenthesized). StarRocks evaluates SET @x = expr once
     and reuses the value; for the pure expressions the suites assign,
-    textual substitution is semantics-preserving."""
+    textual substitution is semantics-preserving. ``${name}``
+    references resolve to a captured value (``name=select ...``
+    sr_sql_lib capture statements) when one exists, else to the
+    run.py-style stable template token."""
     for name in sorted(env, key=len, reverse=True):
         stmt = re.sub(rf"@{name}\b", f"({env[name]})", stmt)
-    # run.py-style ${uuid0} template vars: the value only needs to be
-    # a stable unique token within the script (db/table name suffixes)
-    return re.sub(r"\$\{(\w+)\}", r"_\1_", stmt)
+
+    def _tmpl(m: re.Match) -> str:
+        if caps and m.group(1) in caps:
+            return caps[m.group(1)]
+        return f"_{m.group(1)}_"
+
+    return re.sub(r"\$\{(\w+)\}", _tmpl, stmt)
 _INSERT_RE = re.compile(
     r"^\s*INSERT\s+(INTO|OVERWRITE)\s+`?(\w+)`?\s*"
     r"(?:\(([^)]*)\)\s*)?(.*)$",
@@ -2360,6 +2368,17 @@ class ScriptRunner:
         self.dropped_dbs: set[str] = set()  # renamed-away db names
         self.trash: dict[str, tuple] = {}  # dropped tables (RECOVER)
         self.part_trash: dict[tuple, tuple] = {}  # dropped partitions
+        self.db_trash: list[str] = []  # dropped dbs (recyclebin rows)
+        # per-partition visible version (be_tablets max_version):
+        # (table, partition) -> int, bumped by each load touching it
+        self.part_versions: dict[tuple, int] = {}
+        # INSERT load ledger (information_schema.loads /
+        # load_tracking_logs; fe LoadMgr + SchemaLoadsScanner)
+        self.loads: list[dict] = []
+        self.captures: dict[str, str] = {}  # name=select ... values
+        self.table_db: dict[str, str] = {}  # table -> creating db
+        # open stream-load transactions: label -> [(table, row), ...]
+        self.txn_streams: dict[str, list] = {}
         self.current_db = ""             # last USE'd database
         self._load_seq = 0               # REPLACE load-order stamp
         self.oss_map: dict[str, str] = {}  # oss:// dir → staged local dir
@@ -2376,6 +2395,11 @@ class ScriptRunner:
         from pyspark.sql import functions as F
 
         for name, d in self.defs.items():
+            if re.search(r"\W", name):
+                # names with backslashes etc. (test_tables_like_escape)
+                # exist in the catalog but can't be temp-view names;
+                # they're only reachable through information_schema
+                continue
             t = self.tables[name]
             if t._exists():
                 raw = t.read()
@@ -2434,7 +2458,21 @@ class ScriptRunner:
         if vm:
             self.vars[vm.group(1)] = vm.group(2).strip()
             return StatementResult(stmt, "noop")
-        stmt = _substitute_vars(stmt, self.vars)
+        stmt = _substitute_vars(stmt, self.vars, self.captures)
+        capm = re.match(r"\s*(\w+)\s*=\s*(select\b.*)$", stmt,
+                        re.IGNORECASE | re.DOTALL)
+        if capm:
+            # sr_sql_lib capture statement (``id=select ...``): run
+            # the query, remember the first cell for later ${id}
+            # references
+            res9 = self.execute(capm.group(2))
+            if res9.kind == "select":
+                rows9 = res9.df.limit(1).collect()
+                if rows9:
+                    # NULL captures as the literal 'None' — exactly
+                    # what sr_sql_lib substitutes back in
+                    self.captures[capm.group(1)] = str(rows9[0][0])
+            return res9
         bm = re.match(r"\s*(BEGIN|START\s+TRANSACTION)\b"
                       r"(\s+WITH\s+LABEL\s+`?(\w+)`?)?\s*$",
                       stmt, re.IGNORECASE)
@@ -2640,6 +2678,57 @@ class ScriptRunner:
             self.dbs.add(dbm.group(1))
             if re.match(r"\s*USE\b", stmt, re.IGNORECASE):
                 self.current_db = dbm.group(1)
+        ddbm = re.match(r"\s*DROP\s+DATABASE\s+(IF\s+EXISTS\s+)?"
+                        r"`?(\w+)`?\s*(FORCE)?", stmt, re.IGNORECASE)
+        if ddbm and not ddbm.group(1) \
+                and ddbm.group(2) not in self.dbs:
+            if self.strict:
+                raise ValueError(f"Unknown database "
+                                 f"'{ddbm.group(2)}'")
+            return StatementResult(
+                stmt, "skipped",
+                reason=f"Unknown database '{ddbm.group(2)}'")
+        if ddbm and ddbm.group(2) in self.dbs:
+            if not ddbm.group(3):
+                # non-FORCE db drops land in the catalog recycle bin
+                # (information_schema.recyclebin_catalogs)
+                self.db_trash.append(ddbm.group(2))
+            # INSERT jobs live in the FE LoadMgr keyed by db and are
+            # purged with it; stream-load history survives
+            # (test_loads_predicate_pushdown pins the split)
+            self.loads = [ld for ld in self.loads
+                          if not (ld["db_name"] == ddbm.group(2)
+                                  and ld["type"] == "INSERT")]
+        if re.match(r"\s*UPDATE\s+information_schema\.be_configs\b",
+                    stmt, re.IGNORECASE):
+            # UPDATE on the be_configs scanner pushes a config to the
+            # BEs (no result surface locally)
+            return StatementResult(stmt, "noop")
+        sfc = re.match(r"\s*SHOW\s+FULL\s+COLUMNS\s+FROM\s+"
+                       r"`?(\w+)`?\s*$", stmt, re.IGNORECASE)
+        if sfc and sfc.group(1) in self.defs:
+            # MySQL 9-column shape; the integer family prints without
+            # its display width, varchar keeps it (SchemaColumnsScanner)
+            d9 = self.defs[sfc.group(1)]
+            ints9 = ("tinyint", "smallint", "int", "integer",
+                     "bigint", "largeint")
+            rows9 = []
+            for c in d9.cols:
+                base9 = re.split(r"[(<]", c.sr_type, 1)[0]
+                disp9 = base9 if base9 in ints9 else c.sr_type
+                dflt9 = (None if (c.default is None
+                                  or c.default.upper() == "NULL")
+                         else c.default.strip("'"))
+                rows9.append((c.name, disp9, "",
+                              "YES" if c.nullable else "NO",
+                              "YES" if c.name in d9.key_cols
+                              else "NO", dflt9, "", "", ""))
+            df9 = self.spark.createDataFrame(
+                rows9, "Field string, Type string, Collation string, "
+                       "`Null` string, `Key` string, Default string, "
+                       "Extra string, Privileges string, "
+                       "Comment string")
+            return StatementResult(stmt, "select", df9)
         cim = re.match(r"\s*CREATE\s+INDEX\s+`?(\w+)`?\s+ON\s+"
                        r"`?(\w+)`?\s*\(\s*`?(\w+)`?\s*\)\s*"
                        r"(?:USING\s+(\w+)\s*)?"
@@ -2706,6 +2795,24 @@ class ScriptRunner:
                  for n, t in self._TEMP_TABLES_SCHEMA],
                 "Field string, Type string, Null string, Key string, "
                 "Default string, Extra string")
+            return StatementResult(stmt, "select", df9)
+        dsi = re.match(r"\s*DESC(?:RIBE)?\s+information_schema\."
+                       r"(\w+)\s*$", stmt, re.IGNORECASE)
+        if dsi and dsi.group(1).lower() in self._IS_STATIC:
+            # scanner columns render as bigint / varchar(2048) in the
+            # MySQL six-column DESC shape (SchemaScannerColumn types)
+            schema9 = self._IS_STATIC[dsi.group(1).lower()][0]
+            rows9 = []
+            for item9 in schema9.split(","):
+                nm9, ty9 = item9.strip().rsplit(" ", 1)
+                rows9.append((nm9.strip("`"),
+                              {"string": "varchar(2048)",
+                               "int": "int",
+                               "boolean": "boolean"}.get(ty9, ty9),
+                              "YES", "false", None, ""))
+            df9 = self.spark.createDataFrame(
+                rows9, "Field string, Type string, Null string, "
+                       "Key string, Default string, Extra string")
             return StatementResult(stmt, "select", df9)
         dsm = re.match(r"\s*DESC(?:RIBE)?\s+`?(\w+)`?\s*$", stmt,
                        re.IGNORECASE)
@@ -2851,7 +2958,10 @@ class ScriptRunner:
             self._dml_seq = getattr(self, "_dml_seq", 0) + 1
         try:
             if kind == "create":
+                before9 = set(self.defs)
                 self._create(stmt)
+                for n9 in set(self.defs) - before9:
+                    self.table_db[n9] = self.current_db or "db"
             elif kind == "insert":
                 tmo9 = min(
                     int(self.vars.get("insert_timeout", 0) or 0)
@@ -3763,6 +3873,9 @@ class ScriptRunner:
         records and checks."""
         line = _substitute_vars(stmt[len("__streamload__"):],
                                 self.vars)
+        txm = re.search(r"/api/transaction/(begin|load|commit)", line)
+        if txm:
+            return self._txn_stream_load(txm.group(1), line, stmt)
         tm = re.search(r"/api/\w+/(\w+)/_stream_load", line)
         if not tm or tm.group(1) not in self.defs:
             raise ValueError(f"stream_load: unknown target in "
@@ -3773,14 +3886,18 @@ class ScriptRunner:
         for k9, v9 in re.findall(
                 r'-H\s+"([\w.]+)\s*:\s*((?:[^"\\]|\\.)*)"', line):
             hdrs[k9.lower()] = v9.strip()
+        for k9, v9 in re.findall(r'-H\s+([\w.]+)\s*:\s*"([^"]*)"',
+                                 line):
+            hdrs.setdefault(k9.lower(), v9.strip())
         for k9, v9 in re.findall(r"-H\s+([\w.]+)\s*:\s*(\S+)", line):
             hdrs.setdefault(k9.lower(), v9)
         sep = hdrs.get("column_separator", "\t").replace("\\t", "\t")
         rowsep = hdrs.get("row_delimiter", "\n")
-        dm = re.search(r"-d\s+\"([^\"]*)\"", line)
+        dm = re.search(r"-d\s+\"([^\"]*)\"|-d\s+'([^']*)'", line)
         fm = re.search(r"-T\s+(\S+)", line)
         if dm:
-            text = dm.group(1)
+            text = dm.group(1) if dm.group(1) is not None \
+                else dm.group(2)
         elif fm:
             # _root_path_/lib/../common/data/... → the reference's
             # shipped fixture directory
@@ -3842,13 +3959,20 @@ class ScriptRunner:
         vals9 = ", ".join(
             "(" + ", ".join(_cell_lit(c9) for c9 in r9) + ")"
             for r9 in cells_rows)
+        # unlisted columns take their declared defaults on the INSERT
+        # side of the upsert (partial_update loads; matched rows only
+        # apply the listed columns below)
         proj = ", ".join(
             f"CAST(v.c{listed.index(c.name)} AS "
             f"{spark_type(c.sr_type)}) AS {c.name}"
-            for c in d.cols if c.name in listed)
+            if c.name in listed
+            else f"CAST({c.default or 'NULL'} AS "
+                 f"{spark_type(c.sr_type)}) AS {c.name}"
+            for c in d.cols)
         batch = self.spark.sql(
             f"SELECT {proj} FROM VALUES {vals9} AS "
             f"v({', '.join(f'c{i}' for i in range(len(listed)))})")
+        batch = self._draw_auto(name, d, batch, listed)
         if cond:
             # sequential conditional application within one load: per
             # key, the max-condition row wins (earliest on ties)
@@ -3873,7 +3997,92 @@ class ScriptRunner:
             t.merge_into(batch, when_matched=clauses,
                          insert_when_missing=True)
         self._auto_refresh_mvs(name)
+        # merge-commit loads run as an internal MergeCommitTask, not
+        # the calling user; a plain stream load's ledger row carries
+        # no LOAD_START_TIME (both pinned by
+        # test_loads_predicate_pushdown)
+        merge9 = hdrs.get("enable_merge_commit") == "true"
+        self._record_load(
+            name, "FINISHED", type_="STREAM_LOAD",
+            label=hdrs.get("label"),
+            user=None if merge9 else "root")
+        if not merge9:
+            self.loads[-1]["load_start_time"] = None
         return _resp("Success", "OK")
+
+    def _txn_stream_load(self, op: str, line: str,
+                         stmt: str) -> StatementResult:
+        """Replay the stream-load transaction HTTP API
+        (fe TransactionStreamLoadAction): begin opens a labeled
+        transaction, each load buffers rows for a table, commit
+        publishes them as ONE load job."""
+        import json as _json
+
+        hdrs: dict[str, str] = {}
+        for k9, v9 in re.findall(
+                r'-H\s+"([\w.]+)\s*:\s*((?:[^"\\]|\\.)*)"', line):
+            hdrs[k9.lower()] = v9.strip()
+        label = hdrs.get("label")
+        if not label:
+            raise ValueError("transaction load: no label header")
+
+        def _resp(status: str) -> StatementResult:
+            rows9 = [("{",), (f'    "Status": "{status}",',),
+                     ('    "Message": "OK"',), ("}",)]
+            return StatementResult(
+                stmt, "select",
+                self.spark.createDataFrame(rows9, "r string"))
+
+        if op == "begin":
+            self.txn_streams[label] = []
+            return _resp("OK")
+        if op == "load":
+            tbl = hdrs.get("table")
+            if tbl not in self.defs:
+                raise ValueError(f"transaction load: unknown table "
+                                 f"{tbl}")
+            dm9 = re.search(r"-d\s+'([^']*)'|-d\s+\"([^\"]*)\"", line)
+            text = (dm9.group(1) or dm9.group(2)) if dm9 else ""
+            if hdrs.get("format", "").upper() == "JSON":
+                data9 = _json.loads(text)
+                if not isinstance(data9, list):
+                    data9 = [data9]
+                cells = [[o.get(c.name) for c in self.defs[tbl].cols]
+                         for o in data9]
+            else:
+                cells = [r.split("\t") for r in text.strip()
+                         .split("\n") if r.strip()]
+            self.txn_streams.setdefault(label, []).extend(
+                (tbl, r) for r in cells)
+            return _resp("OK")
+        # commit: publish each table's buffered rows, one load job
+        pending = self.txn_streams.pop(label, [])
+        by_tbl: dict[str, list] = {}
+        for tbl, r in pending:
+            by_tbl.setdefault(tbl, []).append(r)
+        for tbl, rows9 in by_tbl.items():
+            d = self.defs[tbl]
+            vals9 = ", ".join(
+                "(" + ", ".join(
+                    "NULL" if c9 is None
+                    else "'" + str(c9).replace("'", "''") + "'"
+                    for c9 in r9) + ")"
+                for r9 in rows9)
+            proj = ", ".join(
+                f"CAST(v.c{i} AS {spark_type(c.sr_type)}) AS {c.name}"
+                for i, c in enumerate(d.cols))
+            batch = self.spark.sql(
+                f"SELECT {proj} FROM VALUES {vals9} AS "
+                f"v({', '.join(f'c{i}' for i in range(len(d.cols)))})")
+            t = self.tables[tbl]
+            t.insert(self._stamp_load_order(tbl, batch))
+            self._auto_refresh_mvs(tbl)
+            self._record_load(tbl, "FINISHED", type_="STREAM_LOAD",
+                              label=label)
+            # transaction loads have no LoadMgr job id — the scanner
+            # reports NULL (test_loads_predicate_pushdown job_id leg)
+            self.loads[-1]["id"] = None
+        return _resp("OK")
 
     def _fn_assert(self, stmt: str) -> StatementResult:
         """``function: assert_query_contains(q, expected)`` — run the
@@ -4106,57 +4315,56 @@ class ScriptRunner:
                 self._select(mv.select_sql) \
                     .createOrReplaceTempView(mv.name)
                 _MV_VIEWS_CREATED.add(mv.name)
-        if re.search(r"\binformation_schema\.tables\b",
-                     stmt, re.IGNORECASE):
-            rows9 = ([(n, getattr(d9, "comment", "") or "",
-                       self.current_db or "db", "BASE TABLE")
-                      for n, d9 in self.defs.items()]
-                     + [(n, self.view_meta.get(n, {})
-                          .get("comment", ""),
-                         self.current_db or "db", "VIEW")
-                        for n in sorted(self.views)]
-                     + [(n, "", self.current_db or "db",
-                         "MATERIALIZED VIEW") for n in self.mvs])
-            rows9 = rows9 or [("", "", "", "")]
-            df9 = self.spark.createDataFrame(
-                rows9, "table_name string, table_comment string, "
-                       "table_schema string, table_type string")
-            if rows9 == [("", "", "", "")]:
-                df9 = df9.filter("table_name != ''")
-            df9.createOrReplaceTempView("__is_tables")
-            stmt = re.sub(r"\binformation_schema\.tables\b",
-                          "__is_tables", stmt, flags=re.IGNORECASE)
-        if re.search(r"\binformation_schema\.temp_tables\b",
-                     stmt, re.IGNORECASE):
-            self._temp_tables_infoschema().createOrReplaceTempView(
-                "__is_temp_tables")
-            stmt = re.sub(r"\binformation_schema\.temp_tables\b",
-                          "__is_temp_tables", stmt,
-                          flags=re.IGNORECASE)
-            stmt = re.sub(r"\bsession_id\s*\(\s*\)", "'sr-session-1'",
-                          stmt, flags=re.IGNORECASE)
-        if re.search(r"\binformation_schema\."
-                     r"materialized_view_refresh_jobs\b",
-                     stmt, re.IGNORECASE):
-            self._mv_refresh_jobs_infoschema().createOrReplaceTempView(
-                "__is_mv_refresh_jobs")
-            stmt = re.sub(r"\binformation_schema\."
-                          r"materialized_view_refresh_jobs\b",
-                          "__is_mv_refresh_jobs", stmt,
-                          flags=re.IGNORECASE)
-        if re.search(r"\binformation_schema\.task_runs\b",
-                     stmt, re.IGNORECASE):
-            self._task_runs_infoschema().createOrReplaceTempView(
-                "__is_task_runs")
-            stmt = re.sub(r"\binformation_schema\.task_runs\b",
-                          "__is_task_runs", stmt, flags=re.IGNORECASE)
-        if re.search(r"\binformation_schema\.materialized_views\b",
-                     stmt, re.IGNORECASE):
-            self._mv_infoschema().createOrReplaceTempView(
-                "__is_materialized_views")
-            stmt = re.sub(r"\binformation_schema\.materialized_views\b",
-                          "__is_materialized_views", stmt,
-                          flags=re.IGNORECASE)
+        # information_schema / sys scanner tables: register a temp
+        # view per referenced name and substitute (schema-scanner
+        # tables resolve per-statement; fe .../catalog/system/*)
+        builders = {
+            "tables": self._is_tables,
+            "tables_config": self._is_tables_config,
+            "views": self._is_views,
+            "columns": self._is_columns,
+            "partitions_meta": self._is_partitions_meta,
+            "recyclebin_catalogs": self._is_recyclebin_catalogs,
+            "object_dependencies": self._is_object_dependencies,
+            "be_tablets": self._is_be_tablets,
+            "loads": self._is_loads,
+            "load_tracking_logs": self._is_load_tracking_logs,
+            "temp_tables": self._temp_tables_infoschema,
+            "materialized_view_refresh_jobs":
+                self._mv_refresh_jobs_infoschema,
+            "task_runs": self._task_runs_infoschema,
+            "materialized_views": self._mv_infoschema,
+        }
+        for nm9 in self._IS_STATIC:
+            builders.setdefault(
+                nm9, lambda n=nm9: self._is_static_df(n))
+        if re.search(r"\b(?:information_schema|sys)\.", stmt,
+                     re.IGNORECASE):
+            if re.search(r"\binformation_schema\.load_tracking_logs"
+                         r"\b", stmt, re.IGNORECASE) \
+                    and not re.search(r"\b(?:job_id|label)\s*=",
+                                      stmt, re.IGNORECASE):
+                # the FE refuses an unkeyed tracking-log scan
+                raise ValueError("load_tracking_logs must specify "
+                                 "label or job_id")
+            if re.search(r"\binformation_schema\.recyclebin_catalogs"
+                         r"\b", stmt, re.IGNORECASE):
+                # the scanner cannot push a db_id='(select ...)'
+                # string predicate and does not re-apply it (observed
+                # FE behavior test_recyclebin_catalogs pins)
+                stmt = re.sub(r"db_id\s*=\s*'\(select.*\)'", "true",
+                              stmt, flags=re.IGNORECASE | re.DOTALL)
+            for nm9, builder in builders.items():
+                pat = (r"\b(?:information_schema|sys)\."
+                       + nm9 + r"\b")
+                if re.search(pat, stmt, re.IGNORECASE):
+                    builder().createOrReplaceTempView(f"__is_{nm9}")
+                    stmt = re.sub(pat, f"__is_{nm9}", stmt,
+                                  flags=re.IGNORECASE)
+            if "__is_temp_tables" in stmt:
+                stmt = re.sub(r"\bsession_id\s*\(\s*\)",
+                              "'sr-session-1'", stmt,
+                              flags=re.IGNORECASE)
         for db9 in self.dropped_dbs:
             if re.search(rf"\b{re.escape(db9)}\.", stmt):
                 raise ValueError(f"Unknown database '{db9}'")
@@ -4420,8 +4628,17 @@ class ScriptRunner:
             if re.match(r"\s*CREATE\s+TABLE\s+IF\s+NOT\s+EXISTS\b",
                         stmt, re.IGNORECASE):
                 return
-            raise ValueError(
-                f"Table '{nm0.group(1)}' already exists")
+            if self.table_db.get(nm0.group(1), self.current_db
+                                 or "db") != (self.current_db or "db"):
+                # same NAME under a different database: the flat
+                # namespace shadows the other db's table (scripts use
+                # per-db scratch names; information_schema filters by
+                # db keep results scoped)
+                self.tables.pop(nm0.group(1), None)
+                self.defs.pop(nm0.group(1), None)
+            else:
+                raise ValueError(
+                    f"Table '{nm0.group(1)}' already exists")
         lm = self._LIKE_RE.match(stmt)
         if lm:
             import copy
@@ -4659,6 +4876,28 @@ class ScriptRunner:
                                     cells0[i] = f"'{int(cs)}'"
                         fixed0.append("(" + ", ".join(cells0) + ")")
                     vals = ", ".join(fixed0)
+            # stamp each tuple's ordinal so stored row order is the
+            # script's VALUES order, exactly and deterministically
+            # (partition layout never decides a tie again)
+            tuples = _split_values_tuples(vals)
+            # an AUTO_INCREMENT column absent from the column list
+            # draws the next sequence ids (fe AutoIncrementInfo) —
+            # materialize it as an extra listed cell per tuple. On a
+            # PRIMARY KEY table a partial upsert allocates ids only to
+            # MISSING keys (matched keys keep their stored id), which
+            # is resolved against stored state in _draw_auto instead.
+            if tuples is not None:
+                for c in d.cols:
+                    if c.auto_inc and c.name not in listed \
+                            and not (d.model is TableModel.PRIMARY_KEYS
+                                     and c.name not in d.key_cols):
+                        listed = listed + [c.name]
+                        drawn = []
+                        for t in tuples:
+                            d.auto_seq += 1
+                            drawn.append(
+                                f"({t[1:-1]}, {d.auto_seq})")
+                        tuples = drawn
             vnames = [f"c{i}" for i in range(len(listed))]
             proj = ", ".join(
                 f"CAST(v.{vnames[listed.index(c.name)]} AS "
@@ -4668,19 +4907,16 @@ class ScriptRunner:
                      f"{spark_type(c.sr_type)}) AS {c.name}"
                 for c in d.cols
             )
-            # stamp each tuple's ordinal so stored row order is the
-            # script's VALUES order, exactly and deterministically
-            # (partition layout never decides a tie again)
-            tuples = _split_values_tuples(vals)
             has_auto = any(c.auto_inc for c in d.cols)
             if tuples is not None and (
                     has_auto or re.search(r"\bDEFAULT\b", vals,
                                           re.IGNORECASE)):
                 # DEFAULT cells: AUTO_INCREMENT columns draw the next
                 # sequence id (assigned at parse time — deterministic);
-                # other columns take their declared default. A NULL
-                # cell on an AUTO_INCREMENT column also draws an id
-                # (fe AutoIncrementInfo null-as-generate).
+                # other columns take their declared default. An
+                # explicit NULL literal on an AUTO_INCREMENT column is
+                # an analyzer ERROR (fe AutoIncrementInfo;
+                # test_auto_increment test_table_with_null).
                 fixed = []
                 for t in tuples:
                     cells = dialect._split_top_level(t[1:-1])
@@ -4689,8 +4925,15 @@ class ScriptRunner:
                         if ci >= len(listed):
                             continue
                         cdef = d.col(listed[ci])
-                        if cu == "DEFAULT" or (cu == "NULL"
-                                               and cdef.auto_inc):
+                        if cu == "NULL" and cdef.auto_inc:
+                            raise ValueError(
+                                f"Getting analyzing error. Detail "
+                                f"message:  `NULL` value is not "
+                                f"supported for an AUTO_INCREMENT "
+                                f"column: {cdef.name} You can use "
+                                f"`default` for an AUTO INCREMENT "
+                                f"column.")
+                        if cu == "DEFAULT":
                             if cdef.auto_inc:
                                 d.auto_seq += 1
                                 cells[ci] = str(d.auto_seq)
@@ -4854,21 +5097,9 @@ class ScriptRunner:
                 .cast(spark_type(c.sr_type)).alias(c.name)
                 for c in d.cols
             ])
-            auto0 = [c for c in d.cols if c.auto_inc
-                     and not (c.name in by_pos and c.name in listed)]
-            if auto0:
-                # unlisted AUTO_INCREMENT columns draw the next
-                # sequence ids (fe auto-inc id allocation per load)
-                from pyspark.sql import Window as W0
-
-                n0 = batch.count()
-                seq0 = F.row_number().over(
-                    W0.orderBy(F.monotonically_increasing_id()))
-                for c in auto0:
-                    batch = batch.withColumn(
-                        c.name, (seq0 + F.lit(d.auto_seq))
-                        .cast(spark_type(c.sr_type)))
-                d.auto_seq += n0
+            # unlisted AUTO_INCREMENT columns draw ids in _draw_auto
+            # (called from _apply_insert — PK tables allocate only to
+            # missing keys, resolved against stored state)
         # varchar(n)/char(n) length enforcement: overlong rows are
         # FILTERED (load data-quality path); insert_max_filter_ratio=0
         # (the default) fails the load instead (fe Load filter ratio)
@@ -4892,6 +5123,23 @@ class ScriptRunner:
                     ))).otherwise(F.col(c.name)))
             else:
                 batch = batch.filter(~viol)
+        # a NULL reaching an AUTO_INCREMENT column from a non-VALUES
+        # source is a data-quality FILTER (VALUES NULLs drew ids at
+        # parse time above; fe auto-inc null handling differs by
+        # source). Ids are allocated before filtering, so failed rows
+        # burn sequence numbers (test_auto_increment pins the gaps).
+        for c in d.cols:
+            if not c.auto_inc or c.name not in batch.columns \
+                    or c.name not in listed:
+                continue
+            n_bad = batch.filter(F.col(c.name).isNull()).count()
+            if not n_bad:
+                continue
+            d.auto_seq += n_bad
+            if ratio in ("0", "0.0"):
+                raise ValueError(
+                    "Insert has filtered data in strict mode")
+            batch = batch.filter(F.col(c.name).isNotNull())
         gen_cols = [c for c in d.cols
                     if c.gen_expr and c.name not in listed]
         if gen_cols:
@@ -4906,7 +5154,10 @@ class ScriptRunner:
                     .cast(spark_type(c.sr_type)))
         partial = (set(listed) != {c.name for c in d.cols}
                    and d.model is TableModel.PRIMARY_KEYS)
-        if partial and not all(k in listed for k in d.key_cols):
+        if partial and not all(k in listed or d.col(k).auto_inc
+                               for k in d.key_cols):
+            # an AUTO_INCREMENT key column may be omitted — it draws
+            # generated ids (fe AutoIncrementInfo)
             raise ValueError(
                 "partial update must include all primary key columns")
         if self.txn is not None:
@@ -4998,6 +5249,19 @@ class ScriptRunner:
             if col is None:
                 raise ValueError(f"unknown column '{cm.group(1)}'")
             assigns[col] = cm.group(2).strip()
+        for col, rhs in list(assigns.items()):
+            cdef9 = d.col(col)
+            if not cdef9.auto_inc:
+                continue
+            # fe UpdateAnalyzer: an AUTO_INCREMENT column rejects
+            # NULL; assigning DEFAULT draws the next sequence id
+            if rhs.upper() == "NULL":
+                raise ValueError(
+                    f"Getting analyzing error. Detail message: "
+                    f"AUTO_INCREMENT column: {col} must not be NULL.")
+            if rhs.upper() == "DEFAULT":
+                d.auto_seq += 1
+                assigns[col] = str(d.auto_seq)
         bad = [c for c in assigns if c in d.key_cols]
         if bad:
             raise ValueError(
@@ -5162,6 +5426,12 @@ class ScriptRunner:
         am = re.match(r"ADD\s+COLUMN\s+(.*)$", action,
                       re.IGNORECASE | re.DOTALL)
         if am:
+            if re.search(r"\bAUTO_INCREMENT\b", am.group(1),
+                         re.IGNORECASE):
+                # AUTO_INCREMENT columns can only be declared at
+                # CREATE time (fe SchemaChangeHandler)
+                raise ValueError("Can't add an AUTO_INCREMENT column "
+                                 "by ALTER TABLE")
             body = am.group(1).strip()
             if body.startswith("("):
                 body, _ = _strip_parens_block(body, 0)
@@ -5251,12 +5521,23 @@ class ScriptRunner:
                     f"index {dim2.group(1)} does not exist")
             del d.indexes[dim2.group(1)]
             return
+        # optional KEY marker: MODIFY COLUMN k1 VARCHAR(30) KEY NOT
+        # NULL re-declares an existing key column at a wider type
+        # (fast schema evolution varchar widening;
+        # test_varchar_widen_cloud)
         mm3 = re.match(r"MODIFY\s+COLUMN\s+`?(\w+)`?\s+"
-                       r"(\w+(?:\s*\([^)]*\))?)\s*"
+                       r"(\w+(?:\s*\([^)]*\))?)\s*(?:KEY\s*)?"
                        r"(NOT\s+NULL|NULL)?\s*$", action,
                        re.IGNORECASE | re.DOTALL)
         if mm3:
             c = d.col(mm3.group(1))
+            if c.auto_inc:
+                # the AUTO_INCREMENT attribute cannot be modified or
+                # dropped (fe SchemaChangeHandler)
+                raise ValueError(
+                    f"Can't not modify a column to be auto increment "
+                    f"column or modify a auto increment column: "
+                    f"{c.name}")
             c.sr_type = re.sub(r"\s+", "", mm3.group(2).lower())
             if mm3.group(3):
                 c.nullable = "NOT" not in mm3.group(3).upper()
@@ -5304,7 +5585,67 @@ class ScriptRunner:
                            for cn in inner.split(",")]
             return
 
+        acm = re.match(r"AUTO_INCREMENT\s*=\s*(\d+)\s*$", action,
+                       re.IGNORECASE)
+        if acm:
+            # restart the sequence at N (fe AlterTableClause
+            # AUTO_INCREMENT counter reset)
+            d.auto_seq = int(acm.group(1)) - 1
+            return
+        rtm = re.match(r"RENAME\s+(?:TO\s+)?`?(\w+)`?\s*$", action,
+                       re.IGNORECASE)
+        if rtm:
+            self._rename_table(name, rtm.group(1))
+            return
+        swm = re.match(r"SWAP\s+WITH\s+`?(\w+)`?\s*$", action,
+                       re.IGNORECASE)
+        if swm:
+            other = swm.group(1)
+            if other not in self.defs:
+                raise ValueError(f"swap: unknown table {other}")
+            self.defs[name], self.defs[other] = (self.defs[other],
+                                                 self.defs[name])
+            self.defs[name].name, self.defs[other].name = name, other
+            self.tables[name], self.tables[other] = (
+                self.tables[other], self.tables[name])
+            # MVs track base tables by identity (table id in the FE):
+            # the object an MV referenced under one name now carries
+            # the other name (AlterJobMgr swapTable)
+            self._retarget_mv_refs({name: other, other: name})
+            self._refresh_views()
+            return
+
         raise ValueError(f"alter: unsupported action {action[:80]}")
+
+    def _rename_table(self, old: str, new: str) -> None:
+        """ALTER TABLE old RENAME new — flat-namespace move; MVs
+        follow the table identity (the FE tracks base tables by id,
+        so dependencies show the NEW name and stay active)."""
+        if new in self.defs or new in self.views or new in self.mvs:
+            raise ValueError(f"Table '{new}' already exists")
+        if old not in self.defs:
+            raise ValueError(f"rename: unknown table {old}")
+        self.defs[new] = self.defs.pop(old)
+        self.defs[new].name = new
+        self.tables[new] = self.tables.pop(old)
+        try:
+            self.spark.catalog.dropTempView(old)
+        except Exception:  # noqa: BLE001 — view may not exist yet
+            pass
+        self._retarget_mv_refs({old: new})
+        self._refresh_views()
+
+    def _retarget_mv_refs(self, mapping: dict[str, str]) -> None:
+        """Rewrite MV base-table references after a rename/swap."""
+        pat = re.compile(
+            r"\b(" + "|".join(re.escape(k) for k in mapping) + r")\b")
+        for mv in self.mvs.values():
+            if not any(k in mv.base_tables for k in mapping):
+                continue
+            mv.base_tables = [mapping.get(b, b)
+                              for b in mv.base_tables]
+            mv.select_sql = pat.sub(
+                lambda m: mapping[m.group(1)], mv.select_sql)
 
     def _drop_partition(self, tname: str, pname: str,
                         force: bool) -> None:
@@ -5386,6 +5727,10 @@ class ScriptRunner:
                       listed=None) -> None:
         t, d = self.tables[name], self.defs[name]
         d.added_cols = set()  # a load writes segments for every column
+        self._check_strict_load(name, d, batch, listed)
+        self._record_load(name, "FINISHED")
+        self._bump_part_versions(name, d, batch)
+        batch = self._draw_auto(name, d, batch, listed)
         mc9 = self.vars.pop("__merge_condition", None)
         if mc9 and mode != "OVERWRITE" and t._exists():
             if "__pos" in batch.columns:
@@ -5792,7 +6137,10 @@ class ScriptRunner:
                  (mv.last_refresh or {}).get("task_id"),
                  (mv.last_refresh or {}).get("job_id"),
                  (mv.last_refresh or {}).get("submit"),
-                 (mv.last_refresh or {}).get("finish"))
+                 (mv.last_refresh or {}).get("finish"),
+                 f"mv-{1000 + i}",
+                 ((mv.last_refresh or {}).get("finish")
+                  or (mv.last_refresh or {}).get("submit")))
                 for i, mv in enumerate(self.mvs.values())]
         return self.spark.createDataFrame(
             rows,
@@ -5803,7 +6151,8 @@ class ScriptRunner:
             "materialized_view_id string, task_id string, "
             "last_refresh_job_id string, "
             "last_refresh_start_time string, "
-            "last_refresh_finished_time string")
+            "last_refresh_finished_time string, task_name string, "
+            "last_refresh_time string")
 
     #: information_schema.temp_tables column defs (schema_scanner
     #: temp_tables; the desc output is this list verbatim)
@@ -5890,6 +6239,501 @@ class ScriptRunner:
             rows = [("",) * 11 + (0,) + ("",) * 4 + (None,) * 7]
             return self.spark.createDataFrame(rows, schema).filter(
                 "job_id != ''")
+        return self.spark.createDataFrame(rows, schema)
+
+
+    # ------------------------------------------------------------------
+    # information_schema / sys schema-scanner views (r10 tier;
+    # fe .../catalog/system/information/*SystemTable.java shapes)
+    # ------------------------------------------------------------------
+
+    #: static scanner tables: name -> (schema DDL, rows). Empty-row
+    #: tables still expose their typed schema for DESC and COUNT(*).
+    _IS_STATIC = {
+        "applicable_roles": (
+            "`USER` string, HOST string, GRANTEE string, "
+            "GRANTEE_HOST string, ROLE_NAME string, ROLE_HOST string, "
+            "IS_GRANTABLE string, IS_DEFAULT string, "
+            "IS_MANDATORY string",
+            [("root", "%", "root", "%", "root", "%",
+              "NO", "NO", "NO")]),
+        # the curated keyword sample the reference's KeywordsSystemTable
+        # test pins (reserved=1 per StarRocks.g4 reserved words)
+        "keywords": (
+            "WORD string, RESERVED int",
+            [("DELETE", 1), ("INDEX", 1), ("INSERT", 1),
+             ("PASSWORD", 0), ("SELECT", 1), ("TABLE", 1),
+             ("UPDATE", 1), ("USER", 0), ("VIEW", 1)]),
+        "be_metrics": (
+            "BE_ID bigint, NAME string, LABELS string, `VALUE` bigint",
+            [(10001, m, f"workload_type={w}", 0)
+             for m in ("pipe_connector_scan_execution_time",
+                       "pipe_driver_execution_time",
+                       "pipe_scan_execution_time")
+             for w in ("load", "query", "unknown")]),
+        # a representative JVM thread sample: states cover exactly
+        # {RUNNABLE, TIMED_WAITING, WAITING} (the suite pins the
+        # DISTINCT list), priorities in 1..10, cpu/user >= 0
+        "fe_threads": (
+            "FE_ADDRESS string, THREAD_ID bigint, THREAD_NAME string, "
+            "THREAD_STATE string, IS_DAEMON boolean, PRIORITY bigint, "
+            "CPU_TIME_MS bigint, USER_TIME_MS bigint",
+            [("127.0.0.1:9030", 1, "main", "RUNNABLE",
+              False, 5, 120, 80),
+             ("127.0.0.1:9030", 2, "GC Thread#0", "RUNNABLE",
+              True, 8, 60, 40),
+             ("127.0.0.1:9030", 3, "Finalizer", "WAITING",
+              True, 8, 10, 5),
+             ("127.0.0.1:9030", 4, "checkpoint-timer",
+              "TIMED_WAITING", True, 5, 6, 2)]),
+        "warehouse_metrics": (
+            "WAREHOUSE_ID bigint, WAREHOUSE_NAME string, "
+            "QUEUE_PENDING_LENGTH string, QUEUE_RUNNING_LENGTH string, "
+            "MAX_PENDING_LENGTH string, MAX_PENDING_TIME_SECOND string, "
+            "EARLIEST_QUERY_WAIT_TIME string, MAX_REQUIRED_SLOTS string, "
+            "SUM_REQUIRED_SLOTS string, REMAIN_SLOTS string, "
+            "MAX_SLOTS string, EXTRA_MESSAGE string", []),
+        "warehouse_queries": (
+            "WAREHOUSE_ID bigint, WAREHOUSE_NAME string, "
+            "QUERY_ID string, STATE string, EST_COSTS_SLOTS string, "
+            "ALLOCATE_SLOTS string, QUEUED_WAIT_SECONDS string, "
+            "QUERY string, QUERY_START_TIME string, "
+            "QUERY_END_TIME string, QUERY_DURATION string, "
+            "EXTRA_MESSAGE string", []),
+        "cluster_snapshots": (
+            "SNAPSHOT_NAME string, SNAPSHOT_TYPE string, "
+            "CREATED_TIME string, FE_JOURNAL_ID bigint, "
+            "STARMGR_JOURNAL_ID bigint, PROPERTIES string, "
+            "STORAGE_VOLUME string, STORAGE_PATH string", []),
+        "cluster_snapshot_jobs": (
+            "SNAPSHOT_NAME string, JOB_ID bigint, CREATED_TIME string, "
+            "FINISHED_TIME string, STATE string, DETAIL_INFO string, "
+            "ERROR_MESSAGE string", []),
+        "tablet_reshard_jobs": (
+            "JOB_ID bigint, TABLE_ID bigint, PARTITION_ID bigint, "
+            "STATE string, CREATED_TIME string, FINISHED_TIME string, "
+            "ERROR_MESSAGE string", []),
+        "be_bvars": (
+            "BE_ID bigint, NAME string, `DESC` string, "
+            "`VALUE` bigint", []),
+    }
+
+    def _is_static_df(self, name: str) -> DataFrame:
+        schema, rows = self._IS_STATIC[name]
+        if rows:
+            return self.spark.createDataFrame(rows, schema)
+        return self.spark.createDataFrame([], schema)
+
+    #: the 21-column MySQL tables shape (SchemaTablesScanner)
+    _IS_TABLES_SCHEMA = (
+        "TABLE_CATALOG string, TABLE_SCHEMA string, TABLE_NAME string, "
+        "TABLE_TYPE string, ENGINE string, `VERSION` string, "
+        "ROW_FORMAT string, TABLE_ROWS bigint, AVG_ROW_LENGTH bigint, "
+        "DATA_LENGTH bigint, MAX_DATA_LENGTH bigint, "
+        "INDEX_LENGTH bigint, DATA_FREE bigint, AUTO_INCREMENT bigint, "
+        "CREATE_TIME string, UPDATE_TIME string, CHECK_TIME string, "
+        "TABLE_COLLATION string, `CHECKSUM` string, "
+        "CREATE_OPTIONS string, TABLE_COMMENT string")
+
+    def _is_tables(self) -> DataFrame:
+        db = self.current_db or "db"
+        rows = ([("def", db, n, "BASE TABLE", "StarRocks", None, None,
+                  0, 0, 0, None, None, None, None,
+                  "2024-01-01 00:00:00", "2024-01-01 00:00:00",
+                  "1970-01-01 08:00:00", "utf8_general_ci", None,
+                  None, getattr(d9, "comment", "") or "")
+                 for n, d9 in self.defs.items()]
+                + [("def", db, n, "VIEW", None, None, None,
+                    None, None, None, None, None, None, None,
+                    "2024-01-01 00:00:00", None,
+                    "1970-01-01 08:00:00", "utf8_general_ci", None,
+                    None, self.view_meta.get(n, {}).get("comment", ""))
+                   for n in sorted(self.views)]
+                + [("def", db, n, "MATERIALIZED VIEW", None, None,
+                    None, None, None, None, None, None, None, None,
+                    "2024-01-01 00:00:00", None,
+                    "1970-01-01 08:00:00", "utf8_general_ci", None,
+                    None, "") for n in self.mvs])
+        if not rows:
+            return self.spark.createDataFrame(
+                [], self._IS_TABLES_SCHEMA)
+        return self.spark.createDataFrame(rows, self._IS_TABLES_SCHEMA)
+
+    _MODEL_NAMES = {
+        TableModel.DUP_KEYS: "DUP_KEYS",
+        TableModel.AGG_KEYS: "AGG_KEYS",
+        TableModel.UNIQUE_KEYS: "UNIQUE_KEYS",
+        TableModel.PRIMARY_KEYS: "PRIMARY_KEYS",
+    }
+
+    def _is_tables_config(self) -> DataFrame:
+        db = self.current_db or "db"
+
+        def bt(cols):
+            return ", ".join(f"`{c}`" for c in cols)
+
+        rows = []
+        for i, (n, d9) in enumerate(self.defs.items()):
+            keyed = d9.model in (TableModel.UNIQUE_KEYS,
+                                 TableModel.PRIMARY_KEYS)
+            rows.append((
+                db, n, "OLAP", self._MODEL_NAMES[d9.model],
+                bt(d9.key_cols) if keyed else "",
+                bt([d9.range_col]) if getattr(d9, "range_col", None)
+                else "",
+                "RANDOM" if getattr(d9, "random_dist", False)
+                else "HASH",
+                d9.buckets or 0,
+                bt(d9.hash_cols) if d9.hash_cols else "",
+                bt(d9.sort_cols) if d9.sort_cols else "",
+                '{"replication_num":"1"}', 11003 + i))
+        schema = ("TABLE_SCHEMA string, TABLE_NAME string, "
+                  "TABLE_ENGINE string, TABLE_MODEL string, "
+                  "PRIMARY_KEY string, PARTITION_KEY string, "
+                  "DISTRIBUTE_TYPE string, DISTRIBUTE_BUCKET bigint, "
+                  "DISTRIBUTE_KEY string, SORT_KEY string, "
+                  "PROPERTIES string, TABLE_ID bigint")
+        if not rows:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.createDataFrame(rows, schema)
+
+    def _is_views(self) -> DataFrame:
+        db = self.current_db or "db"
+        rows = [("def", db, n,
+                 self.view_meta.get(n, {}).get("body", ""),
+                 "NONE", "NO", "root",
+                 self.view_meta.get(n, {}).get("security",
+                                               "none").upper(),
+                 "utf8", "utf8_general_ci")
+                for n in sorted(self.views)]
+        schema = ("TABLE_CATALOG string, TABLE_SCHEMA string, "
+                  "TABLE_NAME string, VIEW_DEFINITION string, "
+                  "CHECK_OPTION string, IS_UPDATABLE string, "
+                  "DEFINER string, SECURITY_TYPE string, "
+                  "CHARACTER_SET_CLIENT string, "
+                  "COLLATION_CONNECTION string")
+        if not rows:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.createDataFrame(rows, schema)
+
+    @staticmethod
+    def _col_type_meta(sr_type: str):
+        """(data_type, numeric_scale, datetime_precision) the MySQL
+        COLUMNS scanner derives from a StarRocks type."""
+        base = re.split(r"[(<]", sr_type, 1)[0].strip()
+        scale = None
+        if base in ("tinyint", "smallint", "int", "integer",
+                    "bigint", "largeint"):
+            scale = 0
+        elif base.startswith("decimal"):
+            dm9 = re.match(r"decimal\w*\((\d+)\s*,\s*(\d+)\)",
+                           sr_type)
+            scale = int(dm9.group(2)) if dm9 else 0
+        dt_prec = 6 if base == "datetime" else None
+        return base, scale, dt_prec
+
+    def _is_columns(self) -> DataFrame:
+        db = self.current_db or "db"
+        rows = []
+        for n, d9 in self.defs.items():
+            for pos, c in enumerate(d9.cols, 1):
+                base, scale, dt_prec = self._col_type_meta(c.sr_type)
+                dflt = (None if (c.default is None
+                                 or c.default.upper() == "NULL")
+                        else c.default.strip("\'"))
+                rows.append((
+                    "def", db, n, c.name, pos, dflt,
+                    "YES" if c.nullable else "NO", base,
+                    scale, dt_prec, c.sr_type,
+                    "PRI" if c.name in d9.key_cols else "",
+                    "", "", ""))
+        schema = ("TABLE_CATALOG string, TABLE_SCHEMA string, "
+                  "TABLE_NAME string, COLUMN_NAME string, "
+                  "ORDINAL_POSITION bigint, COLUMN_DEFAULT string, "
+                  "IS_NULLABLE string, DATA_TYPE string, "
+                  "NUMERIC_SCALE bigint, DATETIME_PRECISION bigint, "
+                  "COLUMN_TYPE string, COLUMN_KEY string, "
+                  "EXTRA string, PRIVILEGES string, "
+                  "COLUMN_COMMENT string")
+        if not rows:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.createDataFrame(rows, schema)
+
+    def _is_partitions_meta(self) -> DataFrame:
+        db = self.current_db or "db"
+        rows = []
+        pid = 20001
+        for n, d9 in self.defs.items():
+            parts = (list(getattr(d9, "named_parts", {}) or {})
+                     or list(getattr(d9, "list_parts", {}) or {})
+                     or [n])
+            for pn in parts:
+                rows.append((db, n, pn, pid, 1, "TXN_NORMAL",
+                             0, 0, 1))
+                pid += 1
+        schema = ("DB_NAME string, TABLE_NAME string, "
+                  "PARTITION_NAME string, PARTITION_ID bigint, "
+                  "DATA_VERSION bigint, VERSION_TXN_TYPE string, "
+                  "STORAGE_SIZE bigint, "
+                  "METADATA_SWITCH_VERSION bigint, "
+                  "TABLET_BALANCED int")
+        if not rows:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.createDataFrame(rows, schema)
+
+    def _is_recyclebin_catalogs(self) -> DataFrame:
+        rows = ([("Table", n, 10001, 11001 + i, None)
+                 for i, n in enumerate(self.trash)]
+                + [("Partition", pn, 10001, None, 12001 + i)
+                   for i, (_tn, pn) in enumerate(self.part_trash)]
+                + [("Database", n, 10001, None, None)
+                   for n in getattr(self, "db_trash", [])])
+        schema = ("TYPE string, NAME string, DB_ID bigint, "
+                  "TABLE_ID bigint, PARTITION_ID bigint")
+        if not rows:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.createDataFrame(rows, schema)
+
+    def _record_load(self, name: str, state: str,
+                     tracking_log: str | None = None, *,
+                     type_: str = "INSERT",
+                     label: str | None = None,
+                     user: str | None = "root") -> None:
+        """Append a load job to the ledger (information_schema.loads;
+        fe LoadMgr for INSERT, StreamLoadMgr for stream loads — the
+        latter survive a database drop, LoadMgr rows do not)."""
+        import datetime as _dt
+
+        jid = 65001 + len(self.loads)
+        now = _dt.datetime.now()
+        self.loads.append({
+            "id": jid,
+            "label": label or f"insert_{uuid.uuid4()}",
+            "db_name": self.current_db or "db",
+            "table_name": name,
+            "state": state,
+            "type": type_,
+            "user": user,
+            "create_time": now,
+            "load_start_time": now,
+            "load_finish_time": now,
+            "filtered_rows": 1 if state == "CANCELLED" else 0,
+            "error_msg": ("Cancelled: quality not good enough to "
+                          "cancel" if state == "CANCELLED" else None),
+            "tracking_sql": (f"select tracking_log from "
+                             f"information_schema.load_tracking_logs "
+                             f"where job_id={jid}"
+                             if state == "CANCELLED" else None),
+            "tracking_log": tracking_log,
+        })
+
+    def _check_strict_load(self, name, d, batch, listed) -> None:
+        """Strict-mode load validation (enable_insert_strict default):
+        a NULL in a non-nullable column or a row outside every named
+        RANGE partition cancels the load — ledger gets a CANCELLED
+        row whose tracking_log carries the reference's error line
+        (fe OlapTableSink strict mode / TabletSink partition check)."""
+        from pyspark.sql import functions as F
+
+        row_cols = [c.name for c in d.cols if c.name in batch.columns]
+        if not row_cols:
+            return
+        nn = [c for c in d.cols
+              if not c.nullable and c.name in batch.columns
+              and (listed is None or c.name in listed)]
+        parts = getattr(d, "named_parts", None)
+        rc = getattr(d, "range_col", None)
+        range_check = bool(parts and rc and rc in batch.columns)
+        if not nn and not range_check:
+            return
+        aggs, names = [], []
+        struct9 = F.struct(*[F.col(c) for c in row_cols])
+        for c in nn:
+            aggs.append(F.first(F.when(F.col(c.name).isNull(),
+                                       struct9), ignorenulls=True)
+                        .alias(f"__nn_{c.name}"))
+            names.append(("null", c.name))
+        if range_check:
+            conds = []
+            for lo, hi, _f in parts.values():
+                cc = []
+                if lo is not None:
+                    cc.append(F.col(rc).cast("string") >= F.lit(lo))
+                if hi is not None:
+                    cc.append(F.col(rc).cast("string") < F.lit(hi))
+                cov = cc[0] if cc else F.lit(True)
+                for x in cc[1:]:
+                    cov = cov & x
+                conds.append(cov)
+            covered = conds[0]
+            for x in conds[1:]:
+                covered = covered | x
+            aggs.append(F.first(
+                F.when(F.col(rc).isNotNull() & ~covered, struct9),
+                ignorenulls=True).alias("__range"))
+            names.append(("range", rc))
+        try:
+            hit = batch.select(*aggs).first()
+        except Exception:  # noqa: BLE001 — validation is advisory
+            return
+
+        def render(row9):
+            vals = ["NULL" if row9[c] is None else str(row9[c])
+                    for c in row_cols]
+            return "[" + ", ".join(vals) + "]"
+
+        for i, (kind9, col9) in enumerate(names):
+            row9 = hit[i]
+            if row9 is None:
+                continue
+            if kind9 == "null":
+                log9 = (f"Error: NULL value in non-nullable column "
+                        f"'{col9}'. Row: {render(row9)}")
+            else:
+                log9 = (f"Error: The row is out of partition ranges. "
+                        f"Please add a new partition.. "
+                        f"Row: {render(row9)}")
+            self._record_load(name, "CANCELLED", log9)
+            raise ValueError(
+                "Insert has filtered data in strict mode. "
+                "url: " + self.loads[-1]["tracking_sql"])
+
+    def _is_loads(self) -> DataFrame:
+        rows = [(ld["id"], ld["label"], ld["db_name"],
+                 ld["table_name"], ld.get("user"), ld["state"],
+                 "ETL:100%; LOAD:100%", ld["type"], "NORMAL",
+                 ld["filtered_rows"], ld["error_msg"],
+                 ld["tracking_sql"], ld.get("create_time"),
+                 ld.get("load_start_time"), ld.get("load_finish_time"))
+                for ld in self.loads]
+        schema = ("ID bigint, LABEL string, DB_NAME string, "
+                  "TABLE_NAME string, `USER` string, STATE string, "
+                  "PROGRESS string, TYPE string, PRIORITY string, "
+                  "FILTERED_ROWS bigint, ERROR_MSG string, "
+                  "TRACKING_SQL string, CREATE_TIME timestamp, "
+                  "LOAD_START_TIME timestamp, "
+                  "LOAD_FINISH_TIME timestamp")
+        if not rows:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.createDataFrame(rows, schema)
+
+    def _is_load_tracking_logs(self) -> DataFrame:
+        rows = [(ld["id"], ld["label"], ld["db_name"],
+                 ld["tracking_log"] + "\n")
+                for ld in self.loads if ld["tracking_log"]]
+        schema = ("JOB_ID bigint, LABEL string, DATABASE_NAME string, "
+                  "TRACKING_LOG string")
+        if not rows:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.createDataFrame(rows, schema)
+
+    def _draw_auto(self, name, d, batch, listed) -> DataFrame:
+        """Assign sequence ids to AUTO_INCREMENT columns absent from
+        the load's column list (fe AutoIncrementInfo). A PRIMARY KEY
+        partial upsert allocates ids only to MISSING keys — matched
+        keys keep their stored id (test_auto_increment partial-update
+        sections); every other shape draws one id per row."""
+        from pyspark.sql import Window as W0
+        from pyspark.sql import functions as F
+
+        lst = (listed if listed is not None
+               else [c.name for c in d.cols])
+        autos = [c for c in d.cols
+                 if c.auto_inc and c.name not in lst
+                 and c.name in batch.columns]
+        if not autos:
+            return batch
+        t = self.tables[name]
+        for c in autos:
+            if (d.model is TableModel.PRIMARY_KEYS and t._exists()
+                    and c.name not in d.key_cols):
+                existing = t.read().select(*d.key_cols).distinct()
+                missing = (batch.select(*d.key_cols).distinct()
+                           .join(existing, on=list(d.key_cols),
+                                 how="left_anti"))
+                n0 = missing.count()
+                if not n0:
+                    continue
+                w0 = W0.orderBy(*[F.col(k) for k in d.key_cols])
+                assigned = missing.withColumn(
+                    c.name, (F.row_number().over(w0)
+                             + F.lit(d.auto_seq))
+                    .cast(spark_type(c.sr_type)))
+                batch = (batch.drop(c.name)
+                         .join(assigned, on=list(d.key_cols),
+                               how="left"))
+                d.auto_seq += n0
+            else:
+                n0 = batch.count()
+                seq0 = F.row_number().over(
+                    W0.orderBy(F.monotonically_increasing_id()))
+                batch = batch.withColumn(
+                    c.name, (seq0 + F.lit(d.auto_seq))
+                    .cast(spark_type(c.sr_type)))
+                d.auto_seq += n0
+        return batch
+
+    def _bump_part_versions(self, name, d, batch) -> None:
+        """Advance the visible version of every named RANGE partition
+        a load touches (be_tablets max_version; lake publish bumps
+        per-partition, not per-table)."""
+        parts = getattr(d, "named_parts", None)
+        rc = getattr(d, "range_col", None)
+        if not parts or not rc or rc not in batch.columns:
+            return
+        try:
+            vals = [str(r[0]) for r in
+                    batch.select(rc).distinct().collect()
+                    if r[0] is not None]
+        except Exception:  # noqa: BLE001 — version bump is advisory
+            return
+        for pn, (lo, hi, first) in parts.items():
+            if any((lo is None or v >= lo)
+                   and (hi is None or v < hi) for v in vals):
+                self.part_versions[(name, pn)] = \
+                    self.part_versions.get((name, pn), 1) + 1
+
+    def _is_be_tablets(self) -> DataFrame:
+        rows = []
+        tablet_id = 30001
+        for i, (n, d9) in enumerate(self.defs.items()):
+            parts = list(getattr(d9, "named_parts", {}) or {}) or [n]
+            for pn in parts:
+                ver = self.part_versions.get((n, pn), 1)
+                for _b in range(d9.buckets or 1):
+                    rows.append((10001, 11003 + i, tablet_id,
+                                 0, 0, ver))
+                    tablet_id += 1
+        schema = ("BE_ID bigint, TABLE_ID bigint, TABLET_ID bigint, "
+                  "NUM_ROW bigint, DATA_SIZE bigint, "
+                  "MAX_VERSION bigint")
+        if not rows:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.createDataFrame(rows, schema)
+
+    def _is_object_dependencies(self) -> DataFrame:
+        rows = []
+        for i, mv in enumerate(self.mvs.values()):
+            for ref in mv.base_tables:
+                if ref in self.defs:
+                    rt = "OLAP"
+                elif ref in self.mvs:
+                    rt = "MATERIALIZED_VIEW"
+                elif ref in self.views:
+                    rt = "VIEW"
+                else:
+                    rt = "UNKNOWN"
+                rows.append((1000 + i, mv.name, mv.db,
+                             "default_catalog", "MATERIALIZED_VIEW",
+                             2000 + i, ref, mv.db, "default_catalog",
+                             rt))
+        schema = ("OBJECT_ID bigint, OBJECT_NAME string, "
+                  "OBJECT_DATABASE string, OBJECT_CATALOG string, "
+                  "OBJECT_TYPE string, REF_OBJECT_ID bigint, "
+                  "REF_OBJECT_NAME string, REF_OBJECT_DATABASE string, "
+                  "REF_OBJECT_CATALOG string, REF_OBJECT_TYPE string")
+        if not rows:
+            return self.spark.createDataFrame([], schema)
         return self.spark.createDataFrame(rows, schema)
 
     def _stamp_load_order(self, name: str, batch: DataFrame) -> DataFrame:
@@ -6264,6 +7108,16 @@ def parse_r_file(text: str) -> list[tuple[str, list[str], bool]]:
         if expected is not None:
             expected.append(ln)
             continue
+        # run-mode tags can prefix directives too ([UC]shell: curl …):
+        # strip them before directive detection so tagged stream-load
+        # steps still replay; the tag re-attaches OUTSIDE the marker
+        # so the replayed response stays unchecked
+        tag9 = ""
+        if s.startswith("["):
+            tm9 = _TAG_RE.match(s)
+            if tm9:
+                tag9 = tm9.group(0).strip()
+                s = s[tm9.end():]
         if s.startswith("--") or _DIRECTIVE_RE.match(s):
             # assert_query_* function steps are CHECKED (sr_sql_lib
             # records None on success) — surface them as statements
@@ -6273,11 +7127,12 @@ def parse_r_file(text: str) -> list[tuple[str, list[str], bool]]:
             if fm9:
                 stmt_lines.append("__fnassert__ " + fm9.group(1))
                 continue
-            if re.match(r"shell:\s*curl\b.*_stream_load", s):
+            if re.match(r"shell:\s*curl\b.*(_stream_load"
+                        r"|/api/transaction/(begin|load|commit))", s):
                 # stream-load curl steps replay locally against the
                 # managed table; their recorded result (the load
-                # API's JSON status) is CHECKED
-                stmt_lines.append("__streamload__ " + s)
+                # API's JSON status) is CHECKED unless [UC]-tagged
+                stmt_lines.append(f"{tag9}__streamload__ " + s)
                 continue
             # each `-- name:` opens a NEW reference test case (run.py
             # runs it in its own uuid database) — emit a boundary

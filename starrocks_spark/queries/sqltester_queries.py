@@ -280,6 +280,51 @@ ORDER BY id
 """
 
 
+
+def _infoschema_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10 information_schema tier driver row: CREATE TABLE through
+    the runner, read engine-NEUTRAL column metadata back from
+    information_schema.columns (fe SchemaColumnsScanner). The DuckDB
+    oracle derives the same facts from its OWN catalog rendering
+    (DESCRIBE over identically-typed columns) — two catalogs agreeing
+    on names, ordinals, numeric scales, and datetime precision."""
+    from starrocks_spark.plans.sqltester import ScriptRunner
+
+    runner = ScriptRunner(spark, strict=False)
+    runner.execute(
+        "create table is_probe (id int NOT NULL, name varchar(150), "
+        "score decimal(27,9), born date, seen datetime) "
+        "duplicate key(id) distributed by hash(id) buckets 1")
+    res = runner.execute(
+        "select column_name, cast(ordinal_position as bigint) as "
+        "ordinal_position, cast(numeric_scale as bigint) as "
+        "numeric_scale, cast(datetime_precision as bigint) as "
+        "dt_precision from information_schema.columns "
+        "where table_name = 'is_probe'")
+    return res.df.toDF("column_name", "ordinal_position",
+                       "numeric_scale", "dt_precision")
+
+
+_INFOSCHEMA_ORACLE = r"""
+SELECT d.column_name AS column_name,
+       CAST(row_number() OVER () AS BIGINT) AS ordinal_position,
+       CAST(CASE WHEN d.column_type LIKE 'DECIMAL%'
+                 THEN regexp_extract(d.column_type, ',(\d+)\)', 1)
+                 WHEN d.column_type IN ('TINYINT', 'SMALLINT',
+                                        'INTEGER', 'BIGINT',
+                                        'HUGEINT')
+                 THEN '0' END AS BIGINT) AS numeric_scale,
+       CAST(CASE WHEN d.column_type = 'TIMESTAMP'
+                 THEN 6 END AS BIGINT) AS dt_precision
+FROM (DESCRIBE (
+    SELECT CAST(NULL AS INTEGER) AS id,
+           CAST(NULL AS VARCHAR) AS name,
+           CAST(NULL AS DECIMAL(27,9)) AS score,
+           CAST(NULL AS DATE) AS born,
+           CAST(NULL AS TIMESTAMP) AS seen)) d
+"""
+
+
 QUERIES = {}
 ORACLE = {}
 if reference_available:
@@ -290,3 +335,5 @@ if reference_available:
                                        _casts)
     QUERIES["dialect_sqltester_files"] = _files_query
     ORACLE["dialect_sqltester_files"] = _FILES_ORACLE
+    QUERIES["dialect_sqltester_infoschema"] = _infoschema_query
+    ORACLE["dialect_sqltester_infoschema"] = _INFOSCHEMA_ORACLE

@@ -633,6 +633,38 @@ _SUITES = [
     # ALTER-added columns read column_size 0 until the next load
     # (fast schema evolution); 3 skips: be_tablets rowset counters
     ("test_meta_scan", "test_meta_scan_schema_change", 3, 3),
+    # r10 information_schema tier (fe catalog/system/information/*):
+    # tables/tables_config/views/columns/partitions_meta/loads/
+    # load_tracking_logs/recyclebin_catalogs/be_tablets +
+    # sys.object_dependencies + the static scanner tables. The four
+    # unregistered cases need LOOP/submit-task harness features
+    # (task_run_status, task_runs_sql_injection) or external catalogs.
+    ("test_information_schema", "test_tables", 11, 0),
+    ("test_information_schema", "test_tables_like_escape", 9, 0),
+    ("test_information_schema", "test_column", 4, 0),
+    ("test_information_schema", "test_materialized_views", 6, 0),
+    ("test_information_schema", "test_partitions_meta", 2, 0),
+    ("test_information_schema", "test_recyclebin_catalogs", 3, 0),
+    ("test_information_schema", "test_object_dependencies", 7, 0),
+    ("test_information_schema", "test_loads", 13, 0),
+    ("test_information_schema", "test_loads_predicate_pushdown",
+     45, 0),
+    ("test_information_schema", "test_be_tablets", 4, 0),
+    ("test_information_schema", "test_applicable_roles", 10, 0),
+    ("test_information_schema", "test_keywords", 10, 0),
+    ("test_information_schema", "test_execution_time_metrics", 1, 0),
+    ("test_information_schema", "test_fe_threads", 14, 0),
+    ("test_information_schema", "test_warehouse_metrics", 4, 0),
+    ("test_information_schema", "test_warehouse_queries", 4, 0),
+    ("test_information_schema", "test_cluster_snapshot", 2, 0),
+    ("test_information_schema", "test_tablet_reshard_jobs", 1, 0),
+    ("test_information_schema", "test_be_bvars", 1, 0),
+    ("test_information_schema", "test_be_configs", 0, 0),
+    # r10: the main AUTO_INCREMENT suite (fe AutoIncrementInfo):
+    # DEFAULT/unlisted-column draws, PK partial upserts allocate only
+    # to missing keys, NULL literals reject, filtered rows burn ids,
+    # DDL analyzer rules, ALTER AUTO_INCREMENT counter reset
+    ("test_auto_increment", "test_auto_increment", 57, 0),
 ]
 
 
