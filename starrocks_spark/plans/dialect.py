@@ -527,7 +527,8 @@ def _rw_group_concat(args: list[str]):
     if not args:
         return None
     full = ", ".join(args)
-    delim = "','"
+    # sql_mode GROUP_CONCAT_LEGACY restores the pre-3.0 ', ' default
+    delim = "', '" if GROUP_CONCAT_LEGACY else "','"
     sm = re.search(r"\bSEPARATOR\s+('(?:[^']|'')*'|\"[^\"]*\")\s*$",
                    full, re.IGNORECASE | re.DOTALL)
     if sm:
@@ -1347,6 +1348,10 @@ _EMPTY_BM = "CAST(array() AS ARRAY<BIGINT>)"
 # SET sql_mode=...; plain sessions keep the NULL default)
 BITMAP_THROW_MODE = False
 
+#: sql_mode GROUP_CONCAT_LEGACY — group_concat's default separator
+#: becomes the pre-3.0 ', ' (fe SqlModeHelper)
+GROUP_CONCAT_LEGACY = False
+
 
 def _rw_bitmap_from_string(a):
     if len(a) != 1:
@@ -1664,6 +1669,10 @@ _SIMPLE_WRAPS = {
     "subdate": lambda a: f"\0date_sub\0({', '.join(a)})",
     "days_add": lambda a: f"\0date_add\0({', '.join(a)})",
     "days_sub": lambda a: f"\0date_sub\0({', '.join(a)})",
+    "milliseconds_add": lambda a: (
+        f"\0timestampadd\0(MILLISECOND, {a[1]}, {a[0]})"),
+    "milliseconds_sub": lambda a: (
+        f"\0timestampadd\0(MILLISECOND, -({a[1]}), {a[0]})"),
     "months_add": lambda a: f"add_months({', '.join(a)})",
     "months_sub": lambda a: f"add_months({a[0]}, -({a[1]}))",
     "years_add": lambda a: f"(({a[0]}) + INTERVAL {a[1]} YEAR)",

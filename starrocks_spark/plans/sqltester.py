@@ -1770,6 +1770,33 @@ def _rw_subdivide_bitmap(sql: str) -> str:
                f" __sbt AS subdivide_bitmap {sql[after:]}")
 
 
+_JOIN_LATERAL_UNNEST_RE = re.compile(
+    r"\b(?:(inner|left|cross)\s+)?join\s+lateral\s+unnest\s*\(",
+    re.IGNORECASE)
+
+
+def _rw_join_lateral_unnest(sql: str) -> str:
+    """``t [inner|left] join lateral unnest(arr) a(x) on true``
+    (StarRocks.g4 joinRelation lateral TVF;
+    test_table_function_elimination) → LATERAL VIEW [OUTER]
+    explode: LEFT keeps array-less rows with a NULL element, INNER
+    drops them — exactly the OUTER flag's contract."""
+    while True:
+        m = _JOIN_LATERAL_UNNEST_RE.search(sql)
+        if not m:
+            return sql
+        arr, after = _strip_parens_block(sql, m.end() - 1)
+        am = re.match(r"\s*(?:AS\s+)?`?(\w+)`?\s*\(\s*`?(\w+)`?\s*\)"
+                      r"\s*ON\s+TRUE", sql[after:], re.IGNORECASE)
+        if not am or len(dialect._split_top_level(arr)) != 1:
+            return sql
+        outer = "OUTER " if (m.group(1) or "").upper() == "LEFT" \
+            else ""
+        sql = (f"{sql[:m.start()]} LATERAL VIEW {outer}"
+               f"\0explode\0({arr}) {am.group(1)} AS {am.group(2)} "
+               f"{sql[after + am.end():]}")
+
+
 def _rw_bare_unnest(sql: str) -> str:
     while True:
         m = _BARE_UNNEST_RE.search(sql)
@@ -1832,7 +1859,12 @@ def _rw_table_unnest(sql: str, duck: bool = False) -> str:
             repl = None
         if repl is None:
             return sql  # >2-array zip — not desugared
-        sql = f"{sql[:m.start()]}{repl} {alias}{tail}"
+        prefix = sql[:m.start()]
+        # correlated refs (t, unnest(t.a1) ...) resolve only under an
+        # explicit LATERAL subquery — add it after a comma/JOIN
+        lat = ("LATERAL " if not duck and re.search(
+            r"(,|\bJOIN\b)\s*$", prefix, re.IGNORECASE) else "")
+        sql = f"{prefix}{lat}{repl} {alias}{tail}"
 
 
 def _rw_subscripts(sql: str) -> str:
@@ -1943,6 +1975,7 @@ def translate_select_spark(sql: str) -> str:
     sql = _rw_typed_array_literals(sql)
     sql = _rw_unnest_bitmap(sql)
     sql = _rw_subdivide_bitmap(sql)
+    sql = _rw_join_lateral_unnest(sql)
     sql = _rw_bare_unnest(sql)
     sql = _rw_table_unnest(sql)
     # :: before bracket-array rewriting: a subscript directly after a
@@ -2216,6 +2249,7 @@ def translate_select_duck(sql: str) -> str:
     sql = _rw_typed_array_duck(sql)
     sql = _rw_unnest_bitmap(sql)
     sql = _rw_subdivide_bitmap(sql)
+    sql = _rw_join_lateral_unnest(sql)
     sql = _rw_bare_unnest(sql)
     sql = _rw_table_unnest(sql, duck=True)
     sql = _rw_double_colon(sql, duck=True)
@@ -2233,6 +2267,29 @@ _SETVAR_RE = re.compile(
 )
 
 
+def _freeze_unset_vars(text: str) -> str:
+    """Replace @refs that stayed unresolved after substitution with
+    NULL, quote-aware — a SET/hint binding evaluates at bind time, so
+    an unset reference freezes as NULL even when the same statement
+    later assigns it (test_hint @yVar = @zVar+1, @zVar = 1)."""
+    out, i, n = [], 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch in ("'", '"'):
+            j = dialect.skip_quoted(text, i)
+            out.append(text[i:j])
+            i = j
+            continue
+        m = re.match(r"@\w+", text[i:])
+        if m:
+            out.append("NULL")
+            i += m.end()
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def _substitute_vars(stmt: str, env: dict[str, str],
                      caps: dict[str, str] | None = None) -> str:
     """Replace ``@name`` references with the variable's defining
@@ -2243,7 +2300,10 @@ def _substitute_vars(stmt: str, env: dict[str, str],
     sr_sql_lib capture statements) when one exists, else to the
     run.py-style stable template token."""
     for name in sorted(env, key=len, reverse=True):
-        stmt = re.sub(rf"@{name}\b", f"({env[name]})", stmt)
+        # callable replacement: backslashes in the bound expression
+        # must not be parsed as re.sub group references
+        repl = f"({env[name]})"
+        stmt = re.sub(rf"@{name}\b", lambda m, r=repl: r, stmt)
 
     def _tmpl(m: re.Match) -> str:
         if caps and m.group(1) in caps:
@@ -2456,9 +2516,65 @@ class ScriptRunner:
             return StatementResult(stmt, "noop")
         vm = _SETVAR_RE.match(stmt)
         if vm:
-            self.vars[vm.group(1)] = vm.group(2).strip()
+            # SET @a = e1, @b = e2, ... — assignments evaluate LEFT
+            # TO RIGHT with earlier values (and session state)
+            # visible; values bind at SET time (fe SetStmtAnalyzer;
+            # test_hint pins the chained-reference shapes)
+            items = dialect._split_top_level(
+                f"@{vm.group(1)} = {vm.group(2)}")
+            for it in items:
+                im9 = re.match(r"\s*@(\w+)\s*=\s*(.+)$", it,
+                               re.DOTALL)
+                if im9:
+                    self.vars[im9.group(1)] = _freeze_unset_vars(
+                        _substitute_vars(im9.group(2).strip(),
+                                         self.vars, self.captures))
             return StatementResult(stmt, "noop")
-        stmt = _substitute_vars(stmt, self.vars, self.captures)
+        svh9 = re.search(r"/\*\+\s*set_var\s*\(\s*sql_mode\s*=\s*"
+                         r"'GROUP_CONCAT_LEGACY'\s*\)\s*\*/", stmt,
+                         re.IGNORECASE)
+        if svh9:
+            # statement-scoped sql_mode hint (fe SetVarHint)
+            old9 = dialect.GROUP_CONCAT_LEGACY
+            dialect.GROUP_CONCAT_LEGACY = True
+            try:
+                return self.execute(stmt[:svh9.start()]
+                                    + stmt[svh9.end():])
+            finally:
+                dialect.GROUP_CONCAT_LEGACY = old9
+        # /*+ SET_USER_VARIABLE(@v = expr, ...) */ binds STATEMENT-
+        # scoped user variables (fe UserVariableHint); several hints
+        # in one statement chain left to right
+        hint_vars: dict[str, str] = {}
+        while True:
+            hm9 = re.search(r"/\*\+\s*set_user_variable\s*\(", stmt,
+                            re.IGNORECASE)
+            if not hm9:
+                break
+            body9, after9 = _strip_parens_block(stmt, hm9.end() - 1)
+            cm9 = re.match(r"\s*\*/", stmt[after9:])
+            if cm9:
+                hint_end = after9 + cm9.end()
+            else:
+                # the FE's hint scanner tolerates trailing junk
+                # between the parsed assignments and */ (test_hint
+                # records the statement succeeding)
+                j9 = stmt.find("*/", after9)
+                if j9 < 0:
+                    break
+                hint_end = j9 + 2
+            stmt = stmt[:hm9.start()] + stmt[hint_end:]
+            for it in dialect._split_top_level(body9):
+                im9 = re.match(r"\s*@(\w+)\s*=\s*(.+)$", it,
+                               re.DOTALL)
+                if im9:
+                    hint_vars[im9.group(1)] = _freeze_unset_vars(
+                        _substitute_vars(
+                            im9.group(2).strip(),
+                            {**self.vars, **hint_vars},
+                            self.captures))
+        stmt = _substitute_vars(stmt, {**self.vars, **hint_vars},
+                                self.captures)
         capm = re.match(r"\s*(\w+)\s*=\s*(select\b.*)$", stmt,
                         re.IGNORECASE | re.DOTALL)
         if capm:
@@ -2486,8 +2602,10 @@ class ScriptRunner:
                                f"used")
                 self.labels.add(label)
             self.txn = []
+            self.txn_touched = set()
             return StatementResult(stmt, "noop")
         if re.match(r"\s*COMMIT\s*(WORK\s*)?$", stmt, re.IGNORECASE):
+            self.txn_touched = set()
             pending, self.txn = self.txn or [], None
             for mode, name, pred, batch, plist in pending:
                 self._apply_insert(mode, name, pred, batch, plist)
@@ -2495,6 +2613,7 @@ class ScriptRunner:
         if re.match(r"\s*ROLLBACK\s*(WORK\s*)?$", stmt,
                     re.IGNORECASE):
             self.txn = None
+            self.txn_touched = set()
             return StatementResult(stmt, "noop")
         sqm = re.match(r"\s*SET\s+sql_mode\s*=\s*['\"]([^'\"]*)",
                        stmt, re.IGNORECASE)
@@ -2704,6 +2823,32 @@ class ScriptRunner:
             # UPDATE on the be_configs scanner pushes a config to the
             # BEs (no result surface locally)
             return StatementResult(stmt, "noop")
+        scm9 = re.match(r"\s*SHOW\s+COLUMNS\s+FROM\s+`?(\w+)`?\s*"
+                        r"(?:WHERE\s+Field\s*=\s*'([^']*)')?\s*$",
+                        stmt, re.IGNORECASE)
+        if scm9 and scm9.group(1) in self.defs:
+            # MySQL six-column shape; integer display widths drop,
+            # Key renders '' for non-key columns (test_show_column)
+            d9 = self.defs[scm9.group(1)]
+            ints9 = ("tinyint", "smallint", "int", "integer",
+                     "bigint", "largeint")
+            rows9 = []
+            for c in d9.cols:
+                if scm9.group(2) and c.name != scm9.group(2):
+                    continue
+                base9 = re.split(r"[(<]", c.sr_type, 1)[0]
+                rows9.append((
+                    c.name,
+                    base9 if base9 in ints9 else c.sr_type,
+                    "YES" if c.nullable else "NO",
+                    "YES" if c.name in d9.key_cols else "",
+                    None if (c.default is None
+                             or c.default.upper() == "NULL")
+                    else c.default.strip("'"), ""))
+            df9 = self.spark.createDataFrame(
+                rows9, "Field string, Type string, `Null` string, "
+                       "`Key` string, Default string, Extra string")
+            return StatementResult(stmt, "select", df9)
         sfc = re.match(r"\s*SHOW\s+FULL\s+COLUMNS\s+FROM\s+"
                        r"`?(\w+)`?\s*$", stmt, re.IGNORECASE)
         if sfc and sfc.group(1) in self.defs:
@@ -3049,6 +3194,7 @@ class ScriptRunner:
                     self.tables[name].delete("TRUE")
                 self._auto_refresh_mvs(name)
             elif kind == "select":
+                self._check_txn_read(stmt)
                 self._refresh_views()
                 return StatementResult(stmt, "select", self._select(stmt))
             elif kind == "createview":
@@ -3118,8 +3264,18 @@ class ScriptRunner:
                         mv.inactive_reason = (
                             f"base-view dropped: {name}")
             elif kind == "update":
+                if self.txn is not None:
+                    um9 = re.match(r"\s*UPDATE\s+`?(\w+)`?", stmt,
+                                   re.IGNORECASE)
+                    if um9:
+                        self.txn_touched.add(um9.group(1))
                 self._update(stmt)
             elif kind == "delete":
+                if self.txn is not None:
+                    dm9 = re.match(r"\s*DELETE\s+FROM\s+`?(\w+)`?",
+                                   stmt, re.IGNORECASE)
+                    if dm9:
+                        self.txn_touched.add(dm9.group(1))
                 self._delete(stmt)
             elif kind == "alter":
                 self._alter(stmt)
@@ -4796,6 +4952,10 @@ class ScriptRunner:
         m = _INSERT_RE.match(stmt)
         mode, name, col_list, tail = (m.group(1).upper(), m.group(2),
                                       m.group(3), m.group(4))
+        if not re.match(r"\s*VALUES\b", tail, re.IGNORECASE):
+            # INSERT ... SELECT reading a table this transaction
+            # already modified is rejected (fe 5307)
+            self._check_txn_read(tail)
         # partition-scoped INSERT OVERWRITE: only the named partition
         # values are replaced
         part_pred = None
@@ -6626,6 +6786,19 @@ class ScriptRunner:
         if not rows:
             return self.spark.createDataFrame([], schema)
         return self.spark.createDataFrame(rows, schema)
+
+    def _check_txn_read(self, text: str) -> None:
+        """A query inside an explicit transaction cannot read a table
+        the SAME transaction already modified (fe ExplicitTxnState
+        error 5307; test_explicit_txn_select)."""
+        mod = ({w[1] for w in (self.txn or [])}
+               | getattr(self, "txn_touched", set()))
+        for tn in mod:
+            if re.search(rf"\b{re.escape(tn)}\b", text):
+                raise ValueError(
+                    f"Getting analyzing error. Detail message: "
+                    f"SELECT cannot read table '{tn}' modified "
+                    f"earlier in the same transaction.")
 
     def _draw_auto(self, name, d, batch, listed) -> DataFrame:
         """Assign sequence ids to AUTO_INCREMENT columns absent from
