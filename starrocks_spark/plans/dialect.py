@@ -2301,6 +2301,10 @@ def translate(sql: str) -> str:
                                 ("booland_agg", "bool_and")):
         sql = rewrite_calls_over(sql, sr_name, _rw_bool_agg(spark_name))
     sql = rewrite_calls_over(sql, "session_number", _rw_session_number)
+    # length-less VARCHAR cast target (CAST(x AS VARCHAR)): Spark
+    # requires a length — the reference treats it as unbounded string
+    sql = re.sub(r"\bAS\s+VARCHAR\s*\)", "AS STRING)", sql,
+                 flags=re.IGNORECASE)
     return _restore_markers(sql)
 
 

@@ -3196,15 +3196,20 @@ class ScriptRunner:
             elif kind == "select":
                 self._check_txn_read(stmt)
                 self._refresh_views()
+                self._remat_views()
                 return StatementResult(stmt, "select", self._select(stmt))
             elif kind == "createview":
                 vm2 = re.match(
                     r"\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+"
                     r"(IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?"
+                    r"(?:\s*\(([^)]*)\))?"
                     r"(?:\s+COMMENT\s+'([^']*)')?"
                     r"(?:\s+SECURITY\s+(NONE|INVOKER))?\s+AS\s+(.*)$",
                     stmt, re.IGNORECASE | re.DOTALL)
-                vname, vbody = vm2.group(3), vm2.group(6)
+                vname, vbody = vm2.group(3), vm2.group(7)
+                vcols2 = ([c.strip().strip("`")
+                           for c in vm2.group(4).split(",")]
+                          if vm2.group(4) else None)
                 if vm2.group(1) is None and vname in self.views:
                     if vm2.group(2):  # IF NOT EXISTS → no-op
                         return StatementResult(stmt, "noop")
@@ -3221,6 +3226,8 @@ class ScriptRunner:
                 # re-register as a view over the captured result (the
                 # tester's views are over literal/table-func bodies)
                 vdf = self._select(vbody)
+                if vcols2:
+                    vdf = vdf.toDF(*vcols2)
                 vdf.createOrReplaceTempView(vname)
                 self.views.add(vname)
                 # verbatim body + comment for SHOW CREATE VIEW /
@@ -3240,10 +3247,12 @@ class ScriptRunner:
                     if om9:
                         body_src = om9.group(1)
                 self.view_meta[vname] = {
-                    "comment": vm2.group(4) or "",
+                    "comment": vm2.group(5) or "",
                     "body": body_src,
+                    "materialize_body": vbody,
                     "cols": list(vdf.columns),
-                    "security": (vm2.group(5) or "none").lower(),
+                    "security": (vm2.group(6) or "none").lower(),
+                    "dml_seq": getattr(self, "_dml_seq", 0),
                 }
                 self.view_deps[vname] = {
                     t for t in (set(self.defs) | self.views
@@ -4075,8 +4084,21 @@ class ScriptRunner:
                                    self.spark.createDataFrame(
                                        rows9, "r string"))
 
-        listed = ([c.strip() for c in hdrs["columns"].split(",")]
-                  if "columns" in hdrs else [c.name for c in d.cols])
+        derived9: dict[str, str] = {}
+        if "columns" in hdrs:
+            # items split at TOP level (derived expressions carry
+            # commas: id2=dict_mapping('dict', id1)); `name=expr`
+            # items compute AFTER the source batch builds
+            listed = []
+            for it9 in dialect._split_top_level(hdrs["columns"]):
+                am9 = re.match(r"\s*`?(\w+)`?\s*=\s*(.+)$", it9,
+                               re.DOTALL)
+                if am9:
+                    derived9[am9.group(1)] = am9.group(2).strip()
+                else:
+                    listed.append(it9.strip())
+        else:
+            listed = [c.name for c in d.cols]
         cond = hdrs.get("merge_condition")
         if cond:
             if cond in d.key_cols:
@@ -4128,6 +4150,19 @@ class ScriptRunner:
         batch = self.spark.sql(
             f"SELECT {proj} FROM VALUES {vals9} AS "
             f"v({', '.join(f'c{i}' for i in range(len(listed)))})")
+        if derived9:
+            # derived column expressions evaluate over the source
+            # batch (fe stream-load columns expr)
+            batch.createOrReplaceTempView("__sl_expr_src")
+            self._refresh_views()
+            sel9 = ", ".join(
+                f"CAST(({self._rw_dict_mapping(dialect.translate(derived9[c.name]))}) "
+                f"AS {spark_type(c.sr_type)}) AS {c.name}"
+                if c.name in derived9 else f"`{c.name}`"
+                for c in d.cols)
+            batch = self.spark.sql(
+                f"SELECT {sel9} FROM __sl_expr_src")
+            listed = listed + list(derived9)
         batch = self._draw_auto(name, d, batch, listed)
         if cond:
             # sequential conditional application within one load: per
@@ -4386,6 +4421,8 @@ class ScriptRunner:
             stmt = _SETVAR_HINT_RE.sub("", stmt)
         if self.current_user != "root":
             self._check_view_privs(stmt)
+        if re.search(r"\bdict_mapping\s*\(", stmt, re.IGNORECASE):
+            stmt = self._rw_dict_mapping(stmt)
         self._overflow_strict = hint
         od_flag = (self.vars.get("decimal_overflow_to_double", "")
                    == "true")
@@ -4975,8 +5012,12 @@ class ScriptRunner:
             part_pred = " AND ".join(preds)
             tail = tail[after_p:]
         d = self.defs[name]
+        # generated columns are computed at load time, never supplied
+        # by the row source (fe GeneratedColumnUtil): an unlisted
+        # INSERT targets only the physical columns
         listed = ([c.strip().strip("`") for c in col_list.split(",")]
-                  if col_list else [c.name for c in d.cols])
+                  if col_list
+                  else [c.name for c in d.cols if not c.gen_expr])
         # resolve the column list case-insensitively against the
         # table's real names; unknown names are analyzer errors
         byname = {c.name.lower(): c.name for c in d.cols}
@@ -5106,6 +5147,13 @@ class ScriptRunner:
                     f"({t[1:-1]}, {i})" for i, t in enumerate(tuples))
                 vnames = vnames + ["__pos"]
                 proj += ", v.__pos AS __pos"
+            if re.search(r"\bdict_mapping\s*\(", vals, re.IGNORECASE):
+                # literal-key lookups resolve eagerly (VALUES cells
+                # must stay foldable)
+                vals = self._rw_dict_mapping(vals)
+            # JSON columns store as STRING — a VALUES cell cast to
+            # JSON keeps its text form (test_materialized_column)
+            vals = re.sub(r"(?i)\bAS\s+JSON\s*\)", "AS STRING)", vals)
             sql = (f"SELECT {proj} FROM VALUES {vals} "
                    f"AS v({', '.join(vnames)})")
             # VALUES rows may use dialect constructors (row(), map{})
@@ -5631,11 +5679,33 @@ class ScriptRunner:
                     # the read-path rollup must aggregate it too
                     agg2 = first2
                     t.agg_spec[cname] = first2.lower()
+                gexpr2 = None
+                gm2 = re.search(r"\bAS\s+(.+)$", tail2,
+                                re.IGNORECASE | re.DOTALL)
+                if gm2:
+                    gexpr2 = re.sub(r'\s*COMMENT\s+"[^"]*"\s*$', "",
+                                    gm2.group(1).strip()) or None
                 new_cols.append(ColumnDef(cname, ctype, agg=agg2,
-                                          default=default))
+                                          default=default,
+                                          gen_expr=gexpr2))
             if t._exists():
                 raw = t._current()
                 for c in new_cols:
+                    if c.gen_expr:
+                        # generated column: ALTER-time BACKFILL over
+                        # the stored rows (fe OptimizeJobV2 /
+                        # GeneratedColumnUtil; test_materialized_column)
+                        raw.createOrReplaceTempView("__addcol_src")
+                        self._refresh_views()
+                        expr9 = dialect.translate(c.gen_expr)
+                        if re.search(r"\bdict_mapping\s*\(", expr9,
+                                     re.IGNORECASE):
+                            expr9 = self._rw_dict_mapping(expr9)
+                        raw = self.spark.sql(
+                            f"SELECT *, CAST(({expr9}) AS "
+                            f"{spark_type(c.sr_type)}) AS {c.name} "
+                            f"FROM __addcol_src")
+                        continue
                     raw = raw.withColumn(
                         c.name,
                         F.expr(c.default or "NULL")
@@ -6787,6 +6857,117 @@ class ScriptRunner:
             return self.spark.createDataFrame([], schema)
         return self.spark.createDataFrame(rows, schema)
 
+    def _rw_dict_mapping(self, sql: str) -> str:
+        """dict_mapping('tbl', key... [, 'value_col'] [, null_ok])
+        (fe DictMappingExpr / be dict_query_expr): point lookup
+        against a PRIMARY KEY table; value defaults to the table's
+        AUTO_INCREMENT column. Literal keys resolve EAGERLY (VALUES
+        cells must stay foldable); column keys desugar to a
+        correlated scalar subquery — a broadcast-able point lookup.
+        Missing key: error unless null_ok; NULL key: error."""
+        pat = re.compile(r"\bdict_mapping\s*\(", re.IGNORECASE)
+        pos = 0
+        while True:
+            m = pat.search(sql, pos)
+            if not m:
+                return sql
+            inner, after = _strip_parens_block(sql, m.end() - 1)
+            args = [a.strip()
+                    for a in dialect._split_top_level(inner)]
+            tname = args[0].strip("'\"")
+            if tname not in self.defs:
+                raise ValueError(f"dict_mapping: unknown dict table "
+                                 f"{tname}")
+            d = self.defs[tname]
+            rest = args[1:]
+            null_ok = False
+            if rest and rest[-1].lower() in ("true", "false"):
+                null_ok = rest[-1].lower() == "true"
+                rest = rest[:-1]
+            val_col = next((c.name for c in d.cols if c.auto_inc),
+                           None)
+            names = {c.name for c in d.cols}
+            if (len(rest) > len(d.key_cols) and rest
+                    and rest[-1].strip("'\"") in names):
+                val_col = rest[-1].strip("'\"")
+                rest = rest[:-1]
+            if len(rest) != len(d.key_cols) or val_col is None:
+                raise ValueError(
+                    "dict_mapping: the size of keys and primary key "
+                    "columns not match")
+            guarded = [
+                f"IF(({e}) IS NULL, raise_error('invalid parameter "
+                f": get NULL paramenter'), ({e}))" for e in rest]
+            if all(re.fullmatch(r"-?\d+|'(?:[^'])*'|\"(?:[^\"])*\"",
+                                e) for e in rest):
+                # foldable keys: resolve now (the call may sit in a
+                # VALUES cell, where subqueries are not allowed)
+                self._refresh_views()
+                conds = " AND ".join(
+                    f"`{k}` <=> {e}"
+                    for k, e in zip(d.key_cols, rest))
+                rows9 = self.spark.sql(
+                    f"SELECT `{val_col}` FROM {tname} "
+                    f"WHERE {conds}").collect()
+                if rows9 and rows9[0][0] is not None:
+                    repl = str(rows9[0][0])
+                elif null_ok:
+                    repl = "NULL"
+                else:
+                    raise ValueError(
+                        "query failed if record not exist in dict "
+                        "table")
+            else:
+                # the dict side projects RENAMED columns so bare key
+                # expressions keep resolving to the OUTER scope (the
+                # inner table would otherwise shadow same-named
+                # columns); plain equality decorrelates cleanly and
+                # the NULL-key guard raises before a NULL reaches it
+                ren = ", ".join(
+                    [f"`{k}` AS __dmk{i}"
+                     for i, k in enumerate(d.key_cols)]
+                    + [f"`{val_col}` AS __dmv"])
+                conds = " AND ".join(
+                    f"__dm.__dmk{i} = {e}"
+                    for i, e in enumerate(guarded))
+                subq = (f"(SELECT __dm.__dmv FROM (SELECT {ren} "
+                        f"FROM {tname}) __dm WHERE {conds})")
+                repl = subq if null_ok else (
+                    f"coalesce({subq}, raise_error('query failed "
+                    f"if record not exist in dict table'))")
+            sql = sql[:m.start()] + repl + sql[after:]
+            pos = m.start() + len(repl)
+
+    def _remat_views(self) -> None:
+        """Views are LIVE over their base tables (standard SQL view
+        semantics): the runner materializes a snapshot per view and
+        re-materializes it lazily once any DML ran since the last
+        snapshot (test_materialized_column creates its join views
+        BEFORE loading the base tables). A body that no longer runs
+        (dropped dependency) keeps the previous snapshot — the drop
+        path already marks dependent objects."""
+        cur = getattr(self, "_dml_seq", 0)
+        for _ in range(3):     # nested views settle in dep order
+            changed = False
+            for v in list(self.views):
+                meta = self.view_meta.get(v)
+                if meta is None or meta.get("dml_seq", -1) >= cur:
+                    continue
+                meta["dml_seq"] = cur
+                body = meta.get("materialize_body") or meta.get("body")
+                if not body:
+                    continue
+                try:
+                    vdf = self._select(body)
+                    if meta.get("cols"):
+                        vdf = vdf.toDF(*meta["cols"])
+                    vdf.createOrReplaceTempView(v)
+                    changed = True
+                except Exception:  # noqa: BLE001 — keep old snapshot
+                    pass
+            if not changed:
+                break
+
     def _check_txn_read(self, text: str) -> None:
         """A query inside an explicit transaction cannot read a table
         the SAME transaction already modified (fe ExplicitTxnState
@@ -7362,7 +7543,9 @@ def _render_show_create(d: TableDef, cloud: bool = False,
     coldefs = []
     for c in d.cols:
         t = c.sr_type
-        m = re.match(r"(\w+)(\(.*)?$", t)
+        m = re.match(r"(\w+)([(<].*)?$", t)
+        if m is None:
+            raise ValueError(f"show create: type {t!r} not rendered")
         base = m.group(1)
         if base in _SHOW_TYPE_CANON and not m.group(2):
             t = _SHOW_TYPE_CANON[base]

@@ -688,6 +688,15 @@ _SUITES = [
     ("test_show", "test_show_column", 1, 0),
     ("test_low_cardinality_opt_window_upon_table_function",
      "test_low_cardinality_opt_window_upon_table_function", 4, 0),
+    # r10 dictionary surface (fe DictMappingExpr): point lookups as
+    # eager literals / correlated scalar subqueries; 1 skip: a
+    # generated-column DDL form the reference rejects
+    ("test_dict_mapping_function", "test_dict_mapping_function",
+     9, 1),
+    # r10 generated-column rewrite tier: column-list CREATE VIEW,
+    # live view re-materialization after DML, gen-col ALTER backfill
+    ("test_materialized_column", "test_generated_column_rewrite",
+     13, 0),
 ]
 
 
