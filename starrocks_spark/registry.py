@@ -101,74 +101,66 @@ _MODULES = [
 # TPC-H/window/setop/asof/funnel families) whose shared engine core
 # moved since their last driver check.
 _PRIORITY = [
-    # --- r9 NEW: FILES() acceptance tier (oss:// staging replay,
-    # option surface, strict-load semantics) — plus every SQL-tester
-    # row, since the runner changed broadly this round (classify word
-    # boundaries, files preamble, INSERT strict/ratio path, CTAS
-    # column transform, parse_r_file shell staging)
+    # --- r10 NEW: the information_schema tier row, plus every
+    # SQL-tester row whose shared runner moved broadly this round
+    # (token-based split/classify/DDL parsing, strict-mode loads,
+    # capture statements, live views, dict_mapping, SET/hint
+    # bind-time evaluation, LATERAL unnest)
+    "dialect_sqltester_infoschema",
     "dialect_sqltester_files",
     "dialect_sqltester_case_when",
     "dialect_sqltester_orderby_agg",
     "dialect_sqltester_asof_join",
     "dialect_sqltester_agg_limit",
     "dialect_sqltester_grouping_set",
-    "dialect_sqltester_tinyint_agg",
     "dialect_sqltester_null_safe_equal",
     "dialect_sqltester_sum_rewrite",
     "dialect_sqltester_unnest",
-    "dialect_sqltester_shorthand_cast",
     "dialect_sqltester_pk_partial_update",
-    "dialect_sqltester_delete_conditions",
     "dialect_sqltester_mv",
     "dialect_sqltester_vector_index",
     "dialect_bitmap_sql_surface",
-    # --- r9 session 2: decimal tier (int→decimal W-rule casts,
-    # largeint digit-string storage, allowPrecisionLoss=false scale
-    # retention) + the distinct-over-window restructure and the
-    # single-arg round() BIGINT rule touch these rows' shared desugars
     "dialect_sqltester_decimal",
+    # --- r10 changed engine code: the running-frame DISTINCT-over-
+    # window restructure (dialect marker desugar) and the insert-path
+    # strict checks / auto-increment draws touch these rows
     "distinct_multi_agg",
     "window_running_total",
-    # --- r9 changed engine code: models.py REPLACE fallback now
-    # prefers stamped load order in the rollup merge path; murmur
-    # chained-seed mask touches every fingerprint/hash row
-    "table_agg_keys_rollup",
-    "table_dup_keys_batches",
-    "table_rollup_autoselect",
-    "table_agg_keys_hll",
     "table_primary_upsert_delete",
-    "func_hash_family",
-    "fingerprint_common_fragments",
-    # --- rotation: stalest never-driver-checked families (ssb last
-    # checked r2, funnel/retention r2, dedup/ann r5-r6, engine-side
-    # FILES round-trips r3-r4)
-    "ssb_q1_1",
-    "ssb_q1_2",
-    "ssb_q1_3",
-    "ssb_q2_1",
-    "ssb_q2_2",
-    "ssb_q2_3",
-    "ssb_q3_1",
-    "ssb_q3_2",
-    "ssb_q3_3",
-    "ssb_q3_4",
-    "ssb_q4_1",
-    "ssb_q4_2",
-    "ssb_q4_3",
-    "funnel_counts",
-    "funnel_modes",
-    "retention_weekly",
-    "dedup_exact_clusters",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "ann_brute_force",
-    "ann_ivf_probe",
-    "ann_lsh_bucketed",
+    "table_dup_keys_batches",
     "files_csv_roundtrip",
     "files_json_roundtrip",
-    "files_orc_partitioned_export",
-    "multimodal_wav_decode",
-    "asof_purchase_view",
+    # --- rotation: the 29 never-driver-checked TPC-DS shapes (after
+    # this window every registered query has had a driver row)
+    "tpcds_q44_best_worst",
+    "tpcds_q46_nation_mismatch",
+    "tpcds_q47_monthly_deviation",
+    "tpcds_q48_or_bands",
+    "tpcds_q53_quarter_vs_avg",
+    "tpcds_q57_monthly_outliers",
+    "tpcds_q58_balanced_items",
+    "tpcds_q61_promo_ratio",
+    "tpcds_q65_underperformers",
+    "tpcds_q66_monthly_matrix",
+    "tpcds_q68_two_city_report",
+    "tpcds_q71_hourly_brand",
+    "tpcds_q72_shortfall_promo",
+    "tpcds_q73_basket_band",
+    "tpcds_q74_yoy_quantity_ratio",
+    "tpcds_q75_brand_decline",
+    "tpcds_q76_channel_union_nulls",
+    "tpcds_q83_return_ratio",
+    "tpcds_q84_income_band_lookup",
+    "tpcds_q85_reason_bands",
+    "tpcds_q86_web_rollup_rank",
+    "tpcds_q87_except_count",
+    "tpcds_q89_type_deviation",
+    "tpcds_q90_ampm_ratio",
+    "tpcds_q91_monthly_return_loss",
+    "tpcds_q94_web_clean_orders",
+    "tpcds_q96_band_count",
+    "tpcds_q98_class_share",
+    "tpcds_q99_delay_buckets",
 ]
 
 
