@@ -457,9 +457,9 @@ def _parse_named_range_parts(pbody: str, d: TableDef) -> None:
     for i8, (pn8, mx8, up8) in enumerate(pairs8):
         d.named_parts[pn8] = (prev8, None if mx8 else up8, i8 == 0)
         prev8 = None if mx8 else up8
-    for i8, (pn8, lo8, hi8) in enumerate(re.findall(
+    for i8, (pn8, lo8, hx8, hi8) in enumerate(re.findall(
             r"PARTITION\s+`?(\w+)`?\s+VALUES\s+\[\s*\(\s*"
             r"[\"']([^\"']*)[\"']\s*\)\s*,\s*\(\s*"
-            r"[\"']([^\"']*)[\"']\s*\)\s*\)", pbody,
+            r"(?:(MAXVALUE)|[\"']([^\"']*)[\"'])\s*\)\s*\)", pbody,
             re.IGNORECASE)):
-        d.named_parts[pn8] = (lo8, hi8, i8 == 0)
+        d.named_parts[pn8] = (lo8, None if hx8 else hi8, i8 == 0)

@@ -19,10 +19,17 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 
-# run-mode hints and runner directives, shared with R-file parsing
+# run-mode hints and runner directives, shared with R-file parsing.
+# SET_VAR/LOOP block markers (sr_sql_lib config blocks) are dropped
+# as directives: their inner statements run ONCE in script order —
+# the runner is synchronous, so a one-shot pass is the settled state
+# the LOOP would have waited for.
 TAG_RE = re.compile(r"^\[(UC|ORDER|REGEX)\]\s*", re.IGNORECASE)
-DIRECTIVE_RE = re.compile(r"^(function|shell|trino|spark|hive)\s*:",
-                          re.I)
+DIRECTIVE_RE = re.compile(
+    r"^(function|shell|trino|spark|hive)\s*:"
+    r"|^(SET_VAR|LOOP|CONCURRENCY)\s*\{"
+    r"|^\}\s*END\s+(SET_VAR|LOOP|CONCURRENCY)\b"
+    r"|^PROPERTY\s*:|^CHECK\s*:", re.I)
 
 
 @dataclass

@@ -5384,7 +5384,8 @@ class ScriptRunner:
                              listed if partial else None))
             return
         self._apply_insert(mode, name, part_pred, batch,
-                           listed if partial else None)
+                           listed if partial else None,
+                           src_listed=listed)
         self._auto_refresh_mvs(name)
 
     def _auto_refresh_mvs(self, table: str) -> None:
@@ -5589,6 +5590,18 @@ class ScriptRunner:
             d.named_parts[apm.group(1)] = (
                 uppers9[-1] if uppers9 else None,
                 apm.group(2), not d.named_parts)
+            return
+        aph = re.match(r"ADD\s+PARTITION\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+                       r"`?(\w+)`?\s+VALUES\s+\[\s*\(\s*"
+                       r"[\"']([^\"']*)[\"']\s*\)\s*,\s*\(\s*"
+                       r"(?:(MAXVALUE)|[\"']([^\"']*)[\"'])\s*\)\s*"
+                       r"\)\s*(?:DISTRIBUTED\s+BY\s[\s\S]*)?$",
+                       action, re.IGNORECASE)
+        if aph and getattr(d, "range_col", None):
+            # half-open ADD PARTITION p VALUES [('lo'), ('hi'))
+            d.named_parts[aph.group(1)] = (
+                aph.group(2), None if aph.group(3) else aph.group(4),
+                not d.named_parts)
             return
         arm = re.match(r"ADD\s+ROLLUP\s+`?(\w+)`?\s*\(([^)]*)\)\s*"
                        r"(?:FROM\s+`?\w+`?)?\s*$", action,
@@ -5954,13 +5967,17 @@ class ScriptRunner:
         return f"({expr}) IN ({', '.join(lits)})"
 
     def _apply_insert(self, mode, name, part_pred, batch,
-                      listed=None) -> None:
+                      listed=None, src_listed=None) -> None:
         t, d = self.tables[name], self.defs[name]
         d.added_cols = set()  # a load writes segments for every column
         self._check_strict_load(name, d, batch, listed)
         self._record_load(name, "FINISHED")
         self._bump_part_versions(name, d, batch)
-        batch = self._draw_auto(name, d, batch, listed)
+        # src_listed: the statement's real column list even when the
+        # load is NOT a PK partial update (auto-inc draws need it)
+        batch = self._draw_auto(name, d, batch,
+                                src_listed if src_listed is not None
+                                else listed)
         mc9 = self.vars.pop("__merge_condition", None)
         if mc9 and mode != "OVERWRITE" and t._exists():
             if "__pos" in batch.columns:
@@ -6695,8 +6712,18 @@ class ScriptRunner:
         pid = 20001
         for n, d9 in self.defs.items():
             parts = (list(getattr(d9, "named_parts", {}) or {})
-                     or list(getattr(d9, "list_parts", {}) or {})
-                     or [n])
+                     or list(getattr(d9, "list_parts", {}) or {}))
+            if not parts and getattr(d9, "part_expr", None) \
+                    and self.tables[n]._exists():
+                # expression partitioning creates partitions per
+                # arriving load with case-folded name dedup — a
+                # per-load ledger the runner does not model (fe
+                # ExpressionRangePartitionInfo); surfaced as a skip
+                # rather than a wrong count
+                raise ValueError(
+                    f"partitions_meta: expression-partitioned "
+                    f"{n} not modeled")
+            parts = parts or [n]
             for pn in parts:
                 rows.append((db, n, pn, pid, 1, "TXN_NORMAL",
                              0, 0, 1))
@@ -6784,24 +6811,41 @@ class ScriptRunner:
                         .alias(f"__nn_{c.name}"))
             names.append(("null", c.name))
         if range_check:
-            conds = []
-            for lo, hi, _f in parts.values():
-                cc = []
-                if lo is not None:
-                    cc.append(F.col(rc).cast("string") >= F.lit(lo))
-                if hi is not None:
-                    cc.append(F.col(rc).cast("string") < F.lit(hi))
-                cov = cc[0] if cc else F.lit(True)
-                for x in cc[1:]:
-                    cov = cov & x
-                conds.append(cov)
-            covered = conds[0]
-            for x in conds[1:]:
-                covered = covered | x
-            aggs.append(F.first(
-                F.when(F.col(rc).isNotNull() & ~covered, struct9),
-                ignorenulls=True).alias("__range"))
-            names.append(("range", rc))
+            # compare in the partition column's own domain: dates and
+            # datetimes through TIMESTAMP, integers through BIGINT
+            # (string comparison breaks on mixed "2020-06-15" vs
+            # "2020-06-15 00:00:00" bound renders). A bound that does
+            # not cast yields NULL comparisons, which fail OPEN — an
+            # unverifiable partition layout never cancels a load.
+            base_t = spark_type(d.col(rc).sr_type).upper()
+            if base_t in ("DATE", "TIMESTAMP"):
+                cmp_t = "timestamp"
+            elif base_t in ("TINYINT", "SMALLINT", "INT", "BIGINT"):
+                cmp_t = "bigint"
+            else:
+                cmp_t = None
+            if cmp_t is not None:
+                cexpr = F.col(rc).cast(cmp_t)
+                conds = []
+                for lo, hi, _f in parts.values():
+                    cc = []
+                    if lo is not None:
+                        cc.append(cexpr >= F.lit(lo).cast(cmp_t))
+                    if hi is not None:
+                        cc.append(cexpr < F.lit(hi).cast(cmp_t))
+                    cov = cc[0] if cc else F.lit(True)
+                    for x in cc[1:]:
+                        cov = cov & x
+                    conds.append(cov)
+                covered = conds[0]
+                for x in conds[1:]:
+                    covered = covered | x
+                aggs.append(F.first(
+                    F.when(F.col(rc).isNotNull() & ~covered, struct9),
+                    ignorenulls=True).alias("__range"))
+                names.append(("range", rc))
+        if not aggs:
+            return
         try:
             hit = batch.select(*aggs).first()
         except Exception:  # noqa: BLE001 — validation is advisory
