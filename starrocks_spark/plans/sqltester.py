@@ -2439,6 +2439,10 @@ class ScriptRunner:
         self.table_db: dict[str, str] = {}  # table -> creating db
         # open stream-load transactions: label -> [(table, row), ...]
         self.txn_streams: dict[str, list] = {}
+        # CREATE DICTIONARY objects: name -> {"table", "keys",
+        # "values", "state", "view"} (fe catalog/Dictionary.java;
+        # snapshots freeze at CREATE/REFRESH time)
+        self.dictionaries: dict[str, dict] = {}
         self.current_db = ""             # last USE'd database
         self._load_seq = 0               # REPLACE load-order stamp
         self.oss_map: dict[str, str] = {}  # oss:// dir → staged local dir
@@ -2529,6 +2533,59 @@ class ScriptRunner:
                     self.vars[im9.group(1)] = _freeze_unset_vars(
                         _substitute_vars(im9.group(2).strip(),
                                          self.vars, self.captures))
+            return StatementResult(stmt, "noop")
+        cdm9 = re.match(r"\s*CREATE\s+DICTIONARY\s+`?(\w+)`?\s+"
+                        r"USING\s+`?(\w+)`?\s*\(([^)]*)\)", stmt,
+                        re.IGNORECASE | re.DOTALL)
+        if cdm9:
+            dname, dtbl = cdm9.group(1), cdm9.group(2)
+            if dtbl not in self.defs:
+                return StatementResult(
+                    stmt, "skipped",
+                    reason=f"dictionary: unknown table {dtbl}")
+            keys9, vals9 = [], []
+            for it9 in cdm9.group(3).split(","):
+                im9 = re.match(r"\s*`?(\w+)`?\s+(KEY|VALUE)\s*$",
+                               it9, re.IGNORECASE)
+                if not im9:
+                    raise ValueError(
+                        f"dictionary: bad column spec {it9!r}")
+                (keys9 if im9.group(2).upper() == "KEY"
+                 else vals9).append(im9.group(1))
+            self.dictionaries[dname] = {
+                "table": dtbl, "keys": keys9, "values": vals9,
+                "state": "UNINITIALIZED", "view": f"__dict_{dname}"}
+            self._refresh_dictionary(dname)
+            return StatementResult(stmt, "noop")
+        rdm9 = re.match(r"\s*REFRESH\s+DICTIONARY\s+`?(\w+)`?\s*$",
+                        stmt, re.IGNORECASE)
+        if rdm9:
+            if rdm9.group(1) not in self.dictionaries:
+                return StatementResult(
+                    stmt, "skipped",
+                    reason=f"dictionary: {rdm9.group(1)} does not "
+                           f"exist")
+            self._refresh_dictionary(rdm9.group(1))
+            return StatementResult(stmt, "noop")
+        if re.match(r"\s*CANCEL\s+REFRESH\s+DICTIONARY\b", stmt,
+                    re.IGNORECASE):
+            return StatementResult(stmt, "noop")
+        ddm9 = re.match(r"\s*DROP\s+DICTIONARY\s+`?(\w+)`?"
+                        r"\s*(CACHE)?\s*$", stmt, re.IGNORECASE)
+        if ddm9:
+            dd9 = self.dictionaries.get(ddm9.group(1))
+            if dd9 is None:
+                return StatementResult(
+                    stmt, "skipped",
+                    reason=f"dictionary: {ddm9.group(1)} does not "
+                           f"exist")
+            if ddm9.group(2):
+                # DROP ... CACHE clears the BE cache only: the
+                # definition stays, lookups see UNINITIALIZED until
+                # the next refresh
+                dd9["state"] = "UNINITIALIZED"
+            else:
+                del self.dictionaries[ddm9.group(1)]
             return StatementResult(stmt, "noop")
         svh9 = re.search(r"/\*\+\s*set_var\s*\(\s*sql_mode\s*=\s*"
                          r"'GROUP_CONCAT_LEGACY'\s*\)\s*\*/", stmt,
@@ -4421,6 +4478,8 @@ class ScriptRunner:
             stmt = _SETVAR_HINT_RE.sub("", stmt)
         if self.current_user != "root":
             self._check_view_privs(stmt)
+        if re.search(r"\bdictionary_get\s*\(", stmt, re.IGNORECASE):
+            stmt = self._rw_dictionary_get(stmt)
         if re.search(r"\bdict_mapping\s*\(", stmt, re.IGNORECASE):
             stmt = self._rw_dict_mapping(stmt)
         self._overflow_strict = hint
@@ -5151,6 +5210,9 @@ class ScriptRunner:
                 # literal-key lookups resolve eagerly (VALUES cells
                 # must stay foldable)
                 vals = self._rw_dict_mapping(vals)
+            if re.search(r"\bdictionary_get\s*\(", vals,
+                         re.IGNORECASE):
+                vals = self._rw_dictionary_get(vals)
             # JSON columns store as STRING — a VALUES cell cast to
             # JSON keeps its text form (test_materialized_column)
             vals = re.sub(r"(?i)\bAS\s+JSON\s*\)", "AS STRING)", vals)
@@ -5356,10 +5418,28 @@ class ScriptRunner:
             from pyspark.sql import functions as F
 
             for c in gen_cols:
+                raw9 = c.gen_expr
+                # dictionary rewrites run BEFORE translate (the [n]
+                # subscript would otherwise become element_at), and
+                # their subqueries only the SQL path accepts
+                if re.search(r"\bdictionary_get\s*\(", raw9,
+                             re.IGNORECASE):
+                    raw9 = self._rw_dictionary_get(raw9)
+                if re.search(r"\bdict_mapping\s*\(", raw9,
+                             re.IGNORECASE):
+                    raw9 = self._rw_dict_mapping(raw9)
+                expr9 = dialect.translate(raw9)
+                if raw9 != c.gen_expr:
+                    batch.drop(c.name).createOrReplaceTempView(
+                        "__gen_src")
+                    batch = self.spark.sql(
+                        f"SELECT *, CAST(({expr9}) AS "
+                        f"{spark_type(c.sr_type)}) AS {c.name} "
+                        f"FROM __gen_src")
+                    continue
                 batch = batch.withColumn(
                     c.name,
-                    F.expr(dialect.translate(c.gen_expr))
-                    .cast(spark_type(c.sr_type)))
+                    F.expr(expr9).cast(spark_type(c.sr_type)))
         partial = (set(listed) != {c.name for c in d.cols}
                    and d.model is TableModel.PRIMARY_KEYS)
         if partial and not all(k in listed or d.col(k).auto_inc
@@ -5710,10 +5790,14 @@ class ScriptRunner:
                         # GeneratedColumnUtil; test_materialized_column)
                         raw.createOrReplaceTempView("__addcol_src")
                         self._refresh_views()
-                        expr9 = dialect.translate(c.gen_expr)
-                        if re.search(r"\bdict_mapping\s*\(", expr9,
+                        raw9 = c.gen_expr
+                        if re.search(r"\bdictionary_get\s*\(", raw9,
                                      re.IGNORECASE):
-                            expr9 = self._rw_dict_mapping(expr9)
+                            raw9 = self._rw_dictionary_get(raw9)
+                        if re.search(r"\bdict_mapping\s*\(", raw9,
+                                     re.IGNORECASE):
+                            raw9 = self._rw_dict_mapping(raw9)
+                        expr9 = dialect.translate(raw9)
                         raw = self.spark.sql(
                             f"SELECT *, CAST(({expr9}) AS "
                             f"{spark_type(c.sr_type)}) AS {c.name} "
@@ -6901,6 +6985,119 @@ class ScriptRunner:
             return self.spark.createDataFrame([], schema)
         return self.spark.createDataFrame(rows, schema)
 
+    def _refresh_dictionary(self, name: str) -> None:
+        """Snapshot the source table into the dictionary's frozen
+        view (fe Dictionary refresh task). A NULL in any KEY column
+        CANCELS the refresh — lookups then error with the state."""
+        dd = self.dictionaries[name]
+        self._refresh_views()
+        from pyspark.sql import functions as F
+
+        try:
+            df = self.spark.table(dd["table"]) \
+                .select(*dd["keys"], *dd["values"]).localCheckpoint()
+            null_keys = df.filter(
+                " OR ".join(f"`{k}` IS NULL"
+                            for k in dd["keys"])).count()
+        except Exception:  # noqa: BLE001 — refresh task CANCELLED
+            dd["state"] = "CANCELLED"
+            return
+        if null_keys:
+            dd["state"] = "CANCELLED"
+            return
+        df.createOrReplaceTempView(dd["view"])
+        dd["state"] = "FINISHED"
+
+    def _rw_dictionary_get(self, sql: str) -> str:
+        """dictionary_get('dict', key... [, null_if_not_exist]) →
+        struct of the dictionary's VALUE columns, looked up in the
+        FROZEN snapshot (fe DictionaryGetExpr; be dictionary cache).
+        A trailing [n] subscript picks the n-th value field. Literal
+        keys resolve eagerly (VALUES cells); column keys desugar to a
+        correlated scalar subquery."""
+        pat = re.compile(r"\bdictionary_get\s*\(", re.IGNORECASE)
+        pos = 0
+        while True:
+            m = pat.search(sql, pos)
+            if not m:
+                return sql
+            inner, after = _strip_parens_block(sql, m.end() - 1)
+            args = [a.strip()
+                    for a in dialect._split_top_level(inner)]
+            dname = args[0].strip("'\"")
+            dd = self.dictionaries.get(dname)
+            if dd is None:
+                raise ValueError(f"dictionary: {dname} does not "
+                                 f"exist")
+            if dd["state"] != "FINISHED":
+                raise ValueError(
+                    f"Getting analyzing error. Detail message: "
+                    f"dictionary: {dname} is in {dd['state']} "
+                    f"state.")
+            rest = args[1:]
+            null_ok = False
+            if len(rest) == len(dd["keys"]) + 1:
+                tail9 = rest[-1].lower()
+                if tail9 in ("true", "false"):
+                    null_ok = tail9 == "true"
+                    rest = rest[:-1]
+                else:
+                    raise ValueError(
+                        f"Getting analyzing error. Detail message: "
+                        f"dictionary: {dname} has invalid parameter "
+                        f"for `null_if_not_exist`: {rest[-1]}")
+            if len(rest) != len(dd["keys"]):
+                raise ValueError(
+                    f"Getting analyzing error. Detail message: "
+                    f"dictionary: {dname} has expected keys size: "
+                    f"{len(dd['keys'])} keys: {len(rest)}")
+            # optional [n] subscript → the n-th VALUE field
+            field9 = None
+            sub9 = re.match(r"\s*\[\s*(\d+)\s*\]", sql[after:])
+            if sub9:
+                idx9 = int(sub9.group(1))
+                if not 1 <= idx9 <= len(dd["values"]):
+                    raise ValueError(
+                        f"dictionary_get: subscript {idx9} out of "
+                        f"range")
+                field9 = dd["values"][idx9 - 1]
+                after += sub9.end()
+            ren = ", ".join(
+                [f"`{k}` AS __dgk{i}"
+                 for i, k in enumerate(dd["keys"])]
+                + [f"`{v}` AS __dgv{i}"
+                   for i, v in enumerate(dd["values"])])
+            if field9 is not None:
+                proj9 = f"__dg.__dgv{dd['values'].index(field9)}"
+            else:
+                proj9 = "named_struct(" + ", ".join(
+                    f"'{v}', __dg.__dgv{i}"
+                    for i, v in enumerate(dd["values"])) + ")"
+            conds = " AND ".join(
+                f"__dg.__dgk{i} = ({e})"
+                for i, e in enumerate(rest))
+            subq = (f"(SELECT {proj9} FROM (SELECT {ren} FROM "
+                    f"{dd['view']}) __dg WHERE {conds})")
+            if field9 is not None and all(
+                    re.fullmatch(r"-?\d+|'(?:[^'])*'|\"(?:[^\"])*\"",
+                                 e) for e in rest):
+                # foldable keys + scalar subscript: resolve eagerly
+                # (VALUES cells must stay foldable)
+                rows9 = self.spark.sql(f"SELECT {subq}").collect()
+                v9 = rows9[0][0] if rows9 else None
+                if v9 is None and not null_ok:
+                    raise ValueError("query failed: key not found "
+                                     "in dictionary cache")
+                repl = ("NULL" if v9 is None
+                        else str(v9) if not isinstance(v9, str)
+                        else "'" + v9.replace("'", "''") + "'")
+            else:
+                repl = subq if null_ok else (
+                    f"coalesce({subq}, raise_error('query failed: "
+                    f"key not found in dictionary cache'))")
+            sql = sql[:m.start()] + repl + sql[after:]
+            pos = m.start() + len(repl)
+
     def _rw_dict_mapping(self, sql: str) -> str:
         """dict_mapping('tbl', key... [, 'value_col'] [, null_ok])
         (fe DictMappingExpr / be dict_query_expr): point lookup
@@ -7601,7 +7798,25 @@ def _render_show_create(d: TableDef, cloud: bool = False,
         dflt = ""
         if c.default is not None and c.default.upper() != "NULL":
             dflt = f" DEFAULT \"{c.default.strip(chr(39))}\""
-        coldefs.append(f"  `{c.name}` {t} {nn}{dflt} COMMENT \"\"")
+        gen = ""
+        if c.gen_expr:
+            # the FE prints generated columns canonically:
+            # DICTIONARY_GET uppercased, single-quoted dictionary
+            # name, explicit null_if_not_exist default
+            ge = c.gen_expr
+            gm9 = re.match(
+                r"dictionary_get\s*\(\s*[\"'](\w+)[\"']\s*,\s*"
+                r"(.+?)\s*\)(\[\d+\])?$", ge, re.IGNORECASE)
+            if gm9:
+                rest9 = gm9.group(2)
+                if not re.search(r"\b(true|false)\s*$", rest9,
+                                 re.IGNORECASE):
+                    rest9 += ", false"
+                ge = (f"DICTIONARY_GET('{gm9.group(1)}', {rest9})"
+                      f"{gm9.group(3) or ''}")
+            gen = f" AS {ge}"
+        coldefs.append(f"  `{c.name}` {t} {nn}{dflt}{gen} "
+                       f"COMMENT \"\"")
     lines.append(",\n".join(coldefs))
     lines.append(") ENGINE=OLAP ")
     model_kw = {TableModel.DUP_KEYS: "DUPLICATE KEY",

@@ -309,3 +309,27 @@ def test_star_schema_prunes_unneeded_dim_joins(spark, sf_dir):
                   fk="l_partkey", pk="p_partkey", integrity="none")
     star2.join_needed(["l_quantity"])
     assert star2.last_joined == ["part"]
+
+
+def test_dict_mapping_plans_as_broadcast_lookup(spark):
+    """dict_mapping() desugars to a correlated scalar subquery that
+    Catalyst decorrelates into a BroadcastHashJoin (LeftSingle,
+    BuildRight) — the classic broadcast dim lookup, never a
+    shuffled SortMergeJoin (fe DictMappingExpr; r10 verdict ask)."""
+    from starrocks_spark.plans.sqltester import ScriptRunner
+
+    r = ScriptRunner(spark, strict=True)
+    r.execute("create table dictt_plan (k bigint not null, "
+              "v bigint auto_increment) primary key(k) "
+              "distributed by hash(k) buckets 1")
+    r.execute("insert into dictt_plan values (1, default), "
+              "(2, default)")
+    r.execute("create table facts_plan (k bigint not null, "
+              "x bigint) primary key(k) distributed by hash(k) "
+              "buckets 1")
+    r.execute("insert into facts_plan values (1, 10), (2, 20)")
+    df = r.execute("select dict_mapping('dictt_plan', k, true) as v "
+                   "from facts_plan").df
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -697,6 +697,11 @@ _SUITES = [
     # live view re-materialization after DML, gen-col ALTER backfill
     ("test_materialized_column", "test_generated_column_rewrite",
      13, 0),
+    # r10 CREATE DICTIONARY tier (fe catalog/Dictionary.java):
+    # frozen snapshots, CANCELLED on NULL keys, UNINITIALIZED after
+    # DROP CACHE, dictionary_get struct lookups + [n] subscripts;
+    # 30 skips: analyzer rejections the runner accepts leniently
+    ("test_dictionary", "test_dictionary", 67, 30),
 ]
 
 
