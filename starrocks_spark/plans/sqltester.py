@@ -1860,10 +1860,38 @@ def _rw_table_unnest(sql: str, duck: bool = False) -> str:
         if repl is None:
             return sql  # >2-array zip — not desugared
         prefix = sql[:m.start()]
-        # correlated refs (t, unnest(t.a1) ...) resolve only under an
-        # explicit LATERAL subquery — add it after a comma/JOIN
-        lat = ("LATERAL " if not duck and re.search(
-            r"(,|\bJOIN\b)\s*$", prefix, re.IGNORECASE) else "")
+        # CORRELATED refs (t, unnest(t.a1) ...) resolve only under an
+        # explicit LATERAL subquery — add it after a comma/JOIN.
+        # Literal-only TVFs stay plain subqueries (the reference
+        # treats them as standalone relations, joinable with any join
+        # type and ON condition); RIGHT/FULL joins cannot be lateral.
+        probe = arr.replace("\0", "")   # rewrite markers are trivia
+        probe = re.sub(r"'(?:[^'])*'|\"[^\"]*\"", "", probe)
+        probe = re.sub(r"\b(array|map|struct)\s*<[^>]*>", "", probe,
+                       flags=re.IGNORECASE)
+        probe = re.sub(r"\b\w+\s*\(", "(", probe)
+        probe = re.sub(r"\bAS\s+\w+(\s*\([^)]*\))?", "", probe,
+                       flags=re.IGNORECASE)
+        # a dangling AS whose type the <...> strip already consumed
+        probe = re.sub(r"\bAS\b", "", probe, flags=re.IGNORECASE)
+        probe = re.sub(r"\b(NULL|TRUE|FALSE)\b", "", probe,
+                       flags=re.IGNORECASE)
+        correlated = bool(re.search(r"[A-Za-z_]\w*", probe))
+        lat = ("LATERAL " if not duck and correlated
+               and re.search(r"(,|\bJOIN\b)\s*$", prefix,
+                             re.IGNORECASE)
+               and not re.search(r"\b(right|full)\s+(outer\s+)?"
+                                 r"join\s*$", prefix, re.IGNORECASE)
+               else "")
+        if lat and re.match(r"\s*(?:AS\s+`?\w+`?\s*)?ON\b", tail,
+                            re.IGNORECASE) \
+                and not re.match(r"\s*(?:AS\s+`?\w+`?\s*)?ON\s+TRUE\b",
+                                 tail, re.IGNORECASE):
+            # the reference's lateral unnest join only accepts
+            # ON TRUE (fe TableFunctionRelation analysis)
+            raise ValueError(
+                "Not support lateral join except for TABLE "
+                "function with ON TRUE condition")
         sql = f"{prefix}{lat}{repl} {alias}{tail}"
 
 
