@@ -30,14 +30,31 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # operator family. Kept stable across rounds so BENCH_r{N}.json is
 # comparable release-to-release.
 HEADLINE = [
+    # full 22-query TPC-H surface (r11: extended from the original 8
+    # so tpch_total is comparable to the reference's published
+    # 22-query sum, docs/en/benchmarking/TPC-H_Benchmarking.md)
     "tpch_q1_pricing_summary",
+    "tpch_q2_min_cost_supplier",
     "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
     "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipmode_priority",
+    "tpch_q13_customer_distribution",
     "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q16_parts_supplier",
+    "tpch_q17_small_quantity",
     "tpch_q18_large_volume_customer",
     "tpch_q19_discounted_revenue",
+    "tpch_q20_potential_promotion",
+    "tpch_q21_suppliers_kept_waiting",
+    "tpch_q22_global_sales",
     "window_rank",
     "window_moving_avg",
     "grouping_cube",
@@ -237,9 +254,7 @@ def main() -> None:
         queries[name](spark, SF_DIR).collect()
         tpcds_timings[name] = round(time.perf_counter() - t0, 4)
 
-    print(
-        json.dumps(
-            {
+    payload = {
                 "metric": "headline_query_total",
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
@@ -260,8 +275,18 @@ def main() -> None:
                 "tpcds_total": round(sum(tpcds_timings.values()), 4),
                 "sf": _sf_from_dir(SF_DIR),
             }
-        )
-    )
+    # persist the FULL parsed JSON alongside the one-line print: the
+    # driver's BENCH_r{N}.json keeps only a 2,000-char tail of stdout,
+    # which truncates tpch_total/ssb_total — BENCH_LAST.json is the
+    # lossless record for round-over-round comparison (r10 ask #8).
+    try:
+        with open(os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "BENCH_LAST.json"),
+                "w", encoding="utf-8") as f:
+            json.dump(payload, f, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -195,6 +195,12 @@ def _parse_coldef(entry: list[Tok], sql: str) -> ColumnDef:
                 continue
             if u == "DEFAULT":
                 es.next()
+                if es.is_punct("("):
+                    # expression default (DEFAULT (now()) / (uuid())):
+                    # keep the full balanced expression, not just '('.
+                    inner, _ = es.balanced()
+                    c.default = "(" + inner.strip() + ")"
+                    continue
                 neg = ""
                 if es.is_punct("-"):
                     es.next()

@@ -186,7 +186,11 @@ class TokenStream:
 
     def balanced(self) -> tuple[str, int]:
         """At a '(' token: consume through the matching ')' and
-        return (inner source text, end offset in self.sql)."""
+        return (inner source text, end offset in self.sql). Comment
+        spans are blanked from the returned text — callers split the
+        inner text on ',' and an inline ``-- note`` would otherwise
+        corrupt the column list (tokens drop comments; raw slices
+        must too)."""
         if not self.is_punct("("):
             raise ValueError("expected '('")
         open_tok = self.next()
@@ -202,11 +206,27 @@ class TokenStream:
                 elif t.text == ")":
                     depth -= 1
                     if depth == 0:
-                        return self.sql[inner_start:t.start], t.end
+                        inner = self.sql[inner_start:t.start]
+                        return strip_comments(inner), t.end
 
     def skip_balanced_if_open(self) -> None:
         if self.is_punct("("):
             self.balanced()
+
+
+def strip_comments(text: str) -> str:
+    """Blank ``--`` line and ``/* */`` block comment spans (replaced
+    by one space, string literals respected) from raw source text."""
+    if "--" not in text and "/*" not in text:
+        return text
+    out, last = [], 0
+    for t in tokenize(text, keep_comments=True):
+        if t.kind == "comment":
+            out.append(text[last:t.start])
+            out.append(" ")
+            last = t.end
+    out.append(text[last:])
+    return "".join(out)
 
 
 def _finalize_stmt(s: str) -> str:

@@ -165,6 +165,27 @@ def _strip_parens_block(text: str, start: int) -> tuple[str, int]:
     raise ValueError("unbalanced parens in DDL")
 
 
+def _py_lit(v) -> str:
+    """Render a Python value as a SQL literal safe to splice into
+    statement text (eager dict lookups land in VALUES cells, where a
+    bare ``2024-01-02`` would parse as integer arithmetic)."""
+    import datetime
+    import decimal
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, datetime.datetime):
+        return "TIMESTAMP '" + v.strftime("%Y-%m-%d %H:%M:%S.%f") + "'"
+    if isinstance(v, datetime.date):
+        return "DATE '" + v.isoformat() + "'"
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    return str(v)
+
+
 def _split_coldefs(body: str) -> list[str]:
     """Split a CREATE TABLE column-def list on top-level commas,
     tracking () AND the <> of generic types (struct<a int, b int> is
@@ -2903,11 +2924,22 @@ class ScriptRunner:
             self.loads = [ld for ld in self.loads
                           if not (ld["db_name"] == ddbm.group(2)
                                   and ld["type"] == "INSERT")]
-        if re.match(r"\s*UPDATE\s+information_schema\.be_configs\b",
-                    stmt, re.IGNORECASE):
+        bcm9 = re.match(
+            r"\s*UPDATE\s+information_schema\.be_configs\s+SET\s+"
+            r"VALUE\s*=\s*['\"]([^'\"]*)['\"]\s*WHERE\s+name\s*=\s*"
+            r"['\"]([^'\"]*)['\"]", stmt, re.IGNORECASE)
+        if bcm9:
             # UPDATE on the be_configs scanner pushes a config to the
-            # BEs (no result surface locally)
-            return StatementResult(stmt, "noop")
+            # BEs (fe BeConfigsSystemTable UPDATE path). Recorded in a
+            # session dict; the statement yields an EMPTY result set
+            # (the R file records an empty block), so the suite's
+            # check floor is real.
+            if not hasattr(self, "be_configs"):
+                self.be_configs = {}
+            self.be_configs[bcm9.group(2)] = bcm9.group(1)
+            return StatementResult(
+                stmt, "select",
+                df=self.spark.createDataFrame([], "ok string"))
         scm9 = re.match(r"\s*SHOW\s+COLUMNS\s+FROM\s+`?(\w+)`?\s*"
                         r"(?:WHERE\s+Field\s*=\s*'([^']*)')?\s*$",
                         stmt, re.IGNORECASE)
@@ -7116,9 +7148,7 @@ class ScriptRunner:
                 if v9 is None and not null_ok:
                     raise ValueError("query failed: key not found "
                                      "in dictionary cache")
-                repl = ("NULL" if v9 is None
-                        else str(v9) if not isinstance(v9, str)
-                        else "'" + v9.replace("'", "''") + "'")
+                repl = _py_lit(v9)
             else:
                 repl = subq if null_ok else (
                     f"coalesce({subq}, raise_error('query failed: "
@@ -7179,7 +7209,7 @@ class ScriptRunner:
                     f"SELECT `{val_col}` FROM {tname} "
                     f"WHERE {conds}").collect()
                 if rows9 and rows9[0][0] is not None:
-                    repl = str(rows9[0][0])
+                    repl = _py_lit(rows9[0][0])
                 elif null_ok:
                     repl = "NULL"
                 else:
@@ -7243,8 +7273,42 @@ class ScriptRunner:
         error 5307; test_explicit_txn_select)."""
         mod = ({w[1] for w in (self.txn or [])}
                | getattr(self, "txn_touched", set()))
+        if not mod:
+            return
+        # only FROM/JOIN relation positions count — a string literal
+        # or a same-named column/alias must not trip the check
+        clean, i = [], 0
+        while i < len(text):
+            if text[i] in ("'", '"'):
+                j = dialect.skip_quoted(text, i)
+                clean.append("'" + " " * max(0, j - i - 2) + "'")
+                i = j
+            else:
+                clean.append(text[i])
+                i += 1
+        clean = "".join(clean)
+        rels: set[str] = set()
+        for m in re.finditer(r"\b(from|join)\s+", clean, re.I):
+            i = m.end()
+            is_from = m.group(1).lower() == "from"
+            while True:
+                mm = re.match(
+                    r"`?(\w+)`?(?:\s*\.\s*`?(\w+)`?)?", clean[i:])
+                if not mm or not mm.group(1):
+                    break
+                rels.add((mm.group(2) or mm.group(1)).lower())
+                i += mm.end()
+                if not is_from:
+                    break
+                mc = re.match(r"\s*,\s*", clean[i:])
+                if mc is None:
+                    mc = re.match(r"\s+(?:as\s+)?`?\w+`?\s*,\s*",
+                                  clean[i:], re.I)
+                if mc is None:
+                    break
+                i += mc.end()
         for tn in mod:
-            if re.search(rf"\b{re.escape(tn)}\b", text):
+            if tn.lower() in rels:
                 raise ValueError(
                     f"Getting analyzing error. Detail message: "
                     f"SELECT cannot read table '{tn}' modified "
@@ -7310,9 +7374,31 @@ class ScriptRunner:
                     if r[0] is not None]
         except Exception:  # noqa: BLE001 — version bump is advisory
             return
+        # compare in the partition column's own domain, like
+        # _check_strict_load: '100' < '20' lexicographically would
+        # bump the wrong partitions on integer-partitioned tables.
+        # Uncastable values/bounds fall back to string comparison.
+        base_t = spark_type(d.col(rc).sr_type).upper()
+
+        def conv(x):
+            if x is None:
+                return None
+            s = str(x)
+            if base_t in ("DATE", "TIMESTAMP"):
+                import pandas as pd
+                return pd.Timestamp(s)
+            if base_t in ("TINYINT", "SMALLINT", "INT", "BIGINT"):
+                return int(float(s))
+            return s
+
         for pn, (lo, hi, first) in parts.items():
-            if any((lo is None or v >= lo)
-                   and (hi is None or v < hi) for v in vals):
+            try:
+                lo_t, hi_t = conv(lo), conv(hi)
+                vals_t = [conv(v) for v in vals]
+            except Exception:  # noqa: BLE001 — fail open to strings
+                lo_t, hi_t, vals_t = lo, hi, vals
+            if any((lo_t is None or v >= lo_t)
+                   and (hi_t is None or v < hi_t) for v in vals_t):
                 self.part_versions[(name, pn)] = \
                     self.part_versions.get((name, pn), 1) + 1
 

@@ -171,3 +171,24 @@ def test_parse_create_table_defaults_and_sort():
     with pytest.raises(ValueError, match="Duplicate sort key"):
         parse_create_table(
             "CREATE TABLE t (a int) ORDER BY (a, a)")
+
+
+def test_balanced_strips_inline_comments():
+    # r11 ADVICE: an inline -- comment inside HASH(...)/KEY(...)
+    # must not corrupt the split column list
+    ts = TokenStream("(id -- hash col\n, name) rest")
+    inner, _ = ts.balanced()
+    assert [c.strip() for c in inner.split(",")] == ["id", "name"]
+    d = parse_create_table(
+        "CREATE TABLE t (id int, name string) "
+        "DISTRIBUTED BY HASH(id -- hash col\n) BUCKETS 4")
+    assert d.hash_cols == ["id"]
+
+
+def test_default_expression_captured_whole():
+    # r11 ADVICE: DEFAULT (expr) keeps the full balanced expression
+    d = parse_create_table(
+        "CREATE TABLE t (a int, b datetime DEFAULT (now()), "
+        "c varchar(10) DEFAULT 'x')")
+    assert d.col("b").default == "(now())"
+    assert d.col("c").default == "'x'"

@@ -659,7 +659,7 @@ _SUITES = [
     ("test_information_schema", "test_cluster_snapshot", 2, 0),
     ("test_information_schema", "test_tablet_reshard_jobs", 1, 0),
     ("test_information_schema", "test_be_bvars", 1, 0),
-    ("test_information_schema", "test_be_configs", 0, 0),
+    ("test_information_schema", "test_be_configs", 2, 0),
     # r10: the main AUTO_INCREMENT suite (fe AutoIncrementInfo):
     # DEFAULT/unlisted-column draws, PK partial upserts allocate only
     # to missing keys, NULL literals reject, filtered rows burn ids,
@@ -888,3 +888,56 @@ def test_ann_probe_reads_stored_index_not_corpus(spark):
                           "approx_l2_distance([1,0,0,0], v) limit 1")
     assert "sqltester_vidx" not in plan_str(res2.df)
     assert [r["id"] for r in res2.df.collect()] == [1]
+
+
+def test_py_lit_typed_rendering():
+    """r11 ADVICE: eager dict lookups must splice typed literals —
+    a bare 2024-01-02 parses as integer arithmetic."""
+    import datetime
+    import decimal
+    assert ST._py_lit(None) == "NULL"
+    assert ST._py_lit(True) == "true"
+    assert ST._py_lit("o'k") == "'o''k'"
+    assert ST._py_lit(datetime.date(2024, 1, 2)) == "DATE '2024-01-02'"
+    assert ST._py_lit(datetime.datetime(2024, 1, 2, 3, 4, 5)) \
+        .startswith("TIMESTAMP '2024-01-02 03:04:05")
+    assert ST._py_lit(decimal.Decimal("1.50")) == "1.50"
+    assert ST._py_lit(7) == "7"
+
+
+def test_txn_read_check_relation_positions_only(spark):
+    """r11 ADVICE: error 5307 fires only when the modified table is
+    read as a RELATION — not for string literals or same-named
+    columns/aliases."""
+    runner = ST.ScriptRunner(spark)
+    runner.txn = [("insert", "tt1", None)]
+    runner.txn_touched = {"tt1"}
+    # literal + alias uses must pass
+    runner._check_txn_read("SELECT 'tt1' AS tt1 FROM other")
+    runner._check_txn_read("SELECT o.tt1 FROM other o")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="5307|cannot read"):
+        runner._check_txn_read("SELECT * FROM tt1")
+    with _pt.raises(ValueError, match="5307|cannot read"):
+        runner._check_txn_read("SELECT * FROM a JOIN db.tt1 ON x=y")
+    with _pt.raises(ValueError, match="5307|cannot read"):
+        runner._check_txn_read("SELECT * FROM a x, tt1 y")
+
+
+def test_bump_part_versions_integer_bounds(spark):
+    """r11 ADVICE: RANGE bound comparison in the partition column's
+    own domain — '100' < '20' lexicographically must not bump the
+    wrong partition."""
+    script = """
+create table bp (k int, v int) DUPLICATE KEY(k)
+PARTITION BY RANGE(k) (
+  PARTITION p1 VALUES [("0"), ("20")),
+  PARTITION p2 VALUES [("20"), ("200"))
+)
+DISTRIBUTED BY HASH(k) BUCKETS 1;
+insert into bp values (100, 1);
+"""
+    runner = ST.ScriptRunner(spark)
+    runner.run(script)
+    assert runner.part_versions.get(("bp", "p2"), 1) == 2
+    assert runner.part_versions.get(("bp", "p1"), 1) == 1
