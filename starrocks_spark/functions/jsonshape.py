@@ -126,8 +126,23 @@ def shape_json(txt, desc: str):
     return None if out is None else json.dumps(out, ensure_ascii=False)
 
 
+def norm_json(txt):
+    """Normalize a JSON text the way the reference stores/prints the
+    JSON type: objects key-sorted, ``", "``/``": "`` separators
+    (be JsonValue to_string over sorted vpack objects;
+    test_make_sort_key records the spaced form)."""
+    if txt is None:
+        return None
+    try:
+        data = json.loads(txt)
+    except (ValueError, TypeError):
+        return txt
+    return json.dumps(data, ensure_ascii=False, sort_keys=True)
+
+
 def register(spark) -> None:
-    """Register ``__sr_json_shape(txt, desc)`` (idempotent)."""
+    """Register ``__sr_json_shape(txt, desc)`` and
+    ``__sr_json_norm(txt)`` (idempotent)."""
     if id(spark) in _REGISTERED:
         return
     import pandas as pd
@@ -138,5 +153,10 @@ def register(spark) -> None:
         return pd.Series([shape_json(t, d)
                           for t, d in zip(txt, desc)])
 
+    @pandas_udf("string")
+    def __sr_json_norm(txt: pd.Series) -> pd.Series:
+        return pd.Series([norm_json(t) for t in txt])
+
     spark.udf.register("__sr_json_shape", __sr_json_shape)
+    spark.udf.register("__sr_json_norm", __sr_json_norm)
     _REGISTERED.add(id(spark))

@@ -98,6 +98,22 @@ def translate_mysql_format(fmt: str) -> str:
 # ---------------------------------------------------------------------------
 
 
+def _strip_quoted_spans(text: str) -> str:
+    """Blank string-literal spans (quote chars kept) for operator
+    probing."""
+    out, i = [], 0
+    while i < len(text):
+        if text[i] in ("'", '"'):
+            j = skip_quoted(text, i)
+            out.append(text[i] + " " * max(0, j - i - 2)
+                       + (text[j - 1] if j - 1 > i else ""))
+            i = j
+        else:
+            out.append(text[i])
+            i += 1
+    return "".join(out)
+
+
 def skip_quoted(text: str, i: int) -> int:
     """``text[i]`` is a quote char: return the index just past its
     closing quote, honoring backslash escapes and SQL ``''``/``""``
@@ -273,6 +289,12 @@ def _rw_fmt_func(name: str):
             return None
         lit = args[-1].strip()
         if not (lit.startswith("'") and lit.endswith("'")):
+            if name == "str_to_date" and len(args) == 2:
+                # runtime (non-literal) format: the Python %-format
+                # parser handles it batch-wise
+                return _throw_wrap(
+                    f"\0__sr_str_to_date\0({args[0]}, {args[1]})",
+                    args[0], False)
             return None
         if "%" not in lit:
             return None  # already a Java pattern
@@ -282,9 +304,10 @@ def _rw_fmt_func(name: str):
             # ignored, fromisocalendar) — the Java formatter is
             # strict-full-match (functions/strtodate.py)
             call = f"\0__sr_str_to_date\0({args[0]}, {lit})"
-            if not re.search(r"%[HhiskIrTSf]", lit[1:-1]):
+            date_t = not re.search(r"%[HhiskIrTSf]", lit[1:-1])
+            if date_t:
                 call = f"CAST({call} AS DATE)"
-            return call
+            return _throw_wrap(call, args[0], date_t)
         java = translate_mysql_format(lit[1:-1])
         new_args = args[:-1] + [f"'{java}'"]
         target = {"str_to_date": "to_timestamp", "time_format": "date_format"}.get(
@@ -295,9 +318,23 @@ def _rw_fmt_func(name: str):
             # format has no time parts → the reference returns DATE,
             # not DATETIME (time_functions.cpp str_to_date)
             target = "to_date"
-        return f"\0{target}\0({', '.join(new_args)})"
+        call = f"\0{target}\0({', '.join(new_args)})"
+        if name == "str_to_date":
+            return _throw_wrap(call, args[0], target == "to_date")
+        return call
 
     return rw
+
+
+def _throw_wrap(call: str, a0: str, date_typed: bool) -> str:
+    """Under sql_mode ALLOW_THROW_EXCEPTION, a NULL parse of a
+    NON-NULL input raises with the reference's message text."""
+    if not STRTODATE_THROW:
+        return call
+    t = "DATE" if date_typed else "TIMESTAMP"
+    return (f"IF(({a0}) IS NOT NULL AND ({call}) IS NULL, "
+            f"CAST(raise_error('Fail to parse date: input is "
+            f"invalid for the format') AS {t}), {call})")
 
 
 def _rw_split_literal(args: list[str]):
@@ -1352,6 +1389,11 @@ BITMAP_THROW_MODE = False
 #: becomes the pre-3.0 ', ' (fe SqlModeHelper)
 GROUP_CONCAT_LEGACY = False
 
+# sql_mode ALLOW_THROW_EXCEPTION: str_to_date/str2date raise the
+# reference's 'Fail to parse date' on unparseable NON-NULL input
+# instead of returning NULL (be time_functions.cpp throw path)
+STRTODATE_THROW = False
+
 
 def _rw_bitmap_from_string(a):
     if len(a) != 1:
@@ -2204,11 +2246,40 @@ def translate(sql: str) -> str:
                  flags=re.IGNORECASE)
     sql = _rw_json_arrow(sql)
     sql = _rw_chained_cmp(sql)
+    # SELECT * EXCLUDE (cols) — StarRocks' spelling of Spark's
+    # star-EXCEPT (fe AstBuilder excludeClause; test_others
+    # test_all_column_exclude). Only after a star so EXCLUDE stays
+    # usable as an identifier elsewhere.
+    sql = re.sub(r"(\*\s*)EXCLUDE(\s*\()", r"\1EXCEPT\2", sql,
+                 flags=re.IGNORECASE)
     # MySQL two-arg LIMIT: `LIMIT offset, count` (StarRocks.g4
     # limitElement) — Spark spells it LIMIT count OFFSET offset
     sql = re.sub(r"\bLIMIT\s+(\d+)\s*,\s*(\d+)",
                  r"LIMIT \2 OFFSET \1", sql, flags=re.IGNORECASE)
     sql = desugar_qualify(sql)
+    # order-preserving composite binary sort key (functions/sortkey.py
+    # pandas UDF; be utility_functions.cpp encode_sort_key)
+    sql = re.sub(r"\bencode_sort_key\s*\(", "\0__encode_sort_key\0(",
+                 sql, flags=re.IGNORECASE)
+
+    def _rw_concat_dbl(args):
+        # StarRocks' implicit double->varchar inside concat is C++
+        # shortest-repr, not Spark's scientific render. `/` always
+        # produces double/decimal in StarRocks, so a bare `/` in an
+        # argument marks the double-typed case — route those through
+        # the repr-faithful UDF and leave every other arg native.
+        hit = False
+        out = []
+        for a in args:
+            t = _strip_quoted_spans(a) if "'" in a or '"' in a else a
+            if "/" in t and not re.search(r"(?i)\bcast\s*\(", t):
+                out.append(f"\0__sr_dstr\0(CAST(({a}) AS DOUBLE))")
+                hit = True
+            else:
+                out.append(a)
+        return f"\0concat\0({', '.join(out)})" if hit else None
+
+    sql = rewrite_calls(sql, "concat", _rw_concat_dbl)
     for name in _INNER_IGNORE_NULLS:
         sql = rewrite_calls(sql, name, _rw_inner_ignore_nulls(name))
     sql = rewrite_calls(sql, "date_add", _rw_date_addsub("+"))
@@ -2272,6 +2343,10 @@ def translate(sql: str) -> str:
                             _rw_get_variant_time)
     if re.search(r"\bto_binary\s*\(", sql, re.IGNORECASE):
         sql = rewrite_calls(sql, "to_binary", _rw_to_binary)
+    sql = rewrite_calls(
+        sql, "str2date",
+        lambda a: (f"CAST(str_to_date({', '.join(a)}) AS DATE)"
+                   if len(a) == 2 else None))
     for name in sorted(_FMT_FUNCS):
         sql = rewrite_calls(sql, name, _rw_fmt_func(name))
     for name, fn in _BITMAP_WRAPS.items():
@@ -2312,7 +2387,8 @@ def starrocks_sql(spark: SparkSession, sql: str, sf_dir: str) -> DataFrame:
     """Run a StarRocks-dialect query against the registered tables."""
     from starrocks_spark.functions import (bitmap, jsonshape, mmh3,
                                            percentile, regexfn,
-                                           strcase, strtodate)
+                                           sortkey, strcase,
+                                           strtodate)
 
     register_tables(spark, sf_dir)
     strcase.register(spark)
@@ -2325,4 +2401,5 @@ def starrocks_sql(spark: SparkSession, sql: str, sf_dir: str) -> DataFrame:
     # entry point fails with an unresolved-function error
     mmh3.register(spark)
     bitmap.register(spark)
+    sortkey.register(spark)
     return spark.sql(translate(sql))

@@ -27,8 +27,8 @@ from dataclasses import dataclass
 TAG_RE = re.compile(r"^\[(UC|ORDER|REGEX)\]\s*", re.IGNORECASE)
 DIRECTIVE_RE = re.compile(
     r"^(function|shell|trino|spark|hive)\s*:"
-    r"|^(SET_VAR|LOOP|CONCURRENCY)\s*\{"
-    r"|^\}\s*END\s+(SET_VAR|LOOP|CONCURRENCY)\b"
+    r"|^(SET_VAR|LOOP|CONCURRENCY|CLEANUP)\s*\{"
+    r"|^\}\s*END\s+(SET_VAR|LOOP|CONCURRENCY|CLEANUP)\b"
     r"|^PROPERTY\s*:|^CHECK\s*:", re.I)
 
 
@@ -387,3 +387,11 @@ def classify(stmt: str) -> str:
                 if u in ("SELECT", "INSERT"):
                     return "select"
     return "unsupported"
+
+
+def first_keyword(sql: str) -> str:
+    """Uppercased first identifier token ('' when none) — the
+    dispatch key for the runner's pre-classify interceptors."""
+    for t in tokenize(sql):
+        return t.up if t.kind == "ident" else ""
+    return ""

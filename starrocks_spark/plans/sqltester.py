@@ -66,8 +66,15 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 
 from starrocks_spark.plans import dialect
+from starrocks_spark.plans.interceptors import (PRE1, PRE2,
+                                                PreDispatch,
+                                                StatementResult)
 from starrocks_spark.plans.sqlddl import (_AGG_TYPES, _MODEL_MAP,
                                           ColumnDef, TableDef,
+                                          _parse_type_tree,
+                                          _render_type_tree,
+                                          _retype_expr,
+                                          parse_alter_table,
                                           parse_create_table)
 from starrocks_spark.plans.sqllex import DIRECTIVE_RE as _DIRECTIVE_RE
 from starrocks_spark.plans.sqllex import TAG_RE as _TAG_RE
@@ -383,6 +390,16 @@ def _split_angle_fields(s: str) -> list[str]:
             cur.append(ch)
     parts.append("".join(cur).strip())
     return parts
+
+
+def _col_cast(src: str, c) -> str:
+    """CAST ``src`` to the column's Spark type; json columns route
+    through __sr_json_norm so the stored text matches the reference's
+    normalized JSON (key-sorted objects, ", "/": " separators —
+    be JsonValue to_string; test_make_sort_key pins the render)."""
+    if c.sr_type.split("(")[0].lower() == "json":
+        return f"__sr_json_norm(CAST(({src}) AS STRING))"
+    return f"CAST({src} AS {spark_type(c.sr_type)})"
 
 
 def spark_type(sr: str) -> str:
@@ -1064,16 +1081,20 @@ def _cast_targets(stmt: str) -> set[tuple[int, int]]:
     return t
 
 
-def _overflow_msg(stmt: str, err: str) -> str:
+def _overflow_msg(stmt: str, err: str,
+                  has_decimal_src: bool = True) -> str:
     """Render a Spark ANSI decimal-overflow error the way the
     reference's ERROR_IF_OVERFLOW sql_mode reports it
     (be/src/exprs overflow policy): a failure at an explicit cast
-    target is a cast overflow; anything else is the arithmetic op."""
+    target is a cast overflow (source kind named: decimal vs other
+    types — test_number_overflow); anything else is the arithmetic
+    op."""
     tm = re.search(r"Decimal\((\d+),\s*(\d+)\)", err)
     tgt = (int(tm.group(1)), int(tm.group(2))) if tm else None
     if tgt and tgt in _cast_targets(stmt):
-        return ("Expr evaluate meet error: The type cast from decimal "
-                "to decimal overflows")
+        src = "decimal" if has_decimal_src else "other types"
+        return (f"Expr evaluate meet error: The type cast from {src} "
+                f"to decimal overflows")
     body = _strip_line_comments(stmt)
     op = ("mul" if "*" in body else "div" if "/" in body
           else "sub" if re.search(r"[\w)']\s*-\s*[\w(']", body)
@@ -2413,15 +2434,7 @@ _FILES_IGNORED_OPTS = re.compile(
 # the Spark-side script runner
 # ---------------------------------------------------------------------------
 
-@dataclass
-class StatementResult:
-    stmt: str
-    kind: str                    # create/insert/noop/select/drop/skipped
-    df: DataFrame | None = None
-    reason: str | None = None    # for kind == "skipped"
-
-
-class ScriptRunner:
+class ScriptRunner(PreDispatch):
     """Execute a StarRocks T script against Spark + ManagedTable.
 
     ``strict=False`` records unsupported statements as skipped (with
@@ -2431,7 +2444,9 @@ class ScriptRunner:
     def __init__(self, spark: SparkSession, strict: bool = True):
         from starrocks_spark.functions import (bitmap, jsonshape, mmh3,
                                                percentile, regexfn,
-                                               strcase, strtodate)
+                                               sortkey, strcase,
+                                               strtodate)
+        sortkey.register(spark)
         mmh3.register(spark)
         bitmap.register(spark)
         strcase.register(spark)
@@ -2442,6 +2457,9 @@ class ScriptRunner:
         self.spark = spark
         self.strict = strict
         dialect.BITMAP_THROW_MODE = False  # fresh session default
+        dialect.STRTODATE_THROW = False
+        self.sql_mode = ""
+        spark.conf.set("spark.sql.ansi.enabled", "false")
         for vn in list(_MV_VIEWS_CREATED):
             spark.catalog.dropTempView(vn)
         _MV_VIEWS_CREATED.clear()
@@ -2681,6 +2699,8 @@ class ScriptRunner:
                             self.captures))
         stmt = _substitute_vars(stmt, {**self.vars, **hint_vars},
                                 self.captures)
+        if "`" in stmt:
+            stmt = self._mangle_names(stmt)
         capm = re.match(r"\s*(\w+)\s*=\s*(select\b.*)$", stmt,
                         re.IGNORECASE | re.DOTALL)
         if capm:
@@ -2695,405 +2715,10 @@ class ScriptRunner:
                     # what sr_sql_lib substitutes back in
                     self.captures[capm.group(1)] = str(rows9[0][0])
             return res9
-        bm = re.match(r"\s*(BEGIN|START\s+TRANSACTION)\b"
-                      r"(\s+WITH\s+LABEL\s+`?(\w+)`?)?\s*$",
-                      stmt, re.IGNORECASE)
-        if bm:
-            label = bm.group(3)
-            if label is not None:
-                if label in self.labels:
-                    return StatementResult(
-                        stmt, "skipped",
-                        reason=f"Label [{label}] has already been "
-                               f"used")
-                self.labels.add(label)
-            self.txn = []
-            self.txn_touched = set()
-            return StatementResult(stmt, "noop")
-        if re.match(r"\s*COMMIT\s*(WORK\s*)?$", stmt, re.IGNORECASE):
-            self.txn_touched = set()
-            pending, self.txn = self.txn or [], None
-            for mode, name, pred, batch, plist in pending:
-                self._apply_insert(mode, name, pred, batch, plist)
-            return StatementResult(stmt, "noop")
-        if re.match(r"\s*ROLLBACK\s*(WORK\s*)?$", stmt,
-                    re.IGNORECASE):
-            self.txn = None
-            self.txn_touched = set()
-            return StatementResult(stmt, "noop")
-        sqm = re.match(r"\s*SET\s+sql_mode\s*=\s*['\"]([^'\"]*)",
-                       stmt, re.IGNORECASE)
-        if sqm:
-            dialect.BITMAP_THROW_MODE = (
-                "ALLOW_THROW_EXCEPTION" in sqm.group(1).upper())
-            return StatementResult(stmt, "noop")
-        svm = re.match(r"\s*SET\s+(?:GLOBAL\s+)?"
-                       r"(enable_\w+|cbo_\w+|insert_max_filter_ratio"
-                       r"|decimal_overflow_to_double"
-                       r"|dynamic_overwrite|query_timeout"
-                       r"|insert_timeout)"
-                       r"\s*=\s*['\"]?([\w.]+)['\"]?\s*$",
-                       stmt, re.IGNORECASE)
-        if svm:
-            # feature toggles the runner honors (drop-dependency check,
-            # transparent union rewrite); unknown enable_* flags are
-            # stored and ignored, like the reference's session vars
-            self.vars[svm.group(1).lower()] = svm.group(2).lower()
-            return StatementResult(stmt, "noop")
-        pum = re.match(r"\s*SET\s+partial_update_mode\s*=\s*"
-                       r"['\"]?(\w*)['\"]?\s*$", stmt, re.IGNORECASE)
-        if pum:
-            val = pum.group(1).lower()
-            if val not in ("auto", "row", "column"):
-                return StatementResult(
-                    stmt, "skipped",
-                    reason="partial_update_mode only support "
-                           "auto|row|column")
-            self.vars["partial_update_mode"] = val
-            return StatementResult(stmt, "noop")
-        gm9 = re.match(r"\s*GRANT\s+SELECT\s+ON\s+(VIEW|TABLE)\s+"
-                       r"`?(\w+)`?\s+TO\s+(?:USER\s+)?`?([\w.]+)",
-                       stmt, re.IGNORECASE)
-        if gm9:
-            self.grants.setdefault(
-                gm9.group(3).split("@")[0].lower(), set()).add(
-                (gm9.group(1).lower(), gm9.group(2)))
-            return StatementResult(stmt, "noop")
-        rv9 = re.match(r"\s*REVOKE\s+SELECT\s+ON\s+(VIEW|TABLE)\s+"
-                       r"`?(\w+)`?\s+FROM\s+(?:USER\s+)?`?([\w.]+)",
-                       stmt, re.IGNORECASE)
-        if rv9:
-            self.grants.get(
-                rv9.group(3).split("@")[0].lower(), set()).discard(
-                (rv9.group(1).lower(), rv9.group(2)))
-            return StatementResult(stmt, "noop")
-        avs = re.match(r"\s*ALTER\s+VIEW\s+`?(\w+)`?\s+SET\s+"
-                       r"SECURITY\s+(NONE|INVOKER)\s*$",
-                       stmt, re.IGNORECASE)
-        if avs and avs.group(1) in self.view_meta:
-            self.view_meta[avs.group(1)]["security"] = \
-                avs.group(2).lower()
-            return StatementResult(stmt, "noop")
-        bem = re.match(r"\s*SET\s+binary_encoding_(format|level)\s*"
-                       r"=\s*['\"]?(\w+)['\"]?\s*$", stmt,
-                       re.IGNORECASE)
-        if bem:
-            global BINARY_ENC_FORMAT, BINARY_ENC_LEVEL
-            if bem.group(1).lower() == "format":
-                BINARY_ENC_FORMAT = bem.group(2).lower()
-            else:
-                BINARY_ENC_LEVEL = bem.group(2).lower()
-            return StatementResult(stmt, "noop")
-        rpm = re.match(r"\s*RECOVER\s+PARTITION\s+`?(\w+)`?\s+FROM\s+"
-                       r"`?(\w+)`?\s*$", stmt, re.IGNORECASE)
-        if rpm:
-            pn9, tn9 = rpm.group(1), rpm.group(2)
-            key9 = (tn9, pn9)
-            if key9 not in self.part_trash or tn9 not in self.defs:
-                return StatementResult(
-                    stmt, "skipped",
-                    reason=f"No partition named {pn9} in table {tn9} "
-                           f"recycle bin")
-            pdef9, kept9 = self.part_trash.pop(key9)
-            if pdef9[0] == "list":
-                # fe RecoverPartitionAnalyzer: list partitions can't
-                # be recovered (the bin keeps them, recovery refuses)
-                self.part_trash[key9] = (pdef9, kept9)
-                return StatementResult(
-                    stmt, "skipped",
-                    reason="Does not support recover list partition")
-            self.defs[tn9].named_parts[pn9] = pdef9[1]
-            if kept9 and kept9[0]:
-                batch9 = self.spark.createDataFrame(*kept9)
-                self.tables[tn9].insert(
-                    self._stamp_load_order(tn9, batch9))
-            self._auto_refresh_mvs(tn9)
-            return StatementResult(stmt, "noop")
-        rcm = re.match(r"\s*RECOVER\s+TABLE\s+`?(\w+)`?\s*$",
-                       stmt, re.IGNORECASE)
-        if rcm:
-            nm9 = rcm.group(1)
-            if nm9 not in self.trash:
-                return StatementResult(
-                    stmt, "skipped",
-                    reason=f"Table '{nm9}' is not in the recycle bin")
-            if nm9 in self.defs:
-                return StatementResult(
-                    stmt, "skipped",
-                    reason=f"Table '{nm9}' already exists; recover "
-                           f"needs a rename")
-            self.defs[nm9], self.tables[nm9] = self.trash.pop(nm9)
-            return StatementResult(stmt, "noop")
-        sim = re.match(r"\s*SHOW\s+INDEX(?:ES)?\s+FROM\s+`?(\w+)`?"
-                       r"\s*$", stmt, re.IGNORECASE)
-        if sim and sim.group(1) in self.defs:
-            d9 = self.defs[sim.group(1)]
-            rows9 = []
-            for iname9, ix9 in d9.indexes.items():
-                if ix9["using"] == "NGRAMBF":
-                    pr9 = dict(ix9.get("props") or {})
-                    pr9.setdefault("bloom_filter_fpp", "0.05")
-                    pr9.setdefault("case_sensitive", "true")
-                    pr9.setdefault("gram_num", "2")
-                    ty9 = "NGRAMBF(" + ", ".join(
-                        f'"{k}" = "{pr9[k]}"'
-                        for k in sorted(pr9)) + ")"
-                else:
-                    ty9 = ix9["using"]
-                rows9.append((
-                    f"{self.current_db or 'db'}.{d9.name}", "",
-                    iname9, "", ix9["col"], "", "", "", "", "",
-                    ty9, ""))
-            schema9 = ("Table string, Non_unique string, Key_name "
-                       "string, Seq_in_index string, Column_name "
-                       "string, Collation string, Cardinality string, "
-                       "Sub_part string, Packed string, Null string, "
-                       "Index_type string, Comment string")
-            if not rows9:
-                df9 = self.spark.createDataFrame(
-                    [("",) * 12], schema9).filter("Table != ''")
-            else:
-                df9 = self.spark.createDataFrame(rows9, schema9)
-            return StatementResult(stmt, "select", df9)
-        dio = re.match(r"\s*DROP\s+INDEX\s+`?(\w+)`?\s+ON\s+"
-                       r"`?(\w+)`?\s*$", stmt, re.IGNORECASE)
-        if dio and dio.group(2) in self.defs:
-            return self.execute(f"ALTER TABLE {dio.group(2)} "
-                                f"DROP INDEX {dio.group(1)}")
-        stp = re.match(r"\s*SHOW\s+TEMPORARY\s+PARTITIONS\s+FROM\s+"
-                       r"`?(\w+)`?\s*$", stmt, re.IGNORECASE)
-        if stp:
-            # temporary (shadow) partitions exist only mid-overwrite;
-            # after commit or abort the list is empty
-            df9 = self.spark.createDataFrame(
-                [("",)], "PartitionName string").filter(
-                "PartitionName != ''")
-            return StatementResult(stmt, "select", df9)
-        shv = re.match(r"\s*SHOW\s+VARIABLES\s+LIKE\s+"
-                       r"'%?([\w]+)%?'\s*$", stmt, re.IGNORECASE)
-        if shv:
-            vn9 = shv.group(1).lower()
-            defaults9 = {"dynamic_overwrite": "false"}
-            if vn9 in self.vars or vn9 in defaults9:
-                val9 = self.vars.get(vn9, defaults9.get(vn9, ""))
-                df9 = self.spark.createDataFrame(
-                    [(vn9, val9)],
-                    "Variable_name string, Value string")
-                return StatementResult(stmt, "select", df9)
-        eam = re.match(r"\s*EXECUTE\s+AS\s+`?([\w.]+)`?(?:@\S+)?"
-                       r"(?:\s+WITH\s+NO\s+REVERT)?\s*;?\s*$",
-                       stmt, re.IGNORECASE)
-        if eam:
-            # EXECUTE AS swaps the current identity (fe ExecuteAsStmt)
-            # — read by MV CREATOR/RUN_AS_USER vs refresh SUBMIT_USER
-            self.current_user = eam.group(1)
-            return StatementResult(stmt, "noop")
-        tzm = re.match(r"\s*SET\s+time_zone\s*=\s*['\"]([^'\"]+)",
-                       stmt, re.IGNORECASE)
-        if tzm:
-            # the reference evaluates time functions against the
-            # session time zone; map onto Spark's session conf
-            self.spark.conf.set("spark.sql.session.timeZone",
-                                tzm.group(1))
-            return StatementResult(stmt, "noop")
-        dbm = re.match(r"\s*(?:CREATE\s+DATABASE\s+(?:IF\s+NOT\s+"
-                       r"EXISTS\s+)?|USE\s+)`?(\w+)`?", stmt,
-                       re.IGNORECASE)
-        if dbm:
-            self.dbs.add(dbm.group(1))
-            if re.match(r"\s*USE\b", stmt, re.IGNORECASE):
-                self.current_db = dbm.group(1)
-        ddbm = re.match(r"\s*DROP\s+DATABASE\s+(IF\s+EXISTS\s+)?"
-                        r"`?(\w+)`?\s*(FORCE)?", stmt, re.IGNORECASE)
-        if ddbm and not ddbm.group(1) \
-                and ddbm.group(2) not in self.dbs:
-            if self.strict:
-                raise ValueError(f"Unknown database "
-                                 f"'{ddbm.group(2)}'")
-            return StatementResult(
-                stmt, "skipped",
-                reason=f"Unknown database '{ddbm.group(2)}'")
-        if ddbm and ddbm.group(2) in self.dbs:
-            if not ddbm.group(3):
-                # non-FORCE db drops land in the catalog recycle bin
-                # (information_schema.recyclebin_catalogs)
-                self.db_trash.append(ddbm.group(2))
-            # INSERT jobs live in the FE LoadMgr keyed by db and are
-            # purged with it; stream-load history survives
-            # (test_loads_predicate_pushdown pins the split)
-            self.loads = [ld for ld in self.loads
-                          if not (ld["db_name"] == ddbm.group(2)
-                                  and ld["type"] == "INSERT")]
-        bcm9 = re.match(
-            r"\s*UPDATE\s+information_schema\.be_configs\s+SET\s+"
-            r"VALUE\s*=\s*['\"]([^'\"]*)['\"]\s*WHERE\s+name\s*=\s*"
-            r"['\"]([^'\"]*)['\"]", stmt, re.IGNORECASE)
-        if bcm9:
-            # UPDATE on the be_configs scanner pushes a config to the
-            # BEs (fe BeConfigsSystemTable UPDATE path). Recorded in a
-            # session dict; the statement yields an EMPTY result set
-            # (the R file records an empty block), so the suite's
-            # check floor is real.
-            if not hasattr(self, "be_configs"):
-                self.be_configs = {}
-            self.be_configs[bcm9.group(2)] = bcm9.group(1)
-            return StatementResult(
-                stmt, "select",
-                df=self.spark.createDataFrame([], "ok string"))
-        scm9 = re.match(r"\s*SHOW\s+COLUMNS\s+FROM\s+`?(\w+)`?\s*"
-                        r"(?:WHERE\s+Field\s*=\s*'([^']*)')?\s*$",
-                        stmt, re.IGNORECASE)
-        if scm9 and scm9.group(1) in self.defs:
-            # MySQL six-column shape; integer display widths drop,
-            # Key renders '' for non-key columns (test_show_column)
-            d9 = self.defs[scm9.group(1)]
-            ints9 = ("tinyint", "smallint", "int", "integer",
-                     "bigint", "largeint")
-            rows9 = []
-            for c in d9.cols:
-                if scm9.group(2) and c.name != scm9.group(2):
-                    continue
-                base9 = re.split(r"[(<]", c.sr_type, 1)[0]
-                rows9.append((
-                    c.name,
-                    base9 if base9 in ints9 else c.sr_type,
-                    "YES" if c.nullable else "NO",
-                    "YES" if c.name in d9.key_cols else "",
-                    None if (c.default is None
-                             or c.default.upper() == "NULL")
-                    else c.default.strip("'"), ""))
-            df9 = self.spark.createDataFrame(
-                rows9, "Field string, Type string, `Null` string, "
-                       "`Key` string, Default string, Extra string")
-            return StatementResult(stmt, "select", df9)
-        sfc = re.match(r"\s*SHOW\s+FULL\s+COLUMNS\s+FROM\s+"
-                       r"`?(\w+)`?\s*$", stmt, re.IGNORECASE)
-        if sfc and sfc.group(1) in self.defs:
-            # MySQL 9-column shape; the integer family prints without
-            # its display width, varchar keeps it (SchemaColumnsScanner)
-            d9 = self.defs[sfc.group(1)]
-            ints9 = ("tinyint", "smallint", "int", "integer",
-                     "bigint", "largeint")
-            rows9 = []
-            for c in d9.cols:
-                base9 = re.split(r"[(<]", c.sr_type, 1)[0]
-                disp9 = base9 if base9 in ints9 else c.sr_type
-                dflt9 = (None if (c.default is None
-                                  or c.default.upper() == "NULL")
-                         else c.default.strip("'"))
-                rows9.append((c.name, disp9, "",
-                              "YES" if c.nullable else "NO",
-                              "YES" if c.name in d9.key_cols
-                              else "NO", dflt9, "", "", ""))
-            df9 = self.spark.createDataFrame(
-                rows9, "Field string, Type string, Collation string, "
-                       "`Null` string, `Key` string, Default string, "
-                       "Extra string, Privileges string, "
-                       "Comment string")
-            return StatementResult(stmt, "select", df9)
-        cim = re.match(r"\s*CREATE\s+INDEX\s+`?(\w+)`?\s+ON\s+"
-                       r"`?(\w+)`?\s*\(\s*`?(\w+)`?\s*\)\s*"
-                       r"(?:USING\s+(\w+)\s*)?"
-                       r"(?:COMMENT\s+'[^']*'\s*)?$",
-                       stmt, re.IGNORECASE)
-        if cim:
-            # CREATE INDEX — the standalone spelling of ALTER TABLE
-            # ADD INDEX (fe CreateIndexStmt); also valid on an async
-            # MV (test_alter_mv: bitmap index on an MV column)
-            iname, tgt, icol, iusing = cim.groups()
-            if tgt in self.defs:
-                return self.execute(
-                    f"ALTER TABLE {tgt} ADD INDEX {iname} ({icol}) "
-                    f"USING {(iusing or 'BITMAP').upper()}")
-            if tgt in self.mvs:
-                self._refresh_views()
-                cols = [f.name for f in
-                        self._select(self.mvs[tgt].select_sql)
-                        .schema.fields]
-                if icol not in cols:
-                    raise ValueError(
-                        f"Unknown column '{icol}' in MV '{tgt}'")
-                self.mvs[tgt].props.setdefault(
-                    "__indexes", {})[iname] = {
-                    "col": icol,
-                    "using": (iusing or "BITMAP").upper()}
-                return StatementResult(stmt, "noop")
-            raise ValueError(f"create index: unknown target {tgt}")
-        scv = re.match(r"\s*SHOW\s+CREATE\s+VIEW\s+`?(\w+)`?\s*$",
-                       stmt, re.IGNORECASE)
-        if scv and scv.group(1) in self.view_meta:
-            vn, vm = scv.group(1), self.view_meta[scv.group(1)]
-            head9 = ("CREATE VIEW `" + vn + "` ("
-                     + ", ".join(f"`{c}`" for c in vm["cols"]) + ")")
-            if vm["comment"]:
-                head9 += f'\nCOMMENT "{vm["comment"]}"'
-            body9 = re.sub(
-                r'"(aws\.s3\.(?:access_key|secret_key))"\s*=\s*'
-                r'"[^"]*"', r'"\1" = ***', vm["body"].rstrip())
-            ddl9 = head9 + " SECURITY NONE AS " + body9 + ";"
-            df9 = self.spark.createDataFrame(
-                [(vn, ddl9, "utf8", "utf8_general_ci")],
-                "View string, `Create View` string, "
-                "character_set_client string, collation_connection "
-                "string")
-            return StatementResult(stmt, "select", df9)
-        scm = re.match(r"\s*SHOW\s+CREATE\s+TABLE\s+`?(\w+)`?\s*$",
-                       stmt, re.IGNORECASE)
-        if scm and scm.group(1) in self.defs:
-            d = self.defs[scm.group(1)]
-            try:
-                ddl = _render_show_create(d, cloud=self.cloud_profile)
-            except ValueError as e:
-                return StatementResult(stmt, "skipped",
-                                       reason=str(e)[:500])
-            df = self.spark.createDataFrame(
-                [(d.name, ddl)],
-                "Table string, `Create Table` string")
-            return StatementResult(stmt, "select", df)
-        if re.match(r"\s*DESC(?:RIBE)?\s+information_schema\."
-                    r"temp_tables\s*$", stmt, re.IGNORECASE):
-            df9 = self.spark.createDataFrame(
-                [(n, t, "YES", "false", None, "")
-                 for n, t in self._TEMP_TABLES_SCHEMA],
-                "Field string, Type string, Null string, Key string, "
-                "Default string, Extra string")
-            return StatementResult(stmt, "select", df9)
-        dsi = re.match(r"\s*DESC(?:RIBE)?\s+information_schema\."
-                       r"(\w+)\s*$", stmt, re.IGNORECASE)
-        if dsi and dsi.group(1).lower() in self._IS_STATIC:
-            # scanner columns render as bigint / varchar(2048) in the
-            # MySQL six-column DESC shape (SchemaScannerColumn types)
-            schema9 = self._IS_STATIC[dsi.group(1).lower()][0]
-            rows9 = []
-            for item9 in schema9.split(","):
-                nm9, ty9 = item9.strip().rsplit(" ", 1)
-                rows9.append((nm9.strip("`"),
-                              {"string": "varchar(2048)",
-                               "int": "int",
-                               "boolean": "boolean"}.get(ty9, ty9),
-                              "YES", "false", None, ""))
-            df9 = self.spark.createDataFrame(
-                rows9, "Field string, Type string, Null string, "
-                       "Key string, Default string, Extra string")
-            return StatementResult(stmt, "select", df9)
-        dsm = re.match(r"\s*DESC(?:RIBE)?\s+`?(\w+)`?\s*$", stmt,
-                       re.IGNORECASE)
-        if dsm and dsm.group(1) in self.defs:
-            # DESC renders the MySQL-protocol six-column shape
-            # (Field/Type/Null/Key/Default/Extra) the R files record
-            d = self.defs[dsm.group(1)]
-            rows = [(c.name, c.sr_type,
-                     "YES" if c.nullable else "NO",
-                     "true" if c.name in d.key_cols else "false",
-                     None if (c.default is None
-                              or c.default.upper() == "NULL")
-                     else c.default.strip("'"),
-                     "BLOOM_FILTER" if c.name in d.bf_cols else "")
-                    for c in d.cols]
-            df = self.spark.createDataFrame(
-                rows, "Field string, Type string, Null string, "
-                      "Key string, Default string, Extra string")
-            return StatementResult(stmt, "select", df)
+        r = self._pre_dispatch(stmt, PRE1)
+        if isinstance(r, StatementResult):
+            return r
+        stmt = r
         if re.search(r"\bfiles\s*\(", stmt, re.IGNORECASE) \
                 or re.search(r"\$\d", stmt):
             try:
@@ -3143,73 +2768,10 @@ class ScriptRunner:
         # temporary tables (fe CreateTemporaryTableStmt): same engine
         # behavior, separate listing namespace — strip the keyword and
         # track the name so SHOW [TEMPORARY] TABLES partitions them
-        ttm = re.match(r"\s*CREATE\s+TEMPORARY\s+TABLE\s+"
-                       r"(?:IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?",
-                       stmt, re.IGNORECASE)
-        acm9 = re.match(r"\s*ADMIN\s+SET\s+FRONTEND\s+CONFIG\s*\(\s*"
-                        r'"([^"]+)"\s*=\s*"([^"]*)"', stmt,
-                        re.IGNORECASE)
-        if acm9:
-            # FE config toggles the runner honors (feature gates)
-            self.vars[acm9.group(1).lower()] = acm9.group(2).lower()
-            return StatementResult(stmt, "noop")
-        if ttm and self.vars.get("enable_experimental_temporary_table",
-                                 "true") == "false":
-            msg9 = ("Temporary table feature is experimental and "
-                    "disabled (enable_experimental_temporary_table"
-                    "=false)")
-            if self.strict:
-                raise ValueError(msg9)
-            return StatementResult(stmt, "skipped", reason=msg9)
-        if ttm:
-            nm9 = ttm.group(1)
-            if nm9 in self.defs and nm9 not in self.temp_tables:
-                # a temporary table SHADOWS a same-named permanent
-                # one until it is dropped (fe TemporaryTableMgr)
-                self.shadowed[nm9] = (self.defs.pop(nm9),
-                                      self.tables.pop(nm9))
-            stmt = re.sub(r"(?i)^(\s*CREATE\s+)TEMPORARY\s+", r"\1",
-                          stmt, count=1)
-            self.temp_tables.add(nm9)
-        dtm = re.match(r"\s*DROP\s+TEMPORARY\s+TABLE\s+"
-                       r"(?:IF\s+EXISTS\s+)?`?(\w+)`?\s*$",
-                       stmt, re.IGNORECASE)
-        if dtm:
-            nm9 = dtm.group(1)
-            if nm9 not in self.temp_tables:
-                return StatementResult(
-                    stmt, "skipped",
-                    reason=f"Table '{nm9}' is not a temporary table")
-            self.temp_tables.discard(nm9)
-            self.tables.pop(nm9).drop()
-            del self.defs[nm9]
-            if nm9 in self.shadowed:
-                self.defs[nm9], self.tables[nm9] = \
-                    self.shadowed.pop(nm9)
-            return StatementResult(stmt, "noop")
-        adr = re.match(r"\s*ALTER\s+DATABASE\s+`?(\w+)`?\s+RENAME\s+"
-                       r"`?(\w+)`?\s*$", stmt, re.IGNORECASE)
-        if adr:
-            # flat namespace: track the rename so references through
-            # the OLD name raise Unknown database
-            self.dbs.discard(adr.group(1))
-            self.dbs.add(adr.group(2))
-            self.dropped_dbs.add(adr.group(1))
-            return StatementResult(stmt, "noop")
-        shm9 = re.match(r"\s*SHOW\s+(TEMPORARY\s+)?TABLES\s*$",
-                        stmt, re.IGNORECASE)
-        if shm9:
-            tmp9 = bool(shm9.group(1))
-            names = sorted(
-                n for n in (list(self.defs) + sorted(self.views)
-                            + list(self.mvs))
-                if (n in self.temp_tables) == tmp9)
-            rows9 = [(n,) for n in names] or [("",)]
-            df9 = self.spark.createDataFrame(
-                rows9, "Tables_in_db string")
-            if not names:
-                df9 = df9.filter("Tables_in_db != ''")
-            return StatementResult(stmt, "select", df9)
+        r = self._pre_dispatch(stmt, PRE2)
+        if isinstance(r, StatementResult):
+            return r
+        stmt = r
         kind = classify(stmt)
         if kind in ("insert", "update", "delete", "truncate", "alter"):
             # any data mutation invalidates cached ANN index artifacts
@@ -3303,6 +2865,12 @@ class ScriptRunner:
                             mv.inactive_reason = (
                                 f"base-table dropped: {name}")
             elif kind == "truncate":
+                if re.match(r"\s*TRUNCATE\s+TABLE\s+_statistics_\."
+                            r"query_history\b", stmt, re.IGNORECASE):
+                    # the query-history ledger table (fe
+                    # QueryHistoryMgr; test_query_history)
+                    self.query_hist = []
+                    return StatementResult(stmt, "noop")
                 name = re.match(r"\s*TRUNCATE\s+TABLE\s+`?(\w+)`?",
                                 stmt, re.IGNORECASE).group(1)
                 if name not in self.tables:
@@ -3314,6 +2882,27 @@ class ScriptRunner:
                 self._check_txn_read(stmt)
                 self._refresh_views()
                 self._remat_views()
+                if re.search(r"\b_(tablet|segment|row)_id_\b", stmt):
+                    stmt = self._virt_rewrite(stmt)
+                if re.search(r"\b_statistics_\.query_history\b",
+                             stmt, re.IGNORECASE):
+                    rows9 = [(q,) for q in
+                             getattr(self, "query_hist", [])]
+                    df9 = self.spark.createDataFrame(
+                        rows9 or [("",)], "sql_digest string")
+                    if not rows9:
+                        df9 = df9.filter("sql_digest != ''")
+                    df9.createOrReplaceTempView(
+                        "__stats_query_history")
+                    stmt = re.sub(r"\b_statistics_\.query_history\b",
+                                  "__stats_query_history", stmt,
+                                  flags=re.IGNORECASE)
+                elif self.vars.get("enable_query_history") == "true":
+                    # digest = the normalized statement text (fe
+                    # QueryHistoryMgr stores the sql digest)
+                    if not hasattr(self, "query_hist"):
+                        self.query_hist = []
+                    self.query_hist.append(" ".join(stmt.split()))
                 return StatementResult(stmt, "select", self._select(stmt))
             elif kind == "createview":
                 vm2 = re.match(
@@ -4527,7 +4116,8 @@ class ScriptRunner:
         statement under ANSI mode and re-reports a decimal overflow
         with the reference's message text."""
         conf = self.spark.conf
-        hint = bool(_ERRIFOVERFLOW_RE.search(stmt))
+        hint = (bool(_ERRIFOVERFLOW_RE.search(stmt))
+                or "ERROR_IF_OVERFLOW" in self.sql_mode)
         prev_loss = conf.get(
             "spark.sql.decimalOperations.allowPrecisionLoss", "true")
         prev_ansi = conf.get("spark.sql.ansi.enabled", "false")
@@ -4549,6 +4139,14 @@ class ScriptRunner:
                                       self._dec_col_types())
         try:
             df = self._select_impl(stmt)
+            if not df.columns:
+                # analyzer parity: star-EXCLUDE must keep ≥1 column
+                # (fe SelectAnalyzer; test_all_column_exclude) —
+                # Spark happily projects zero columns
+                raise ValueError(
+                    "Getting analyzing error. Detail message: "
+                    "EXCLUDE clause removes all columns from the "
+                    "SELECT clause.")
             clamped = self._clamp_agg_scale(stmt, df)
             if clamped is not None:
                 df = clamped
@@ -4556,8 +4154,21 @@ class ScriptRunner:
                 try:
                     rows = df.collect()
                 except Exception as e:  # noqa: BLE001 — re-reported
-                    raise ValueError(
-                        _overflow_msg(stmt, str(e))) from None
+                    raise ValueError(_overflow_msg(
+                        stmt, str(e),
+                        self._has_decimal_src(stmt))) from None
+                df = self.spark.createDataFrame(rows, df.schema)
+            elif ("ERROR_FOR_DIVISION_BY_ZERO" in self.sql_mode
+                    and "%" in stmt):
+                # Spark reports modulo-by-zero as REMAINDER_BY_ZERO;
+                # the reference's mode names both 'Division by zero'
+                try:
+                    rows = df.collect()
+                except Exception as e:  # noqa: BLE001 — re-reported
+                    if "REMAINDER_BY_ZERO" in str(e):
+                        raise ValueError(
+                            "Division by zero") from None
+                    raise
                 df = self.spark.createDataFrame(rows, df.schema)
             return df
         finally:
@@ -4566,6 +4177,119 @@ class ScriptRunner:
                      prev_loss)
             if hint:
                 conf.set("spark.sql.ansi.enabled", prev_ansi)
+
+    _VIRT_STOP = {"on", "where", "group", "order", "limit",
+                  "having", "join", "left", "right", "inner",
+                  "outer", "full", "cross", "union", "except",
+                  "intersect", "using", "qualify"}
+
+    def _mangle_names(self, stmt: str) -> str:
+        """Backticked identifiers with characters outside \\w (the
+        reference allows nearly arbitrary quoted names and column
+        names with dots — test_name_check) map to stable safe
+        aliases, so every downstream identifier scan and the storage
+        layer see plain names. The mapping is kept for diagnostics;
+        result VALUES are unaffected."""
+        if not re.search(r"`[^`]*[^`\w][^`]*`", stmt):
+            return stmt
+        if not hasattr(self, "name_mangle"):
+            self.name_mangle = {}
+        out, i, n = [], 0, len(stmt)
+        while i < n:
+            ch = stmt[i]
+            if ch in ("'", '"'):
+                j = dialect.skip_quoted(stmt, i)
+                out.append(stmt[i:j])
+                i = j
+                continue
+            if ch == "`":
+                j = stmt.find("`", i + 1)
+                if j < 0:
+                    out.append(stmt[i:])
+                    break
+                inner = stmt[i + 1:j]
+                if inner and not re.fullmatch(r"\w+", inner):
+                    key = ("__qn_"
+                           + hashlib.md5(inner.encode())
+                           .hexdigest()[:10])
+                    self.name_mangle[key] = inner
+                    out.append(key)
+                else:
+                    out.append(stmt[i:j + 1])
+                i = j + 1
+                continue
+            out.append(ch)
+            i += 1
+        return "".join(out)
+
+    def _virt_rewrite(self, stmt: str) -> str:
+        """Virtual columns _tablet_id_/_segment_id_/_row_id_ (fe
+        VirtualColumn over the OLAP scan): tablet = the distribution
+        bucket the row hashes to, segment 0 (one per tablet at
+        acceptance scale), row id = the dense per-tablet ordinal.
+        Statement-gated: only queries that NAME a virtual column pay
+        the per-tablet row_number window."""
+        from pyspark.sql import Window as W
+        from pyspark.sql import functions as F
+
+        for name, d in list(self.defs.items()):
+            if not re.search(rf"\b{re.escape(name)}\b", stmt):
+                continue
+            t = self.tables.get(name)
+            if t is None or not t._exists():
+                continue
+            try:
+                df = self.spark.table(name)
+            except Exception:  # noqa: BLE001 — view not registered
+                continue
+            buckets = d.buckets or 1
+            hcol = (F.pmod(F.hash(*[F.col(c) for c in d.hash_cols]),
+                           F.lit(buckets))
+                    if d.hash_cols else F.lit(0))
+            df = df.withColumn("_tablet_id_",
+                               (F.lit(30001) + hcol).cast("bigint"))
+            df = df.withColumn("_segment_id_",
+                               F.lit(0).cast("bigint"))
+            df = df.withColumn(
+                "_row_id_",
+                (F.row_number().over(
+                    W.partitionBy("_tablet_id_")
+                    .orderBy(F.monotonically_increasing_id())) - 1)
+                .cast("bigint"))
+            df.createOrReplaceTempView(f"__virt_{name}")
+
+            def _sub(m, name=name):
+                alias = m.group(3)
+                if alias and alias.strip().split()[-1].lower() \
+                        in self._VIRT_STOP:
+                    # the consumed word is a clause keyword, not an
+                    # alias — keep it in the output
+                    return (f"{m.group(1)} __virt_{name} {name}"
+                            f"{m.group(3)}")
+                return (f"{m.group(1)} __virt_{name}"
+                        + (alias or f" {name}"))
+
+            # a [_META_] suffix folds into the virt view: the meta
+            # scan's per-tablet _tablet_id_ values are exactly the
+            # virt view's (sources/files.py MetaScanNode)
+            stmt = re.sub(
+                rf"(?i)\b(from|join)\s+`?{re.escape(name)}`?"
+                rf"(\s*\[_META_\])?(\s+(?:as\s+)?\w+)?",
+                _sub, stmt)
+        return stmt
+
+    def _has_decimal_src(self, stmt: str) -> bool:
+        """True when the statement's inputs include any decimal-typed
+        value: a decimal literal, a nested decimal cast beyond the
+        target, or a decimal-typed column reference."""
+        if re.search(r"\d\.\d", stmt):
+            return True
+        try:
+            dec_cols = self._dec_col_types()
+        except Exception:  # noqa: BLE001 — no tables yet
+            dec_cols = {}
+        return any(re.search(rf"\b{re.escape(cn)}\b", stmt)
+                   for cn in dec_cols)
 
     def _clamp_agg_scale(self, stmt: str, df: DataFrame):
         """StarRocks clamps sum/avg over a decimal argument with
@@ -5059,6 +4783,14 @@ class ScriptRunner:
         self.defs[d.name] = d
 
     def _insert(self, stmt: str) -> None:
+        bh9 = re.match(r"\s*INSERT\s+INTO\s+blackhole\s*\(\s*\)\s*(.+)$",
+                       stmt, re.IGNORECASE | re.DOTALL)
+        if bh9:
+            # blackhole table sink: run the query, discard the rows
+            # (fe BlackHoleTableSink; test_blackhole_sink)
+            self._refresh_views()
+            self._select(bh9.group(1)).collect()
+            return
         stmt = _SETVAR_HINT_RE.sub("", stmt)
         fm9 = re.match(r"\s*INSERT\s+INTO\s+files\s*\(", stmt,
                        re.IGNORECASE)
@@ -5220,8 +4952,8 @@ class ScriptRunner:
                         tuples = drawn
             vnames = [f"c{i}" for i in range(len(listed))]
             proj = ", ".join(
-                f"CAST(v.{vnames[listed.index(c.name)]} AS "
-                f"{spark_type(c.sr_type)}) AS {c.name}"
+                _col_cast(f"v.{vnames[listed.index(c.name)]}", c)
+                + f" AS {c.name}"
                 if c.name in listed
                 else f"CAST({c.default or 'NULL'} AS "
                      f"{spark_type(c.sr_type)}) AS {c.name}"
@@ -5681,328 +5413,379 @@ class ScriptRunner:
         t._rebuild_rollups()
 
     def _alter(self, stmt: str) -> None:
-        """ALTER TABLE add/drop/rename column — the schema-change
-        subset the acceptance suites exercise (AlterTableStatement;
-        the reference runs these as async jobs + wait_alter_table_
-        finish, here a synchronous copy-on-write rewrite)."""
+        """ALTER TABLE — clauses parse on the sqlddl token stream
+        (r11 tokenizer promotion phase 2); application semantics are
+        the same synchronous copy-on-write rewrite as before (fe
+        AlterTableStatement; the reference runs these as async jobs +
+        wait_alter_table_finish)."""
         from pyspark.sql import functions as F
 
-        m = re.match(r"\s*ALTER\s+TABLE\s+`?(\w+)`?\s+(.*)$", stmt,
-                     re.IGNORECASE | re.DOTALL)
-        if not m or m.group(1) not in self.tables:
+        name, action, acts = parse_alter_table(stmt)
+        if name not in self.tables:
             raise ValueError(f"alter: unknown table in {stmt[:60]}")
-        name, action = m.group(1), m.group(2).strip()
         if name in self.temp_tables:
             raise ValueError("temporary table doesn't support alter "
                              "table statement.")
         d, t = self.defs[name], self.tables[name]
 
-        dp2 = re.match(r"DROP\s+PARTITIONS\s+(?:IF\s+EXISTS\s+)?"
-                       r"START\s*\(\s*[\"']([^\"']+)[\"']\s*\)\s*"
-                       r"END\s*\(\s*[\"']([^\"']+)[\"']\s*\)\s*"
-                       r"EVERY\s*\([^)]*\)\s*(FORCE)?\s*$",
-                       action, re.IGNORECASE)
-        if dp2 and getattr(d, "named_parts", None):
-            start9, end9, force9 = dp2.groups()
-            hits = [pn for pn, (lo, hi, _f)
-                    in list(d.named_parts.items())
-                    if lo is not None and hi is not None
-                    and lo >= start9 and hi <= end9]
-            for pn in hits:
-                self._drop_partition(name, pn, bool(force9))
-            return
-        dp1 = re.match(r"DROP\s+PARTITION\s+(?:IF\s+EXISTS\s+)?"
-                       r"`?(\w+)`?\s*(FORCE)?\s*$",
-                       action, re.IGNORECASE)
-        if dp1:
-            self._drop_partition(name, dp1.group(1),
-                                 bool(dp1.group(2)))
-            return
-        apm = re.match(r"ADD\s+PARTITION\s+(?:IF\s+NOT\s+EXISTS\s+)?"
-                       r"`?(\w+)`?\s+VALUES\s+LESS\s+THAN\s*\(\s*"
-                       r"[\"']([^\"']*)[\"']\s*\)\s*"
-                       r"(?:DISTRIBUTED\s+BY\s+\w+"
-                       r"(?:\s+BUCKETS\s+\d+)?)?\s*$",
-                       action, re.IGNORECASE)
-        if apm and getattr(d, "range_col", None):
-            uppers9 = [hi for (_lo, hi, _f)
-                       in d.named_parts.values()]
-            d.named_parts[apm.group(1)] = (
-                uppers9[-1] if uppers9 else None,
-                apm.group(2), not d.named_parts)
-            return
-        aph = re.match(r"ADD\s+PARTITION\s+(?:IF\s+NOT\s+EXISTS\s+)?"
-                       r"`?(\w+)`?\s+VALUES\s+\[\s*\(\s*"
-                       r"[\"']([^\"']*)[\"']\s*\)\s*,\s*\(\s*"
-                       r"(?:(MAXVALUE)|[\"']([^\"']*)[\"'])\s*\)\s*"
-                       r"\)\s*(?:DISTRIBUTED\s+BY\s[\s\S]*)?$",
-                       action, re.IGNORECASE)
-        if aph and getattr(d, "range_col", None):
-            # half-open ADD PARTITION p VALUES [('lo'), ('hi'))
-            d.named_parts[aph.group(1)] = (
-                aph.group(2), None if aph.group(3) else aph.group(4),
-                not d.named_parts)
-            return
-        arm = re.match(r"ADD\s+ROLLUP\s+`?(\w+)`?\s*\(([^)]*)\)\s*"
-                       r"(?:FROM\s+`?\w+`?)?\s*$", action,
-                       re.IGNORECASE)
-        if arm:
-            # sync rollup index (fe AlterJobV2 rollup): a live
-            # aggregate projection of the base — queryable BY NAME
-            # with the [_SYNC_MV_] hint; modeled as a transparent MV
-            rname = arm.group(1)
-            cols9 = [c.strip().strip("`")
-                     for c in arm.group(2).split(",") if c.strip()]
-            aggs9 = {c.name: c.agg for c in d.cols if c.agg}
-            keys9 = [c for c in cols9 if c not in aggs9]
-            vals9x = [c for c in cols9 if c in aggs9]
-            items9 = keys9 + [f"{aggs9[c].lower()}({c}) AS {c}"
-                              for c in vals9x]
-            sql9 = f"SELECT {', '.join(items9)} FROM {name}"
-            if vals9x and keys9:
-                sql9 += f" GROUP BY {', '.join(keys9)}"
-            mv9 = MVDef(rname, sql9, self.current_db, "SYNC", False,
-                        None, {"transparent_mv_rewrite_mode": "true"},
-                        [name], columns=[])
-            mv9.creator = self.current_user
-            self.mvs[rname] = mv9
-            return
-        rm = re.match(r"RENAME\s+COLUMN\s+`?(\w+)`?\s+(?:TO\s+)?"
-                      r"`?(\w+)`?\s*$", action, re.IGNORECASE)
-        if rm:
-            old, new = rm.group(1), rm.group(2)
-            if any(c.name.lower() == new.lower() for c in d.cols):
-                raise ValueError(
-                    f"Column name '{new}' already used")
-            d.col(old).name = new
-            d.key_cols = [new if k == old else k for k in d.key_cols]
-            d.hash_cols = [new if k == old else k for k in d.hash_cols]
-            d.bf_cols = [new if k == old else k for k in d.bf_cols]
-            d.reserved.append(old.lower())
-            if t._exists():
-                t._rewrite(t._current().withColumnRenamed(old, new))
-            t.key_cols = [new if k == old else k for k in t.key_cols]
-            return
+        def unsupported() -> None:
+            raise ValueError(f"alter: unsupported action "
+                             f"{action[:80]}")
 
-        am = re.match(r"ADD\s+COLUMN\s+(.*)$", action,
-                      re.IGNORECASE | re.DOTALL)
-        if am:
-            if re.search(r"\bAUTO_INCREMENT\b", am.group(1),
-                         re.IGNORECASE):
-                # AUTO_INCREMENT columns can only be declared at
-                # CREATE time (fe SchemaChangeHandler)
-                raise ValueError("Can't add an AUTO_INCREMENT column "
-                                 "by ALTER TABLE")
-            body = am.group(1).strip()
-            if body.startswith("("):
-                body, _ = _strip_parens_block(body, 0)
-            defs = [x for x in _split_coldefs(body) if x.strip()]
-            new_cols = []
-            for cd in defs:
-                # one ALTER may chain several ADD COLUMN clauses
-                cd = re.sub(r"^\s*ADD\s+COLUMN\s+", "", cd,
-                            flags=re.IGNORECASE)
-                cm = re.match(
-                    r"\s*`?(\w+)`?\s+(\w+(?:\s*\([^)]*\))?"
-                    r"(?:\s*<[^;]*?>)?)\s*(.*)$", cd,
-                    re.IGNORECASE | re.DOTALL)
-                if not cm:
-                    raise ValueError(f"alter: bad column def {cd[:60]}")
-                cname, ctype, tail2 = (cm.group(1),
-                                       cm.group(2).lower().strip(),
-                                       cm.group(3))
-                if (any(c.name.lower() == cname.lower()
-                        for c in d.cols)
-                        or cname.lower() in d.reserved):
+        for act in acts:
+            k, a = act.kind, act.a
+            if k == "drop_partitions":
+                if not getattr(d, "named_parts", None):
+                    unsupported()
+                hits = [pn for pn, (lo, hi, _f)
+                        in list(d.named_parts.items())
+                        if lo is not None and hi is not None
+                        and lo >= a["start"] and hi <= a["end"]]
+                for pn in hits:
+                    self._drop_partition(name, pn, a["force"])
+            elif k == "drop_partition":
+                self._drop_partition(name, a["name"], a["force"])
+            elif k == "add_partition_lt":
+                if not getattr(d, "range_col", None):
+                    unsupported()
+                uppers9 = [hi for (_lo, hi, _f)
+                           in d.named_parts.values()]
+                d.named_parts[a["name"]] = (
+                    uppers9[-1] if uppers9 else None, a["hi"],
+                    not d.named_parts)
+            elif k == "add_partition_range":
+                if not getattr(d, "range_col", None):
+                    unsupported()
+                # half-open ADD PARTITION p VALUES [('lo'), ('hi'))
+                d.named_parts[a["name"]] = (a["lo"], a["hi"],
+                                            not d.named_parts)
+            elif k == "add_rollup":
+                # sync rollup index (fe AlterJobV2 rollup): a live
+                # aggregate projection of the base — queryable BY NAME
+                # with the [_SYNC_MV_] hint; modeled as a transparent
+                # MV
+                rname, cols9 = a["name"], a["cols"]
+                aggs9 = {c.name: c.agg for c in d.cols if c.agg}
+                keys9 = [c for c in cols9 if c not in aggs9]
+                vals9x = [c for c in cols9 if c in aggs9]
+                items9 = keys9 + [f"{aggs9[c].lower()}({c}) AS {c}"
+                                  for c in vals9x]
+                sql9 = f"SELECT {', '.join(items9)} FROM {name}"
+                if vals9x and keys9:
+                    sql9 += f" GROUP BY {', '.join(keys9)}"
+                mv9 = MVDef(rname, sql9, self.current_db, "SYNC",
+                            False, None,
+                            {"transparent_mv_rewrite_mode": "true"},
+                            [name], columns=[])
+                mv9.creator = self.current_user
+                self.mvs[rname] = mv9
+            elif k == "rename_column":
+                old, new = a["old"], a["new"]
+                if any(c.name.lower() == new.lower() for c in d.cols):
                     raise ValueError(
-                        f"Column '{cname}' already exists")
-                dm2 = re.search(r"DEFAULT\s+(\"[^\"]*\"|'[^']*'|\S+)",
-                                tail2, re.IGNORECASE)
-                default = None
-                if dm2:
-                    default = dm2.group(1)
-                    if default[:1] in "\"'":
-                        default = "'" + default[1:-1] + "'"
-                agg2 = None
-                first2 = (tail2.split(None, 1)[0].upper()
-                          if tail2.strip() else "")
-                if first2 in _AGG_TYPES:
-                    # AGG-table column added with an aggregation type
-                    # (ALTER TABLE ... ADD COLUMN x T REPLACE/SUM ...):
-                    # the read-path rollup must aggregate it too
-                    agg2 = first2
-                    t.agg_spec[cname] = first2.lower()
-                gexpr2 = None
-                gm2 = re.search(r"\bAS\s+(.+)$", tail2,
-                                re.IGNORECASE | re.DOTALL)
-                if gm2:
-                    gexpr2 = re.sub(r'\s*COMMENT\s+"[^"]*"\s*$', "",
-                                    gm2.group(1).strip()) or None
-                new_cols.append(ColumnDef(cname, ctype, agg=agg2,
-                                          default=default,
-                                          gen_expr=gexpr2))
-            if t._exists():
-                raw = t._current()
+                        f"Column name '{new}' already used")
+                d.col(old).name = new
+                d.key_cols = [new if kk == old else kk
+                              for kk in d.key_cols]
+                d.hash_cols = [new if kk == old else kk
+                               for kk in d.hash_cols]
+                d.bf_cols = [new if kk == old else kk
+                             for kk in d.bf_cols]
+                d.reserved.append(old.lower())
+                if t._exists():
+                    t._rewrite(t._current().withColumnRenamed(old,
+                                                              new))
+                t.key_cols = [new if kk == old else kk
+                              for kk in t.key_cols]
+            elif k == "add_columns":
+                new_cols = a["cols"]
                 for c in new_cols:
-                    if c.gen_expr:
-                        # generated column: ALTER-time BACKFILL over
-                        # the stored rows (fe OptimizeJobV2 /
-                        # GeneratedColumnUtil; test_materialized_column)
-                        raw.createOrReplaceTempView("__addcol_src")
-                        self._refresh_views()
-                        raw9 = c.gen_expr
-                        if re.search(r"\bdictionary_get\s*\(", raw9,
-                                     re.IGNORECASE):
-                            raw9 = self._rw_dictionary_get(raw9)
-                        if re.search(r"\bdict_mapping\s*\(", raw9,
-                                     re.IGNORECASE):
-                            raw9 = self._rw_dict_mapping(raw9)
-                        expr9 = dialect.translate(raw9)
-                        raw = self.spark.sql(
-                            f"SELECT *, CAST(({expr9}) AS "
-                            f"{spark_type(c.sr_type)}) AS {c.name} "
-                            f"FROM __addcol_src")
-                        continue
-                    raw = raw.withColumn(
-                        c.name,
-                        F.expr(c.default or "NULL")
-                        .cast(spark_type(c.sr_type)))
-                t._rewrite(raw)
-            d.cols.extend(new_cols)
-            # no physical segments yet: meta-scan column_size is 0
-            # until the next load writes them
-            d.added_cols = (getattr(d, "added_cols", set())
-                            | {c.name for c in new_cols})
-            return
-
-        aim = re.match(r"ADD\s+INDEX\s+`?(\w+)`?\s*\(\s*`?(\w+)`?"
-                       r"\s*\)\s*"
-                       r"(?:USING\s+(VECTOR|GIN|BITMAP|NGRAMBF)\s*)?"
-                       r"(?:\((.*)\)\s*)?(?:COMMENT\s+'[^']*'\s*)?$",
-                       action, re.IGNORECASE | re.DOTALL)
-        if aim:
-            # secondary index DDL (VECTORINDEX / GIN; fe
-            # CreateIndexClause): record the definition — the ANN
-            # probe router uses it (tenann_index_reader.h analog via
-            # operators/indexes.py IvfIndex)
-            iname, icol, iusing, iprops = aim.groups()
-            if (iusing or "").upper() == "GIN" and self.cloud_profile:
-                raise ValueError(
-                    "The inverted index does not support shared data "
-                    "mode")
-            d.col(icol)  # raises on unknown column
-            if iname in d.indexes:
-                raise ValueError(f"index {iname} already exists")
-            props = dict(re.findall(
-                r"['\"]([^'\"]+)['\"]\s*=\s*['\"]([^'\"]*)['\"]",
-                iprops or ""))
-            d.indexes[iname] = {"col": icol,
-                                "using": (iusing or "BITMAP").upper(),
-                                "props": props}
-            return
-        dim2 = re.match(r"DROP\s+INDEX\s+`?(\w+)`?\s*$", action,
-                        re.IGNORECASE)
-        if dim2:
-            if dim2.group(1) not in d.indexes:
-                raise ValueError(
-                    f"index {dim2.group(1)} does not exist")
-            del d.indexes[dim2.group(1)]
-            return
-        # optional KEY marker: MODIFY COLUMN k1 VARCHAR(30) KEY NOT
-        # NULL re-declares an existing key column at a wider type
-        # (fast schema evolution varchar widening;
-        # test_varchar_widen_cloud)
-        mm3 = re.match(r"MODIFY\s+COLUMN\s+`?(\w+)`?\s+"
-                       r"(\w+(?:\s*\([^)]*\))?)\s*(?:KEY\s*)?"
-                       r"(NOT\s+NULL|NULL)?\s*$", action,
-                       re.IGNORECASE | re.DOTALL)
-        if mm3:
-            c = d.col(mm3.group(1))
-            if c.auto_inc:
-                # the AUTO_INCREMENT attribute cannot be modified or
-                # dropped (fe SchemaChangeHandler)
-                raise ValueError(
-                    f"Can't not modify a column to be auto increment "
-                    f"column or modify a auto increment column: "
-                    f"{c.name}")
-            c.sr_type = re.sub(r"\s+", "", mm3.group(2).lower())
-            if mm3.group(3):
-                c.nullable = "NOT" not in mm3.group(3).upper()
-            if t._exists():
-                t._rewrite(t._current().withColumn(
-                    c.name,
-                    F.col(c.name).cast(spark_type(c.sr_type))))
-            return
-
-        dm = re.match(r"DROP\s+COLUMN\s+`?(\w+)`?\s*$", action,
-                      re.IGNORECASE)
-        if dm:
-            col = dm.group(1)
-            if col in d.key_cols:
-                raise ValueError(f"cannot drop key column {col}")
-            d.cols = [c for c in d.cols if c.name != col]
-            if t._exists():
-                t._rewrite(t._current().drop(col))
-            return
-
-        om = re.match(r"ORDER\s+BY\s*\(", action, re.IGNORECASE)
-        if om:
-            # sort-key reorder: storage-layout-only (results are
-            # unaffected; suites that probe storage order use ORDER BY
-            # in their SELECTs) — validate the columns, change nothing
-            inner, _ = _strip_parens_block(action, om.end() - 1)
-            seen2: set[str] = set()
-            for cname in inner.split(","):
-                cname = cname.strip().strip("`")
-                c = d.col(cname)                  # raises if unknown
-                if cname in seen2:
-                    raise ValueError(f"Duplicated column[{cname}]")
-                seen2.add(cname)
-                base2 = re.match(r"\w+", c.sr_type).group(0)
-                if (d.model is TableModel.PRIMARY_KEYS
-                        and base2 in ("float", "double", "json",
-                                      "hll", "bitmap", "percentile")):
-                    # SchemaChangeHandler: sort keys must be
-                    # comparable fixed-order types on PK tables
+                    if c.auto_inc:
+                        # AUTO_INCREMENT columns can only be declared
+                        # at CREATE time (fe SchemaChangeHandler)
+                        raise ValueError(
+                            "Can't add an AUTO_INCREMENT column by "
+                            "ALTER TABLE")
+                    if (any(c0.name.lower() == c.name.lower()
+                            for c0 in d.cols)
+                            or c.name.lower() in d.reserved):
+                        raise ValueError(
+                            f"Column '{c.name}' already exists")
+                    if c.agg:
+                        # AGG-table column added with an aggregation
+                        # type: the read-path rollup must aggregate it
+                        t.agg_spec[c.name] = c.agg.lower()
+                if t._exists():
+                    raw = t._current()
+                    for c in new_cols:
+                        if c.gen_expr:
+                            # generated column: ALTER-time BACKFILL
+                            # over the stored rows (fe OptimizeJobV2 /
+                            # GeneratedColumnUtil;
+                            # test_materialized_column)
+                            raw.createOrReplaceTempView(
+                                "__addcol_src")
+                            self._refresh_views()
+                            raw9 = c.gen_expr
+                            if re.search(r"\bdictionary_get\s*\(",
+                                         raw9, re.IGNORECASE):
+                                raw9 = self._rw_dictionary_get(raw9)
+                            if re.search(r"\bdict_mapping\s*\(",
+                                         raw9, re.IGNORECASE):
+                                raw9 = self._rw_dict_mapping(raw9)
+                            expr9 = dialect.translate(raw9)
+                            raw = self.spark.sql(
+                                f"SELECT *, CAST(({expr9}) AS "
+                                f"{spark_type(c.sr_type)}) AS "
+                                f"{c.name} FROM __addcol_src")
+                            continue
+                        raw = raw.withColumn(
+                            c.name,
+                            F.expr(c.default or "NULL")
+                            .cast(spark_type(c.sr_type)))
+                    t._rewrite(raw)
+                d.cols.extend(new_cols)
+                # no physical segments yet: meta-scan column_size is 0
+                # until the next load writes them
+                d.added_cols = (getattr(d, "added_cols", set())
+                                | {c.name for c in new_cols})
+            elif k == "add_index":
+                # secondary index DDL (VECTORINDEX / GIN; fe
+                # CreateIndexClause): record the definition — the ANN
+                # probe router uses it (tenann_index_reader.h analog
+                # via operators/indexes.py IvfIndex)
+                if (a["using"] or "").upper() == "GIN" \
+                        and self.cloud_profile:
                     raise ValueError(
-                        f"Sort key column[{cname}] type not "
-                        f"supported: {base2.upper()} in PrimaryKey "
-                        f"table")
-            d.sort_cols = [cn.strip().strip("`")
-                           for cn in inner.split(",")]
-            return
+                        "The inverted index does not support shared "
+                        "data mode")
+                d.col(a["col"])  # raises on unknown column
+                if a["name"] in d.indexes:
+                    raise ValueError(
+                        f"index {a['name']} already exists")
+                d.indexes[a["name"]] = {"col": a["col"],
+                                        "using": a["using"],
+                                        "props": a["props"]}
+            elif k == "drop_index":
+                if a["name"] not in d.indexes:
+                    raise ValueError(
+                        f"index {a['name']} does not exist")
+                del d.indexes[a["name"]]
+            elif k in ("add_field", "drop_field"):
+                self._alter_field(name, d, t, k == "add_field", a)
+            elif k == "modify_column":
+                c = d.col(a["col"])
+                if c.auto_inc:
+                    # the AUTO_INCREMENT attribute cannot be modified
+                    # or dropped (fe SchemaChangeHandler)
+                    raise ValueError(
+                        f"Can't not modify a column to be auto "
+                        f"increment column or modify a auto "
+                        f"increment column: {c.name}")
+                c.sr_type = a["type"]
+                if a["nullable"] is not None:
+                    c.nullable = a["nullable"]
+                if t._exists():
+                    t._rewrite(t._current().withColumn(
+                        c.name,
+                        F.col(c.name).cast(spark_type(c.sr_type))))
+            elif k == "drop_column":
+                col = a["col"]
+                if col in d.key_cols:
+                    raise ValueError(f"cannot drop key column {col}")
+                d.cols = [c for c in d.cols if c.name != col]
+                if t._exists():
+                    t._rewrite(t._current().drop(col))
+            elif k == "order_by":
+                # sort-key reorder: storage-layout-only (results are
+                # unaffected; suites that probe storage order use
+                # ORDER BY in their SELECTs) — validate the columns,
+                # change nothing
+                seen2: set[str] = set()
+                for cname in a["cols"]:
+                    c = d.col(cname)              # raises if unknown
+                    if cname in seen2:
+                        raise ValueError(
+                            f"Duplicated column[{cname}]")
+                    seen2.add(cname)
+                    base2 = re.match(r"\w+", c.sr_type).group(0)
+                    if (d.model is TableModel.PRIMARY_KEYS
+                            and base2 in ("float", "double", "json",
+                                          "hll", "bitmap",
+                                          "percentile")):
+                        # SchemaChangeHandler: sort keys must be
+                        # comparable fixed-order types on PK tables
+                        raise ValueError(
+                            f"Sort key column[{cname}] type not "
+                            f"supported: {base2.upper()} in "
+                            f"PrimaryKey table")
+                d.sort_cols = list(a["cols"])
+            elif k == "auto_increment":
+                # restart the sequence at N (fe AlterTableClause
+                # AUTO_INCREMENT counter reset)
+                d.auto_seq = a["n"] - 1
+            elif k == "rename_table":
+                self._rename_table(name, a["new"])
+            elif k == "swap_with":
+                other = a["other"]
+                if other not in self.defs:
+                    raise ValueError(f"swap: unknown table {other}")
+                self.defs[name], self.defs[other] = (
+                    self.defs[other], self.defs[name])
+                self.defs[name].name = name
+                self.defs[other].name = other
+                self.tables[name], self.tables[other] = (
+                    self.tables[other], self.tables[name])
+                # MVs track base tables by identity (table id in the
+                # FE): the object an MV referenced under one name now
+                # carries the other name (AlterJobMgr swapTable)
+                self._retarget_mv_refs({name: other, other: name})
+                self._refresh_views()
+            elif k == "distribution":
+                self._apply_distribution(d, a)
+            else:
+                unsupported()
 
-        acm = re.match(r"AUTO_INCREMENT\s*=\s*(\d+)\s*$", action,
-                       re.IGNORECASE)
-        if acm:
-            # restart the sequence at N (fe AlterTableClause
-            # AUTO_INCREMENT counter reset)
-            d.auto_seq = int(acm.group(1)) - 1
+    def _apply_distribution(self, d, a: dict) -> None:
+        """OPTIMIZE TABLE surface: ALTER TABLE [PARTITIONS(...)]
+        DISTRIBUTED BY ... (fe OptimizeClause / OptimizeJobV2).
+        Bucketing is physical layout Spark re-derives per query, so
+        the visible effect is the catalog definition SHOW CREATE /
+        SHOW PARTITIONS render; analyzer rules match the FE."""
+        cur_random = not d.hash_cols
+        if a["partitions"] is not None:
+            for pn in a["partitions"]:
+                if pn not in (getattr(d, "named_parts", None) or {}):
+                    raise ValueError(
+                        f"Getting analyzing error. Detail message: "
+                        f"partition {pn} does not exist.")
+            if a["random"]:
+                raise ValueError(
+                    "Getting analyzing error. Detail message: not "
+                    "support change distribution type when specify "
+                    "partitions.")
+            if a["hash_cols"] and [c.lower() for c in a["hash_cols"]] \
+                    != [c.lower() for c in d.hash_cols]:
+                raise ValueError(
+                    "Getting analyzing error. Detail message: not "
+                    "support change distribution column when "
+                    "specify partitions.")
+            # partition-local rebucket: physical only — the table
+            # definition (and SHOW CREATE) keeps its bucket count
             return
-        rtm = re.match(r"RENAME\s+(?:TO\s+)?`?(\w+)`?\s*$", action,
-                       re.IGNORECASE)
-        if rtm:
-            self._rename_table(name, rtm.group(1))
+        if a["random"]:
+            if cur_random:
+                raise ValueError(
+                    "Getting analyzing error. Detail message: "
+                    "Random distribution table already supports "
+                    "automatic scaling and does not require "
+                    "optimization.")
+            d.hash_cols = []
+            d.random_explicit = True
+            d.buckets = a["buckets"]
             return
-        swm = re.match(r"SWAP\s+WITH\s+`?(\w+)`?\s*$", action,
-                       re.IGNORECASE)
-        if swm:
-            other = swm.group(1)
-            if other not in self.defs:
-                raise ValueError(f"swap: unknown table {other}")
-            self.defs[name], self.defs[other] = (self.defs[other],
-                                                 self.defs[name])
-            self.defs[name].name, self.defs[other].name = name, other
-            self.tables[name], self.tables[other] = (
-                self.tables[other], self.tables[name])
-            # MVs track base tables by identity (table id in the FE):
-            # the object an MV referenced under one name now carries
-            # the other name (AlterJobMgr swapTable)
-            self._retarget_mv_refs({name: other, other: name})
-            self._refresh_views()
-            return
+        if a["hash_cols"]:
+            for c in a["hash_cols"]:
+                d.col(c)                      # raises on unknown
+            d.hash_cols = list(a["hash_cols"])
+        d.buckets = a["buckets"]
 
-        raise ValueError(f"alter: unsupported action {action[:80]}")
+    def _alter_field(self, name: str, d, t, adding: bool,
+                     a: dict) -> None:
+        """MODIFY COLUMN c ADD/DROP FIELD path — nested struct schema
+        evolution (fe AlterTableClauseAnalyzer add/drop field;
+        test_add_drop_field). The stored rows rewrite through a
+        type-tree rebuild expression: new fields read NULL, dropped
+        fields vanish, array-of-struct elements rebuild through
+        ``transform``."""
+        from pyspark.sql import functions as F
+
+        fse = (d.raw_props.get("fast_schema_evolution", "true")
+               .lower())
+        if fse != "true":
+            raise ValueError(
+                ("Add" if adding else "Drop")
+                + " field for struct column require table enable "
+                  "fast schema evolution")
+        c = d.col(a["col"])
+        root = _parse_type_tree(c.sr_type)
+        path = list(a["path"])
+        node = root
+        # navigate to the parent of the final component
+        for comp in path[:-1]:
+            if comp == "[*]":
+                if node[0] != "array":
+                    raise ValueError(
+                        "Getting analyzing error. Detail message: "
+                        "Target Field is not struct.")
+                node = node[1]
+                continue
+            if node[0] != "struct":
+                raise ValueError(
+                    "Getting analyzing error. Detail message: "
+                    "Target Field is not struct.")
+            hit = next((f for f in node[1] if f[0] == comp), None)
+            if hit is None:
+                raise ValueError(
+                    f"Getting analyzing error. Detail message: "
+                    f"{'Add' if adding else 'Drop'} field {comp} is "
+                    f"not found.")
+            if hit[1][0] == "scalar":
+                raise ValueError(
+                    f"Getting analyzing error. Detail message: "
+                    f"Field {comp} type "
+                    f"{hit[1][1].split('(')[0].upper()} is not "
+                    f"valid.")
+            node = hit[1]
+        final = path[-1]
+        if final == "[*]":
+            raise ValueError(
+                "Getting analyzing error. Detail message: Target "
+                "Field is not struct.")
+        if node[0] == "array" and len(path) == 1:
+            # add/drop field directly on an array column without [*]
+            raise ValueError(
+                "Getting analyzing error. Detail message: Target "
+                "Field is not struct.")
+        if node[0] != "struct":
+            raise ValueError(
+                "Getting analyzing error. Detail message: Target "
+                "Field is not struct.")
+        fields = node[1]
+        names = [f[0] for f in fields]
+        if adding:
+            if final in names:
+                raise ValueError(
+                    f"Getting analyzing error. Detail message: "
+                    f"Field {final} is already exist.")
+            newf = (final, _parse_type_tree(a["ftype"]))
+            if a.get("after"):
+                if a["after"] not in names:
+                    raise ValueError(
+                        f"Getting analyzing error. Detail message: "
+                        f"Field {a['after']} is not found.")
+                fields.insert(names.index(a["after"]) + 1, newf)
+            else:
+                fields.append(newf)
+        else:
+            if final not in names:
+                raise ValueError(
+                    f"Getting analyzing error. Detail message: "
+                    f"Drop field {final} is not found.")
+            if len(fields) == 1:
+                raise ValueError(
+                    f"Getting analyzing error. Detail message: "
+                    f"Field[{final}] is the last field of "
+                    f"column[{a['col']}], can not drop any more.")
+            del fields[names.index(final)]
+        old_tree = _parse_type_tree(c.sr_type)
+        c.sr_type = _render_type_tree(root)
+        if t._exists():
+            expr9 = _retype_expr(f"`{c.name}`", old_tree, root)
+            t._rewrite(t._current().withColumn(
+                c.name,
+                F.expr(expr9).cast(spark_type(c.sr_type))))
+        self._refresh_views()
 
     def _rename_table(self, old: str, new: str) -> None:
         """ALTER TABLE old RENAME new — flat-namespace move; MVs
@@ -6274,11 +6057,14 @@ class ScriptRunner:
         mv.creator = self.current_user
         immediate = bool(re.search(r"\bREFRESH\s+IMMEDIATE\b", head,
                                    re.IGNORECASE))
-        if immediate or (mode in ("ASYNC", "INCREMENTAL")
+        if immediate or (mode in ("ASYNC", "INCREMENTAL", "MANUAL")
                          and not deferred):
-            # non-deferred ASYNC/IMMEDIATE: the reference runs the
-            # first refresh task at creation (test_auto_refresh
-            # records the MV populated right after CREATE)
+            # non-deferred creation: the FE's default refresh moment
+            # is IMMEDIATE (fe CreateMaterializedViewStatement
+            # refreshMoment), so MANUAL MVs too run their first
+            # refresh task at creation (test_auto_refresh,
+            # test_add_drop_field record the MV populated right
+            # after CREATE)
             self.mvs[name] = mv
             self._materialize_mv(mv, limit=self._mv_limit(mv))
         else:
@@ -8278,6 +8064,20 @@ def _rows_match(expected: list[str], actual: list[str],
 # WHY. Matching statements are recorded as explicit skips — they stay
 # visible in the suite's skip budget, never silently dropped.
 KNOWN_DIFFS: dict[str, str] = {
+    # the online-optimize cases load data through `shell: bash
+    # insert.sh` loops (concurrent writes racing the OPTIMIZE job) —
+    # shell directives don't replay locally, so the row counts those
+    # loops produced can't be reproduced; the optimize/DDL statements
+    # around them are all checked
+    "test_optimize_table::select count(*) from t":
+        "row counts come from the insert.sh shell loop, which the "
+        "runner does not execute",
+    "test_optimize_table::select * from t":
+        "row data comes from the insert.sh shell loop, which the "
+        "runner does not execute",
+    "test_optimize_table::show temporary partitions from t":
+        "temporary-partition OPTIMIZE staging is a background-job "
+        "artifact of the online path",
     # Spark's ORC reader (and pyarrow's) erases char(30)/varchar(200)
     # lengths to plain string, so the CTAS'd struct prints
     # varchar(1048576) for those two fields; every other field of the

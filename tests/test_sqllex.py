@@ -192,3 +192,85 @@ def test_default_expression_captured_whole():
         "c varchar(10) DEFAULT 'x')")
     assert d.col("b").default == "(now())"
     assert d.col("c").default == "'x'"
+
+
+def test_parse_alter_table_clauses():
+    # r11 tokenizer promotion phase 2: every clause family parses off
+    # the shared token stream
+    from starrocks_spark.plans.sqlddl import parse_alter_table as pat
+    n, _, a = pat("ALTER TABLE t DROP PARTITION IF EXISTS p1 FORCE")
+    assert (n, a[0].kind, a[0].a) == (
+        "t", "drop_partition", {"name": "p1", "force": True})
+    _, _, a = pat('ALTER TABLE t ADD PARTITION IF NOT EXISTS p2 '
+                  'VALUES LESS THAN ("100")')
+    assert a[0].kind == "add_partition_lt" and a[0].a["hi"] == "100"
+    _, _, a = pat('ALTER TABLE t ADD PARTITION p3 VALUES '
+                  '[("10"), (MAXVALUE))')
+    assert a[0].kind == "add_partition_range"
+    assert a[0].a == {"name": "p3", "lo": "10", "hi": None}
+    _, _, a = pat("ALTER TABLE t ADD ROLLUP r1 (k, v) FROM t")
+    assert a[0].a == {"name": "r1", "cols": ["k", "v"]}
+    _, _, a = pat("ALTER TABLE t RENAME COLUMN a TO b")
+    assert a[0].kind == "rename_column"
+    _, _, a = pat("ALTER TABLE t ADD COLUMN x int DEFAULT '9', "
+                  "ADD COLUMN y varchar(10)")
+    cols = a[0].a["cols"]
+    assert [c.name for c in cols] == ["x", "y"]
+    assert cols[0].default == "'9'"
+    _, _, a = pat("ALTER TABLE t ADD COLUMN (x int, y int)")
+    assert [c.name for c in a[0].a["cols"]] == ["x", "y"]
+    _, _, a = pat("ALTER TABLE t ADD INDEX i1 (c) USING GIN")
+    assert a[0].a["name"] == "i1" and a[0].a["using"] == "GIN"
+    _, _, a = pat("ALTER TABLE t DROP INDEX i1")
+    assert a[0].kind == "drop_index"
+    _, _, a = pat("ALTER TABLE t MODIFY COLUMN c varchar(30) KEY "
+                  "NOT NULL")
+    assert a[0].a == {"col": "c", "type": "varchar(30)",
+                      "nullable": False}
+    _, _, a = pat("ALTER TABLE t DROP COLUMN c")
+    assert a[0].kind == "drop_column"
+    _, _, a = pat("ALTER TABLE t ORDER BY (a, b)")
+    assert a[0].a["cols"] == ["a", "b"]
+    _, _, a = pat("ALTER TABLE t AUTO_INCREMENT = 100")
+    assert a[0].a["n"] == 100
+    _, _, a = pat("ALTER TABLE t RENAME t2")
+    assert a[0].kind == "rename_table" and a[0].a["new"] == "t2"
+    _, _, a = pat("ALTER TABLE t SWAP WITH u")
+    assert a[0].kind == "swap_with"
+    _, _, a = pat("ALTER TABLE t DISTRIBUTED BY HASH(k) BUCKETS 4")
+    assert a[0].kind == "distribution"
+    assert a[0].a["hash_cols"] == ["k"] and a[0].a["buckets"] == 4
+    _, _, a = pat("ALTER TABLE t PARTITIONS(p1,p2) DISTRIBUTED BY "
+                  "HASH(k) BUCKETS 4")
+    assert a[0].a["partitions"] == ["p1", "p2"]
+    with pytest.raises(ValueError, match="unsupported action"):
+        pat("ALTER TABLE t FROBNICATE")
+
+
+def test_parse_alter_add_drop_field():
+    from starrocks_spark.plans.sqlddl import parse_alter_table as pat
+    _, _, a = pat("alter table t modify column c1 add field v1.v5 "
+                  "int")
+    assert a[0].kind == "add_field"
+    assert a[0].a["path"] == ["v1", "v5"] and a[0].a["ftype"] == "int"
+    _, _, a = pat("alter table t modify column c1 add field [*].v9 "
+                  "int AFTER v2")
+    assert a[0].a["path"] == ["[*]", "v9"]
+    assert a[0].a["after"] == "v2"
+    _, _, a = pat("alter table t modify column c1 drop field [*]")
+    assert a[0].kind == "drop_field" and a[0].a["path"] == ["[*]"]
+
+
+def test_type_tree_roundtrip_and_retype():
+    from starrocks_spark.plans.sqlddl import (_parse_type_tree,
+                                              _render_type_tree,
+                                              _retype_expr)
+    s = "struct<v1 int,v2 struct<v3 int,v4 int>>"
+    t = _parse_type_tree(s)
+    assert _render_type_tree(t) == s
+    t2 = _parse_type_tree("struct<v2 struct<v3 int,v4 int>,val1 int>")
+    e = _retype_expr("`c`", t, t2)
+    assert "named_struct" in e and "'val1', NULL" in e
+    a1 = _parse_type_tree("array<struct<v1 int,v2 int>>")
+    a2 = _parse_type_tree("array<struct<v2 int>>")
+    assert _retype_expr("`c`", a1, a2).startswith("transform(")

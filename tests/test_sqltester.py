@@ -702,6 +702,33 @@ _SUITES = [
     # DROP CACHE, dictionary_get struct lookups + [n] subscripts;
     # 30 skips: analyzer rejections the runner accepts leniently
     ("test_dictionary", "test_dictionary", 67, 30),
+    # --- r11 batch: the last locally runnable reference suites
+    # (r10 verdict What's missing #1–#5). test_add_drop_field is the
+    # nested-struct schema-evolution tier (ADD/DROP FIELD on the
+    # token-based ALTER parser); make_sort_key pins encode_sort_key's
+    # byte-exact memcomparable encoding; optimize_table pins the
+    # ALTER distribution surface (its online cases load through a
+    # shell loop the runner doesn't execute — waived in KNOWN_DIFFS).
+    ("test_add_drop_field", "test_add_drop_field", 29, 0),
+    ("test_make_sort_key", "test_make_sort_key_json", 6, 0),
+    # 5 skips: [REGEX] error-TEXT expectations where Spark's message
+    # wording differs (column-not-found / parse-error phrasing)
+    ("test_others", "test_all_column_exclude", 11, 5),
+    ("test_colocate_set", "test_colocate_set", 4, 0),
+    ("test_sql_mode_errors",
+     "test_division_by_zero_and_str_to_date", 17, 0),
+    ("test_exception", "test_number_overflow", 2, 0),
+    ("test_exception", "test_gen_large_column", 1, 0),
+    ("test_exception", "test_prepare_slow", 1, 0),
+    ("test_exception", "test_pipeline_time_guard", 7, 0),
+    ("test_query_history", "test_query_history", 2, 0),
+    ("test_blockhole_sink", "test_blackhole_sink", 1, 0),
+    ("test_optimize_table", "test_optimize_table", 85, 26),
+    ("test_virtual_column", "test_virtual_column_row_id", 6, 0),
+    ("test_virtual_column", "test_virtual_column_tablet_id", 6, 0),
+    ("test_full_sort_use_german_string",
+     "test_full_sort_use_german_string", 6, 0),
+    ("test_name_check", "test_name_check", 2, 0),
 ]
 
 
