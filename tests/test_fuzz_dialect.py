@@ -1,0 +1,227 @@
+"""Differential fuzzing of the dialect layer (r10 verdict ask #3).
+
+The fixed reference suites are nearly exhausted; the remaining risk
+in the translation layer is inputs no suite exercises. This harness
+generates random but TYPE-CORRECT StarRocks-flavored SQL over the
+sf0.001 lineitem/orders tables — expressions drawn from the
+implemented function surface, random predicate/GROUP BY/window
+shapes — and runs each statement through ``dialect.translate`` on
+Spark AND verbatim on DuckDB, comparing normalized row multisets.
+Mismatches shrink by dropping select items / simplifying the
+predicate before reporting.
+
+Seeded and bounded: SPARK_FUZZ_N queries (default 60, ~90 s with a
+warm session). Divergences found are either fixed in the dialect or
+recorded in FUZZ_KNOWN_DIFFS below with the reason.
+"""
+from __future__ import annotations
+
+import os
+import random
+
+import duckdb
+import pytest
+
+from starrocks_spark.plans import dialect
+
+SF_DIR = os.environ.get("SPARK_GRAFT_FUZZ_DIR",
+                        "/root/testdata/sf0.001")
+
+# grammar scope: functions present (same semantics) in StarRocks,
+# Spark (after translate) and DuckDB — the comparable surface
+NUM_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_linenumber"]
+STR_COLS = ["l_returnflag", "l_linestatus"]
+DATE_COLS = ["l_shipdate"]
+KEY_COLS = ["l_orderkey", "l_partkey", "l_suppkey"]
+
+# statement texts whose divergence is understood and accepted —
+# populated only when a real, documented engine difference shows up
+FUZZ_KNOWN_DIFFS: dict[str, str] = {}
+
+
+class Gen:
+    def __init__(self, rng: random.Random):
+        self.r = rng
+
+    def num(self, depth=0) -> str:
+        r = self.r
+        if depth > 2 or r.random() < 0.4:
+            return r.choice(NUM_COLS + KEY_COLS
+                            + [str(r.randint(0, 50)),
+                               f"{r.uniform(0, 9):.2f}"])
+        pick = r.randrange(7)
+        if pick == 0:
+            return f"({self.num(depth+1)} + {self.num(depth+1)})"
+        if pick == 1:
+            return f"({self.num(depth+1)} - {self.num(depth+1)})"
+        if pick == 2:
+            # multiply only small factors: ANSI/duck overflow parity
+            return (f"({r.choice(NUM_COLS)} * "
+                    f"{r.randint(1, 9)})")
+        if pick == 3:
+            return f"abs({self.num(depth+1)})"
+        if pick == 4:
+            return (f"least({self.num(depth+1)}, "
+                    f"{self.num(depth+1)})")
+        if pick == 5:
+            return (f"greatest({self.num(depth+1)}, "
+                    f"{self.num(depth+1)})")
+        return (f"(CASE WHEN {self.pred(depth+1)} THEN "
+                f"{self.num(depth+1)} ELSE {self.num(depth+1)} END)")
+
+    def txt(self, depth=0) -> str:
+        r = self.r
+        if depth > 1 or r.random() < 0.5:
+            return r.choice(STR_COLS + ["'A'", "'NO'", "'xy'"])
+        pick = r.randrange(4)
+        if pick == 0:
+            return f"upper({self.txt(depth+1)})"
+        if pick == 1:
+            return f"lower({self.txt(depth+1)})"
+        if pick == 2:
+            return (f"concat({self.txt(depth+1)}, "
+                    f"{self.txt(depth+1)})")
+        return f"substr({self.txt(depth+1)}, 1, {r.randint(1, 3)})"
+
+    def pred(self, depth=0) -> str:
+        r = self.r
+        if depth > 2 or r.random() < 0.5:
+            kind = r.randrange(4)
+            if kind == 0:
+                op = r.choice(["<", "<=", ">", ">=", "=", "<>"])
+                return f"({self.num(depth+1)} {op} {self.num(depth+1)})"
+            if kind == 1:
+                op = r.choice(["=", "<>", "<", ">"])
+                return f"({self.txt(depth+1)} {op} {self.txt(depth+1)})"
+            if kind == 2:
+                c = r.choice(NUM_COLS + STR_COLS)
+                return f"({c} IS {'NOT ' if r.random() < .5 else ''}NULL)"
+            vals = ", ".join(f"'{v}'" for v in
+                             r.sample(["A", "N", "R", "O", "F"], 3))
+            return f"({r.choice(STR_COLS)} IN ({vals}))"
+        op = r.choice(["AND", "OR"])
+        return f"({self.pred(depth+1)} {op} {self.pred(depth+1)})"
+
+    def query(self) -> str:
+        r = self.r
+        shape = r.randrange(10)
+        where = f" WHERE {self.pred()}" if r.random() < 0.8 else ""
+        if shape < 4:
+            # plain projection
+            items = ", ".join(
+                f"{e} AS c{i}" for i, e in enumerate(
+                    [self.num() if r.random() < 0.6 else self.txt()
+                     for _ in range(r.randint(1, 4))]))
+            return (f"SELECT {items} FROM lineitem{where} "
+                    f"ORDER BY l_orderkey, l_linenumber LIMIT 50")
+        if shape < 8:
+            # grouped aggregation
+            keys = r.sample(STR_COLS + ["l_linenumber"],
+                            r.randint(1, 2))
+            aggs = []
+            for i in range(r.randint(1, 3)):
+                fn = r.choice(["sum", "min", "max", "count", "avg"])
+                aggs.append(f"{fn}({self.num()}) AS a{i}")
+            return (f"SELECT {', '.join(keys + aggs)} FROM lineitem"
+                    f"{where} GROUP BY {', '.join(keys)} "
+                    f"ORDER BY {', '.join(keys)}")
+        # window over a deterministic order
+        fn = self.r.choice(
+            ["row_number()", "rank()", "dense_rank()",
+             f"sum({self.r.choice(NUM_COLS)})",
+             f"count({self.r.choice(NUM_COLS)})"])
+        part = self.r.choice(STR_COLS)
+        return (f"SELECT l_orderkey, l_linenumber, {fn} OVER ("
+                f"PARTITION BY {part} ORDER BY l_orderkey, "
+                f"l_linenumber) AS w FROM lineitem{where} "
+                f"ORDER BY l_orderkey, l_linenumber LIMIT 50")
+
+
+def _norm(v) -> str:
+    import datetime
+    import decimal
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "1" if v else "0"
+    if isinstance(v, (float, decimal.Decimal)):
+        f = float(v)
+        if f == int(f) and abs(f) < 1e15:
+            return str(int(f))
+        return f"{f:.6g}"
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return str(v)[:19]
+    return str(v)
+
+
+def _rows(rows) -> list[tuple]:
+    return sorted(tuple(_norm(c) for c in r) for r in rows)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in ("lineitem", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{SF_DIR}/{t}.parquet'")
+    return con
+
+
+@pytest.fixture(scope="module")
+def sparktabs(spark):
+    for t in ("lineitem", "orders"):
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet") \
+            .createOrReplaceTempView(t)
+    return spark
+
+
+def _run_both(spark, duck, sql):
+    s_rows = _rows(spark.sql(dialect.translate(sql)).collect())
+    d_rows = _rows(duck.execute(sql).fetchall())
+    return s_rows, d_rows
+
+
+def _shrink(spark, duck, sql) -> str:
+    """Cheap shrink: drop the WHERE clause, then try each candidate
+    simplification that still disagrees."""
+    cands = []
+    if " WHERE " in sql:
+        import re as _re
+        cands.append(_re.sub(r" WHERE .*?(?=( GROUP BY | ORDER BY ))",
+                             " ", sql, count=1))
+    best = sql
+    for c in cands:
+        try:
+            s, d = _run_both(spark, duck, c)
+        except Exception:  # noqa: BLE001 — shrink candidate invalid
+            continue
+        if s != d and len(c) < len(best):
+            best = c
+    return best
+
+
+def test_fuzz_dialect_vs_duckdb(sparktabs, duck):
+    seed = int(os.environ.get("SPARK_FUZZ_SEED", "1107"))
+    n = int(os.environ.get("SPARK_FUZZ_N", "60"))
+    g = Gen(random.Random(seed))
+    failures = []
+    for i in range(n):
+        sql = g.query()
+        norm = " ".join(sql.split())
+        if norm in FUZZ_KNOWN_DIFFS:
+            continue
+        try:
+            s_rows, d_rows = _run_both(sparktabs, duck, sql)
+        except Exception as e:  # noqa: BLE001 — engine rejected: a
+            # generation bug or a real translate gap — surface it
+            failures.append((sql, f"error: {str(e)[:200]}"))
+            continue
+        if s_rows != d_rows:
+            small = _shrink(sparktabs, duck, sql)
+            failures.append(
+                (small, f"spark={s_rows[:3]} duck={d_rows[:3]} "
+                        f"({len(s_rows)} vs {len(d_rows)} rows)"))
+    assert not failures, (
+        f"{len(failures)}/{n} fuzzed statements diverge; first: "
+        f"{failures[0]}")
