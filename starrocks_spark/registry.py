@@ -101,66 +101,63 @@ _MODULES = [
 # TPC-H/window/setop/asof/funnel families) whose shared engine core
 # moved since their last driver check.
 _PRIORITY = [
-    # --- r10 NEW: the information_schema tier row, plus every
-    # SQL-tester row whose shared runner moved broadly this round
-    # (token-based split/classify/DDL parsing, strict-mode loads,
-    # capture statements, live views, dict_mapping, SET/hint
-    # bind-time evaluation, LATERAL unnest)
-    "dialect_sqltester_infoschema",
-    "dialect_sqltester_files",
-    "dialect_sqltester_case_when",
-    "dialect_sqltester_orderby_agg",
-    "dialect_sqltester_asof_join",
-    "dialect_sqltester_agg_limit",
-    "dialect_sqltester_grouping_set",
-    "dialect_sqltester_null_safe_equal",
-    "dialect_sqltester_sum_rewrite",
-    "dialect_sqltester_unnest",
-    "dialect_sqltester_pk_partial_update",
-    "dialect_sqltester_mv",
-    "dialect_sqltester_vector_index",
-    "dialect_bitmap_sql_surface",
-    "dialect_sqltester_decimal",
-    # --- r10 changed engine code: the running-frame DISTINCT-over-
-    # window restructure (dialect marker desugar) and the insert-path
-    # strict checks / auto-increment draws touch these rows
-    "distinct_multi_agg",
-    "window_running_total",
-    "table_primary_upsert_delete",
-    "table_dup_keys_batches",
-    "files_csv_roundtrip",
-    "files_json_roundtrip",
-    # --- rotation: the 29 never-driver-checked TPC-DS shapes (after
-    # this window every registered query has had a driver row)
-    "tpcds_q44_best_worst",
-    "tpcds_q46_nation_mismatch",
-    "tpcds_q47_monthly_deviation",
-    "tpcds_q48_or_bands",
-    "tpcds_q53_quarter_vs_avg",
-    "tpcds_q57_monthly_outliers",
-    "tpcds_q58_balanced_items",
-    "tpcds_q61_promo_ratio",
-    "tpcds_q65_underperformers",
-    "tpcds_q66_monthly_matrix",
-    "tpcds_q68_two_city_report",
-    "tpcds_q71_hourly_brand",
-    "tpcds_q72_shortfall_promo",
-    "tpcds_q73_basket_band",
-    "tpcds_q74_yoy_quantity_ratio",
-    "tpcds_q75_brand_decline",
-    "tpcds_q76_channel_union_nulls",
-    "tpcds_q83_return_ratio",
-    "tpcds_q84_income_band_lookup",
-    "tpcds_q85_reason_bands",
-    "tpcds_q86_web_rollup_rank",
-    "tpcds_q87_except_count",
-    "tpcds_q89_type_deviation",
-    "tpcds_q90_ampm_ratio",
-    "tpcds_q91_monthly_return_loss",
-    "tpcds_q94_web_clean_orders",
-    "tpcds_q96_band_count",
-    "tpcds_q98_class_share",
-    "tpcds_q99_delay_buckets",
+    # --- r11 rotation: staleness-first (r10 verdict ask #7).
+    # Every registered query has had >=1 driver check; this
+    # window re-drives the 50 stalest rows — everything whose
+    # last driver check was round 1 (39 rows: early TPC-H,
+    # window/grouping/setop/subquery/scalar families) plus the
+    # 11 oldest round-2 rows. The TPC-H rows double as checks
+    # on the r11 bench-headline extension to all 22 queries.
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q14_promo_effect",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_parts_supplier",
+    "tpch_q17_small_quantity",
+    "tpch_q20_potential_promotion",
+    "tpch_q22_global_sales",
+    "window_rank",
+    "window_lead_lag",
+    "window_ntile_dist",
+    "window_moving_avg",
+    "window_first_last",
+    "grouping_rollup",
+    "grouping_cube",
+    "grouping_sets_explicit",
+    "setop_except",
+    "setop_intersect",
+    "setop_union_counts",
+    "subquery_exists",
+    "subquery_not_exists",
+    "subquery_scalar",
+    "qualify_top_order",
+    "pivot_status",
+    "case_when_buckets",
+    "topk_parts",
+    "values_inline_join",
+    "explode_words",
+    "posexplode_embedding",
+    "generate_series_months",
+    "func_string_family",
+    "tpch_q12_shipmode_priority",
+    "tpch_q21_suppliers_kept_waiting",
+    "json_extract_props",
+    "asof_purchase_view",
+    "join_nonequi_range",
+    "point_lookup_pk",
+    "skew_salted_join",
+    "agg_pushdown_nation_revenue",
+    "sessionize_stats",
+    "text_quality_stats",
+    "token_count_stats",
 ]
 
 

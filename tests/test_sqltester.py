@@ -427,7 +427,7 @@ _SUITES = [
     ("test_tablet_internal_parallel", "test_logical_split", 6, 0),
     ("test_ukfk_constraints", "test_ukfk_constraints", 26, 2),
     ("test_union", "test_union_all_with_topn", 32, 4),
-    ("test_unnest", "test_unnest_left_join", 6, 2),
+    ("test_unnest", "test_unnest_left_join", 8, 0),
     ("test_window_function", "test_window_pre_agg_with_rank", 4, 1),
     # --- r8: materialized-view DDL tier (CREATE/REFRESH/DROP/ALTER
     # MATERIALIZED VIEW, information_schema.materialized_views +
