@@ -103,9 +103,40 @@ class Gen:
         op = r.choice(["AND", "OR"])
         return f"({self.pred(depth+1)} {op} {self.pred(depth+1)})"
 
+    def datep(self) -> str:
+        r = self.r
+        c = r.choice(DATE_COLS)
+        pick = r.randrange(3)
+        if pick == 0:
+            return (f"(year({c}) {r.choice(['=', '<', '>'])} "
+                    f"{r.randint(1992, 1998)})")
+        if pick == 1:
+            return f"(month({c}) = {r.randint(1, 12)})"
+        return (f"({c} {r.choice(['<', '>='])} "
+                f"DATE '199{r.randint(2, 8)}-0{r.randint(1, 9)}-15')")
+
     def query(self) -> str:
         r = self.r
-        shape = r.randrange(10)
+        shape = r.randrange(14)
+        if shape >= 12:
+            # join shape: fact-to-dim equi join + mixed predicates
+            pred = self.pred()
+            if r.random() < 0.5:
+                pred = f"({pred} AND {self.datep()})"
+            aggs = ", ".join(
+                f"{r.choice(['sum', 'min', 'max', 'count'])}"
+                f"({self.num()}) AS a{i}" for i in range(2))
+            return (f"SELECT o_orderstatus, {aggs} FROM lineitem "
+                    f"JOIN orders ON l_orderkey = o_orderkey "
+                    f"WHERE {pred} GROUP BY o_orderstatus "
+                    f"ORDER BY o_orderstatus")
+        if shape >= 10:
+            # date-grouped aggregation
+            g = r.choice([f"year({DATE_COLS[0]})",
+                          f"month({DATE_COLS[0]})"])
+            return (f"SELECT {g} AS g, count(*) AS c, "
+                    f"sum({self.num()}) AS s FROM lineitem "
+                    f"WHERE {self.datep()} GROUP BY {g} ORDER BY g")
         where = f" WHERE {self.pred()}" if r.random() < 0.8 else ""
         if shape < 4:
             # plain projection
@@ -159,6 +190,30 @@ def _rows(rows) -> list[tuple]:
     return sorted(tuple(_norm(c) for c in r) for r in rows)
 
 
+def _agree(s_rows, d_rows) -> bool:
+    """Multiset equality with relative float tolerance: Spark types
+    decimal literals DECIMAL where DuckDB computes DOUBLE, so long
+    accumulations legitimately differ past ~6 significant digits —
+    a fixed-digit string render misclassifies boundary halves."""
+    if len(s_rows) != len(d_rows):
+        return False
+    for a, b in zip(s_rows, d_rows):
+        if a == b:
+            continue
+        if len(a) != len(b):
+            return False
+        for x, y in zip(a, b):
+            if x == y:
+                continue
+            try:
+                fx, fy = float(x), float(y)
+            except ValueError:
+                return False
+            if abs(fx - fy) > 1e-5 * max(1.0, abs(fx), abs(fy)):
+                return False
+    return True
+
+
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()
@@ -196,7 +251,7 @@ def _shrink(spark, duck, sql) -> str:
             s, d = _run_both(spark, duck, c)
         except Exception:  # noqa: BLE001 — shrink candidate invalid
             continue
-        if s != d and len(c) < len(best):
+        if not _agree(s, d) and len(c) < len(best):
             best = c
     return best
 
@@ -217,7 +272,7 @@ def test_fuzz_dialect_vs_duckdb(sparktabs, duck):
             # generation bug or a real translate gap — surface it
             failures.append((sql, f"error: {str(e)[:200]}"))
             continue
-        if s_rows != d_rows:
+        if not _agree(s_rows, d_rows):
             small = _shrink(sparktabs, duck, sql)
             failures.append(
                 (small, f"spark={s_rows[:3]} duck={d_rows[:3]} "
