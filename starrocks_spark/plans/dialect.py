@@ -2231,7 +2231,8 @@ def _rw_inner_ignore_nulls(name: str):
 # bare computed interval in arithmetic: ts + INTERVAL (expr) UNIT —
 # Spark's INTERVAL literal takes constants only; make_interval doesn't
 _BARE_INTERVAL_RE = re.compile(
-    r"\bINTERVAL\s+(\([^()]*\)|(?![0-9'\"])[A-Za-z_]\w*(?:\.\w+)?)\s+"
+    r"\bINTERVAL\s+(\([^()]*\)|\d+\s*[*+/-]\s*\d+"
+    r"|(?![0-9'\"])[A-Za-z_]\w*(?:\.\w+)?)\s+"
     r"(YEAR|QUARTER|MONTH|WEEK|DAY|HOUR|MINUTE|SECOND)S?\b",
     re.IGNORECASE,
 )

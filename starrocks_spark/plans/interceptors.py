@@ -494,12 +494,13 @@ class PreDispatch:
             try:
                 from starrocks_spark.plans.sqltester import \
                     _render_show_create
-                ddl = _render_show_create(d, cloud=self.cloud_profile)
+                ddl = self._demangle_text(
+                    _render_show_create(d, cloud=self.cloud_profile))
             except ValueError as e:
                 return StatementResult(stmt, "skipped",
                                        reason=str(e)[:500])
             df = self.spark.createDataFrame(
-                [(d.name, ddl)],
+                [(self._demangle_ident(d.name), ddl)],
                 "Table string, `Create Table` string")
             return StatementResult(stmt, "select", df)
         return None
@@ -543,7 +544,7 @@ class PreDispatch:
             # DESC renders the MySQL-protocol six-column shape
             # (Field/Type/Null/Key/Default/Extra) the R files record
             d = self.defs[dsm.group(1)]
-            rows = [(c.name, c.sr_type,
+            rows = [(self._demangle_ident(c.name), c.sr_type,
                      "YES" if c.nullable else "NO",
                      "true" if c.name in d.key_cols else "false",
                      None if (c.default is None
@@ -637,8 +638,9 @@ class PreDispatch:
         if shm9:
             tmp9 = bool(shm9.group(1))
             names = sorted(
-                n for n in (list(self.defs) + sorted(self.views)
-                            + list(self.mvs))
+                self._demangle_ident(n)
+                for n in (list(self.defs) + sorted(self.views)
+                          + list(self.mvs))
                 if (n in self.temp_tables) == tmp9)
             rows9 = [(n,) for n in names] or [("",)]
             df9 = self.spark.createDataFrame(
@@ -659,7 +661,7 @@ PRE1 = {
     'REVOKE': ['revoke_select'],
     'ALTER': ['alter_view_security'],
     'RECOVER': ['recover_partition', 'recover_table'],
-    'SHOW': ['show_index', 'show_temp_partitions', 'show_variables', 'show_columns', 'show_full_columns', 'show_create_view', 'show_create_table'],
+    'SHOW': ['show_index', 'show_temp_partitions', 'show_variables', 'show_columns', 'show_full_columns', 'show_create_view', 'show_create_table', 'show_partitions'],
     'DROP': ['drop_index_on', 'drop_database'],
     'EXECUTE': ['execute_as'],
     'CREATE': ['db_record', 'create_index_stmt'],

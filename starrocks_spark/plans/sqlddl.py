@@ -628,11 +628,15 @@ def parse_alter_table(stmt: str) -> tuple[str, str, list[AlterAction]]:
             unsupported()
         if ts.match_kws("LESS", "THAN") and ts.is_punct("("):
             inner, _ = ts.balanced()
+            dist = None
+            if ts.try_kws("DISTRIBUTED", "BY"):
+                # partition-local distribution: parsed so the applier
+                # can enforce type consistency with the table
+                dist = _parse_distribution(ts)
             acts.append(AlterAction(
                 "add_partition_lt",
-                {"name": pn, "hi": _quoted_scalar(inner)}))
-            # trailing DISTRIBUTED BY ... tolerated (partition-local
-            # distribution is a physical hint)
+                {"name": pn, "hi": _quoted_scalar(inner),
+                 "dist": dist}))
         elif ts.is_punct("["):
             ts.next()
             bounds = []
@@ -785,6 +789,47 @@ def parse_alter_table(stmt: str) -> tuple[str, str, list[AlterAction]]:
         if other is None or not ts.at_end():
             unsupported()
         acts.append(AlterAction("swap_with", {"other": other}))
+    elif kw == "PARTITION" and ts.kw(1) == "BY":
+        # partition evolution (fe OptimizeClause partition-by merge;
+        # test_merge_partitions): ALTER TABLE t PARTITION BY expr
+        # [BETWEEN 'lo' AND 'hi']
+        ts.pos += 2
+        t1 = ts.peek()
+        if t1 is None:
+            unsupported()
+        depth = 0
+        end = t1.start
+        while not ts.at_end():
+            t = ts.peek()
+            if t.kind == "ident" and depth == 0 \
+                    and t.up in ("BETWEEN", "DISTRIBUTED"):
+                break
+            if t.kind == "punct":
+                if t.text == "(":
+                    depth += 1
+                elif t.text == ")":
+                    depth -= 1
+            end = t.end
+            ts.next()
+        pexpr = stmt[t1.start:end].strip()
+        dist = None
+        if ts.try_kws("DISTRIBUTED", "BY"):
+            dist = _parse_distribution(ts)
+        lo = hi = None
+        if ts.match_kws("BETWEEN"):
+            lo_t = ts.next()
+            if not ts.match_kws("AND"):
+                unsupported()
+            hi_t = ts.next()
+            if (lo_t is None or hi_t is None
+                    or lo_t.kind != "string" or hi_t.kind != "string"):
+                unsupported()
+            lo, hi = lo_t.bare, hi_t.bare
+        if not ts.at_end():
+            unsupported()
+        acts.append(AlterAction("repartition",
+                                {"expr": pexpr, "lo": lo, "hi": hi,
+                                 "dist": dist}))
     elif kw == "DISTRIBUTED" and ts.kw(1) == "BY":
         # OPTIMIZE TABLE surface: full-table re-distribution
         # (fe OptimizeClause; test_optimize_table)

@@ -2615,6 +2615,12 @@ class ScriptRunner(PreDispatch):
                     raise
                 return StatementResult(stmt, "skipped",
                                        reason=str(e)[:500])
+        if stmt.startswith("__fnwait__"):
+            mvn = stmt.split(None, 1)[1].strip()
+            mv = self.mvs.get(mvn)
+            if mv is not None and mv.is_active:
+                self._materialize_mv(mv, limit=self._mv_limit(mv))
+            return StatementResult(stmt, "noop")
         if stmt.startswith("__fnassert__"):
             try:
                 return self._fn_assert(stmt)
@@ -4239,6 +4245,18 @@ class ScriptRunner(PreDispatch):
                   "outer", "full", "cross", "union", "except",
                   "intersect", "using", "qualify"}
 
+    def _demangle_ident(self, name: str) -> str:
+        """Reverse a mangled safe alias back to the user's quoted
+        identifier (rendering surfaces only)."""
+        return getattr(self, "name_mangle", {}).get(name, name)
+
+    def _demangle_text(self, text: str) -> str:
+        """Reverse mangled aliases inside rendered DDL/text."""
+        for key, orig in getattr(self, "name_mangle", {}).items():
+            text = text.replace(f"`{key}`", f"`{orig}`")
+            text = text.replace(key, f"`{orig}`")
+        return text
+
     def _mangle_names(self, stmt: str) -> str:
         """Backticked identifiers with characters outside \\w (the
         reference allows nearly arbitrary quoted names and column
@@ -5511,6 +5529,16 @@ class ScriptRunner(PreDispatch):
             elif k == "add_partition_lt":
                 if not getattr(d, "range_col", None):
                     unsupported()
+                if a.get("dist") and (
+                        bool(a["dist"]["hash_cols"])
+                        != bool(d.hash_cols)):
+                    # a partition cannot switch distribution TYPE
+                    # (fe PartitionDescAnalyzer;
+                    # test_random_distribution)
+                    raise ValueError(
+                        "Cannot assign different distribution type. "
+                        "default is: "
+                        + ("HASH" if d.hash_cols else "RANDOM"))
                 uppers9 = [hi for (_lo, hi, _f)
                            in d.named_parts.values()]
                 d.named_parts[a["name"]] = (
@@ -5706,8 +5734,161 @@ class ScriptRunner(PreDispatch):
                 self._refresh_views()
             elif k == "distribution":
                 self._apply_distribution(d, a)
+            elif k == "repartition":
+                self._apply_repartition(d, a)
             else:
                 unsupported()
+
+    _PART_GRAN_FMT = {"year": "%Y", "quarter": "%Y%m",
+                      "month": "%Y%m", "week": "%Y%m%d",
+                      "day": "%Y%m%d", "hour": "%Y%m%d%H",
+                      "minute": "%Y%m%d%H%M",
+                      "second": "%Y%m%d%H%M%S"}
+
+    @staticmethod
+    def _part_gran(expr: str) -> tuple[str | None, str | None]:
+        """(granularity, column) of an expression partition —
+        date_trunc('g', col) or time_slice(col, interval n unit)."""
+        m = re.match(r"(?is)\s*date_trunc\s*\(\s*'(\w+)'\s*,"
+                     r"\s*`?(\w+)`?\s*\)\s*$", expr or "")
+        if m:
+            return m.group(1).lower(), m.group(2)
+        m = re.match(r"(?is)\s*time_slice\s*\(\s*`?(\w+)`?\s*,"
+                     r"\s*interval\s+\d+\s+(\w+)", expr or "")
+        if m:
+            return m.group(2).lower().rstrip("s"), m.group(1)
+        return None, None
+
+    _GRAN_RANK = {"microsecond": 0, "millisecond": 1, "second": 2,
+                  "minute": 3, "hour": 4, "day": 5, "week": 6,
+                  "month": 7, "quarter": 8, "year": 9}
+
+    def _apply_repartition(self, d, a: dict) -> None:
+        """ALTER TABLE t PARTITION BY expr [DISTRIBUTED BY ...]
+        [BETWEEN lo AND hi] — the partition-merge form of OPTIMIZE
+        TABLE (fe OptimizeClause / MergePartitionClause analyzer;
+        test_merge_partitions). Data is untouched (Spark derives
+        physical layout per query); the visible effect is the
+        partition-name set SHOW PARTITIONS renders. Misaligned
+        BETWEEN bounds cancel the job (the reference's optimize task
+        ends CANCELLED), leaving the layout unchanged."""
+        import pandas as pd
+
+        gran, col = self._part_gran(a["expr"])
+        base_gran, base_col = self._part_gran(
+            getattr(d, "part_expr", None))
+        if gran is None or base_gran is None or col != base_col:
+            raise ValueError(f"alter: unsupported action "
+                             f"partition by {a['expr'][:60]}")
+        err = "Getting analyzing error. Detail message: "
+        if gran in ("microsecond", "millisecond") \
+                or base_gran in ("microsecond", "millisecond"):
+            raise ValueError(
+                err + "Unsupported partition type for merge "
+                      "partitions.")
+        if base_gran == "second":
+            raise ValueError(
+                err + "Unsupported table partition type when merge "
+                      "partitions.")
+        nm9 = re.search(r"(?i)interval\s+(\d+)", a["expr"])
+        if nm9 and nm9.group(1) != "1":
+            raise ValueError(
+                err + f"Unsupported partition interval "
+                      f"{nm9.group(1)} when merge partitions.")
+        if self._GRAN_RANK.get(gran, 0) \
+                <= self._GRAN_RANK.get(base_gran, 0):
+            raise ValueError(
+                err + f"Unsupported from granularity {base_gran} to "
+                      f"granularity {gran} when merge partitions.")
+        mbuckets = 1
+        if a.get("dist"):
+            if a["dist"]["random"]:
+                raise ValueError(
+                    err + "Unsupported change distribution type "
+                          "when merge partitions.")
+            if a["dist"]["hash_cols"] and \
+                    [c.lower() for c in a["dist"]["hash_cols"]] != \
+                    [c.lower() for c in d.hash_cols]:
+                raise ValueError(
+                    err + "Unsupported change distribution column "
+                          "when merge partitions.")
+            mbuckets = a["dist"]["buckets"] or 1
+        if a["lo"] is not None:
+            try:
+                lo = pd.Timestamp(a["lo"])
+                hi = pd.Timestamp(a["hi"])
+            except Exception:  # noqa: BLE001 — unparseable → cancel
+                return
+            # bounds must sit on OLD-granularity boundaries, else the
+            # optimize job cancels (test_merge_partitions_range_fail:
+            # a 12:00:00 lower bound on a daily-partitioned table)
+            unit = {"year": "YS", "month": "MS", "day": "D",
+                    "hour": "h", "minute": "min"}.get(base_gran, "D")
+            if lo.floor("D" if unit in ("YS", "MS") else unit) != lo \
+                    or (unit in ("YS", "MS")
+                        and (lo.day != 1 if unit == "MS"
+                             else (lo.day != 1 or lo.month != 1))):
+                return
+            if hi.floor("D" if unit in ("YS", "MS") else unit) != hi:
+                return
+            merges = list(getattr(d, "part_merges", []) or [])
+            merges.append((lo, hi, gran, mbuckets))
+            d.part_merges = merges
+        else:
+            d.part_expr = a["expr"]
+            d.part_merges = []
+
+    def _pre_show_partitions(self, stmt):
+        m = re.match(r"\s*SHOW\s+PARTITIONS\s+FROM\s+`?(\w+)`?\s*"
+                     r"(?:ORDER\s+BY\s+\w+\s*)?;?\s*$",
+                     stmt, re.IGNORECASE)
+        if not m or m.group(1) not in self.defs:
+            return None
+        d = self.defs[m.group(1)]
+        if not getattr(d, "part_expr", None):
+            return None       # named/unpartitioned: unchanged path
+        return self._show_expr_partitions(m.group(1), d)
+
+    def _show_expr_partitions(self, name: str, d):
+        """SHOW PARTITIONS over an expression-partitioned table:
+        one row per occupied partition, named by granularity
+        (p2022 / p202203 / p20220301 / ...)."""
+        base_gran, col = self._part_gran(d.part_expr)
+        if base_gran is None:
+            return None
+        fmt_base = self._PART_GRAN_FMT.get(base_gran, "%Y%m%d")
+        t = self.tables.get(name)
+        names: set[str] = set()
+        if t is not None and t._exists():
+            vals = [r[0] for r in t.read().select(col)
+                    .distinct().collect() if r[0] is not None]
+            merges = getattr(d, "part_merges", []) or []
+            import datetime as _dt
+            for v in vals:
+                if isinstance(v, str):
+                    continue
+                if isinstance(v, _dt.date) \
+                        and not isinstance(v, _dt.datetime):
+                    v = _dt.datetime.combine(v, _dt.time())
+                fmt, nb = fmt_base, d.buckets or 0
+                for lo, hi, g2, b2 in merges:
+                    if lo.to_pydatetime() <= v \
+                            <= hi.to_pydatetime().replace(
+                                hour=23, minute=59, second=59):
+                        fmt = self._PART_GRAN_FMT.get(g2, fmt_base)
+                        nb = b2
+                names.add(("p" + v.strftime(fmt), nb))
+        dk = ", ".join(d.hash_cols) or "ALL KEY"
+        rows = [(str(10000 + i), n, "2", "NORMAL", col, dk, str(nb),
+                 "3")
+                for i, (n, nb) in enumerate(sorted(names))]
+        schema = ("PartitionId string, PartitionName string, "
+                  "VisibleVersion string, State string, "
+                  "PartitionKey string, DistributionKey string, "
+                  "Buckets string, ReplicationNum string")
+        df = (self.spark.createDataFrame(rows, schema) if rows
+              else self.spark.createDataFrame([], schema))
+        return StatementResult("show partitions", "select", df)
 
     def _apply_distribution(self, d, a: dict) -> None:
         """OPTIMIZE TABLE surface: ALTER TABLE [PARTITIONS(...)]
@@ -5743,6 +5924,14 @@ class ScriptRunner(PreDispatch):
                     "Random distribution table already supports "
                     "automatic scaling and does not require "
                     "optimization.")
+            if d.model is not TableModel.DUP_KEYS:
+                nm0 = {TableModel.AGG_KEYS: "AGGREGATE KEY",
+                       TableModel.UNIQUE_KEYS: "UNIQUE KEY",
+                       TableModel.PRIMARY_KEYS: "PRIMARY KEY"}[
+                    d.model]
+                raise ValueError(
+                    f"Getting analyzing error. Detail message: "
+                    f"{nm0} must use hash distribution.")
             d.hash_cols = []
             d.random_explicit = True
             d.buckets = a["buckets"]
@@ -6120,14 +6309,14 @@ class ScriptRunner(PreDispatch):
         mv.creator = self.current_user
         immediate = bool(re.search(r"\bREFRESH\s+IMMEDIATE\b", head,
                                    re.IGNORECASE))
-        if immediate or (mode in ("ASYNC", "INCREMENTAL", "MANUAL")
+        if immediate or (mode in ("ASYNC", "INCREMENTAL")
                          and not deferred):
-            # non-deferred creation: the FE's default refresh moment
-            # is IMMEDIATE (fe CreateMaterializedViewStatement
-            # refreshMoment), so MANUAL MVs too run their first
-            # refresh task at creation (test_auto_refresh,
-            # test_add_drop_field record the MV populated right
-            # after CREATE)
+            # non-deferred ASYNC/IMMEDIATE: the reference runs the
+            # first refresh task at creation (test_auto_refresh
+            # records the MV populated right after CREATE). MANUAL
+            # MVs' first refresh is ASYNC — queries race it
+            # (test_mv/basic records empty) until a
+            # wait_mv_refresh_count step lands (__fnwait__)
             self.mvs[name] = mv
             self._materialize_mv(mv, limit=self._mv_limit(mv))
         else:
@@ -6577,19 +6766,20 @@ class ScriptRunner(PreDispatch):
 
     def _is_tables(self) -> DataFrame:
         db = self.current_db or "db"
-        rows = ([("def", db, n, "BASE TABLE", "StarRocks", None, None,
+        dm = self._demangle_ident
+        rows = ([("def", db, dm(n), "BASE TABLE", "StarRocks", None, None,
                   0, 0, 0, None, None, None, None,
                   "2024-01-01 00:00:00", "2024-01-01 00:00:00",
                   "1970-01-01 08:00:00", "utf8_general_ci", None,
                   None, getattr(d9, "comment", "") or "")
                  for n, d9 in self.defs.items()]
-                + [("def", db, n, "VIEW", None, None, None,
+                + [("def", db, dm(n), "VIEW", None, None, None,
                     None, None, None, None, None, None, None,
                     "2024-01-01 00:00:00", None,
                     "1970-01-01 08:00:00", "utf8_general_ci", None,
                     None, self.view_meta.get(n, {}).get("comment", ""))
                    for n in sorted(self.views)]
-                + [("def", db, n, "MATERIALIZED VIEW", None, None,
+                + [("def", db, dm(n), "MATERIALIZED VIEW", None, None,
                     None, None, None, None, None, None, None, None,
                     "2024-01-01 00:00:00", None,
                     "1970-01-01 08:00:00", "utf8_general_ci", None,
@@ -7684,6 +7874,16 @@ def parse_r_file(text: str) -> list[tuple[str, list[str], bool]]:
                 r"\s*\(.*)$", s, re.IGNORECASE)
             if fm9:
                 stmt_lines.append("__fnassert__ " + fm9.group(1))
+                continue
+            wm9 = re.match(
+                r"function:\s*wait_mv_refresh_count\s*\("
+                r"\s*'[^']*'\s*,\s*'(\w+)'", s, re.IGNORECASE)
+            if wm9:
+                # the reference's CREATE triggers an ASYNC first
+                # refresh; queries before this wait see the MV empty
+                # (test_mv/basic records exactly that race) — the
+                # wait step is the materialization point
+                stmt_lines.append("__fnwait__ " + wm9.group(1))
                 continue
             if re.match(r"shell:\s*curl\b.*(_stream_load"
                         r"|/api/transaction/(begin|load|commit))", s):

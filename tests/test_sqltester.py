@@ -724,6 +724,11 @@ _SUITES = [
     ("test_query_history", "test_query_history", 2, 0),
     ("test_blockhole_sink", "test_blackhole_sink", 1, 0),
     ("test_optimize_table", "test_optimize_table", 85, 26),
+    # r11: partition evolution — ALTER PARTITION BY merge (full +
+    # BETWEEN-scoped), granularity/interval/distribution analyzer
+    # rules, SHOW PARTITIONS over expression partitions
+    ("test_optimize_table", "test_merge_partitions", 22, 0),
+    ("test_optimize_table", "test_merge_partition_insert", 14, 0),
     ("test_virtual_column", "test_virtual_column_row_id", 6, 0),
     ("test_virtual_column", "test_virtual_column_tablet_id", 6, 0),
     ("test_full_sort_use_german_string",
