@@ -144,8 +144,11 @@ class Gen:
                 f"{e} AS c{i}" for i, e in enumerate(
                     [self.num() if r.random() < 0.6 else self.txt()
                      for _ in range(r.randint(1, 4))]))
+            # no LIMIT: the testdata's (orderkey, linenumber) pairs
+            # are not unique, so a row cutoff under a non-total order
+            # is engine-dependent — compare the full result instead
             return (f"SELECT {items} FROM lineitem{where} "
-                    f"ORDER BY l_orderkey, l_linenumber LIMIT 50")
+                    f"ORDER BY l_orderkey, l_linenumber")
         if shape < 8:
             # grouped aggregation
             keys = r.sample(STR_COLS + ["l_linenumber"],
@@ -166,7 +169,7 @@ class Gen:
         return (f"SELECT l_orderkey, l_linenumber, {fn} OVER ("
                 f"PARTITION BY {part} ORDER BY l_orderkey, "
                 f"l_linenumber) AS w FROM lineitem{where} "
-                f"ORDER BY l_orderkey, l_linenumber LIMIT 50")
+                f"ORDER BY l_orderkey, l_linenumber")
 
 
 def _norm(v) -> str:
