@@ -78,7 +78,8 @@ from starrocks_spark.plans.sqlddl import (_AGG_TYPES, _MODEL_MAP,
                                           parse_create_table)
 from starrocks_spark.plans.sqllex import DIRECTIVE_RE as _DIRECTIVE_RE
 from starrocks_spark.plans.sqllex import TAG_RE as _TAG_RE
-from starrocks_spark.plans.sqllex import classify, split_statements
+from starrocks_spark.plans.sqllex import (classify, first_keyword,
+                                           split_statements)
 from starrocks_spark.tables.models import ManagedTable, TableModel
 
 REFERENCE_SQL_ROOT = "/root/reference/test/sql"
@@ -2616,9 +2617,16 @@ class ScriptRunner(PreDispatch):
                 return StatementResult(stmt, "skipped",
                                        reason=str(e)[:500])
         if stmt.startswith("__fnwait__"):
+            # wait_mv_refresh_count: the point where the ASYNC first
+            # refresh of a MANUAL MV is known to have landed — only a
+            # PENDING first refresh materializes here; ASYNC MVs are
+            # already current (creation refresh + _auto_refresh_mvs)
             mvn = stmt.split(None, 1)[1].strip()
             mv = self.mvs.get(mvn)
-            if mv is not None and mv.is_active:
+            if mv is not None and mv.is_active \
+                    and getattr(mv, "first_refresh_pending", False):
+                mv.first_refresh_pending = False
+                self._refresh_views()
                 self._materialize_mv(mv, limit=self._mv_limit(mv))
             return StatementResult(stmt, "noop")
         if stmt.startswith("__fnassert__"):
@@ -2753,7 +2761,14 @@ class ScriptRunner(PreDispatch):
         stmt = _substitute_vars(stmt, {**self.vars, **hint_vars},
                                 self.captures)
         if "`" in stmt:
-            stmt = self._mangle_names(stmt)
+            # DDL statements may introduce NEW quoted names; every
+            # other statement only re-resolves names the DDL already
+            # mangled — a backticked struct-FIELD in a cast type
+            # (cast(j as struct<`a.b` int>)) is a type literal, not
+            # an identifier (test_cast_json_to_struct)
+            kw0 = first_keyword(stmt)
+            stmt = self._mangle_names(
+                stmt, create_new=kw0 in ("CREATE", "ALTER"))
         capm = re.match(r"\s*(\w+)\s*=\s*(select\b.*)$", stmt,
                         re.IGNORECASE | re.DOTALL)
         if capm:
@@ -4257,7 +4272,8 @@ class ScriptRunner(PreDispatch):
             text = text.replace(key, f"`{orig}`")
         return text
 
-    def _mangle_names(self, stmt: str) -> str:
+    def _mangle_names(self, stmt: str,
+                      create_new: bool = True) -> str:
         """Backticked identifiers with characters outside \\w (the
         reference allows nearly arbitrary quoted names and column
         names with dots — test_name_check) map to stable safe
@@ -4286,6 +4302,10 @@ class ScriptRunner(PreDispatch):
                     key = ("__qn_"
                            + hashlib.md5(inner.encode())
                            .hexdigest()[:10])
+                    if not create_new and key not in self.name_mangle:
+                        out.append(stmt[i:j + 1])
+                        i = j + 1
+                        continue
                     self.name_mangle[key] = inner
                     out.append(key)
                 else:
@@ -6321,6 +6341,10 @@ class ScriptRunner(PreDispatch):
             self._materialize_mv(mv, limit=self._mv_limit(mv))
         else:
             self._mv_register_empty(mv)
+            # MANUAL non-deferred: the async first refresh is in
+            # flight — __fnwait__ completes it
+            mv.first_refresh_pending = (mode == "MANUAL"
+                                        and not deferred)
             self.mvs[name] = mv
 
     def _refresh_mv(self, stmt: str) -> None:
