@@ -289,6 +289,7 @@ REPO: dict[str, str] = {
     "ngram_search_case_insensitive": "starrocks_spark/functions/text.py",
     "tokenize": "starrocks_spark/functions/text.py",
     "str2date": "starrocks_spark/plans/dialect.py",
+    "encode_sort_key": "starrocks_spark/functions/sortkey.py",
     "str_to_date": "starrocks_spark/plans/dialect.py",
     "jodatime_format": "starrocks_spark/plans/dialect.py",
     "str_to_jodatime": "starrocks_spark/plans/dialect.py",
@@ -314,7 +315,6 @@ NA: dict[str, str] = {
     "materialize": "optimizer barrier intrinsic",
     "dict_encode": "storage-internal dictionary encoding (Parquet "
                    "encodes natively)",
-    "encode_sort_key": "storage-internal sort-key encoding",
     "blake3": "digest not available in the JVM (md5/sha2/crc32 covered)",
     "sm3": "digest not available in the JVM (md5/sha2/crc32 covered)",
     "xx_hash32": "32-bit xxhash variant (xxhash64 covered)",
