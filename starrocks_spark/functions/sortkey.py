@@ -12,8 +12,12 @@ test_make_sort_key R file records the raw key bytes):
 - a 0x00 separator byte between fields
   (utility_functions.cpp:594 encode_sort_key)
 
-Arrow-batched pandas UDF (variadic) — the per-element loop runs over
-one Arrow batch at a time, never row-at-a-time over the wire.
+Implemented as a variadic Arrow UDF (pyspark arrow_udf): each column
+arrives as a pyarrow.Array carrying its TRUE logical type — a
+nullable int64 batch stays int64 (a pandas UDF would materialize it
+as float64, silently switching the encoding batch-to-batch and losing
+precision above 2^53). The per-element loop runs over one Arrow batch
+at a time, never row-at-a-time over the wire.
 """
 from __future__ import annotations
 
@@ -22,12 +26,15 @@ import struct
 _REGISTERED: set[int] = set()
 
 _INT_WIDTH = {"int8": 1, "int16": 2, "int32": 4, "int64": 8,
-              "uint8": 1, "uint16": 2, "uint32": 4, "uint64": 8,
-              "Int8": 1, "Int16": 2, "Int32": 4, "Int64": 8}
+              "uint8": 1, "uint16": 2, "uint32": 4, "uint64": 8}
 
 
 def _enc_int(v: int, width: int) -> bytes:
-    u = int(v) ^ (1 << (width * 8 - 1))
+    # unsigned sign-bit flip in modular arithmetic — Python ints are
+    # infinite-precision so a bare XOR stays negative for negative
+    # inputs and to_bytes(signed=False) would raise
+    # (encode_integral does this in native unsigned arithmetic)
+    u = (int(v) + (1 << (width * 8 - 1))) % (1 << (width * 8))
     return u.to_bytes(width, "big", signed=False)
 
 
@@ -49,29 +56,50 @@ def _enc_slice(v, is_last: bool) -> bytes:
     return bytes(b).replace(b"\x00", b"\x00\x01") + b"\x00\x00"
 
 
-def encode_rows(cols: list, is_int32: list[bool] | None = None) -> list:
-    """cols: list of pandas Series (one per field). Returns a list of
-    composite key bytes, one per row."""
+def _field_width(t) -> int | None:
+    """Integral storage width for a pyarrow type, else None."""
+    import pyarrow as pa
+    w = _INT_WIDTH.get(str(t))
+    if w is not None:
+        return w
+    if pa.types.is_date32(t):
+        return 4
+    if pa.types.is_date64(t) or pa.types.is_timestamp(t):
+        return 8
+    return None
+
+
+def encode_arrays(cols: list) -> "object":
+    """cols: list of pyarrow.Array (one per field). Returns a
+    pyarrow binary Array of composite key bytes, one per row."""
+    import datetime as _dt
+
+    import pyarrow as pa
+
     n = len(cols[0])
     buffs = [bytearray() for _ in range(n)]
     last = len(cols) - 1
-    for j, s in enumerate(cols):
-        dt = str(s.dtype)
-        width = _INT_WIDTH.get(dt)
-        is_float = dt in ("float32", "float64", "Float32", "Float64")
-        fwidth = 4 if dt in ("float32", "Float32") else 8
-        for i, v in enumerate(s):
-            try:
-                import pandas as pd
-                isnull = v is None or (not isinstance(
-                    v, (bytes, bytearray, str)) and pd.isna(v))
-            except Exception:  # noqa: BLE001 — odd scalars: non-null
-                isnull = False
-            if isnull:
+    epoch = _dt.date(1970, 1, 1)
+    for j, arr in enumerate(cols):
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        t = arr.type
+        width = _field_width(t)
+        is_float = pa.types.is_floating(t)
+        fwidth = 4 if pa.types.is_float32(t) else 8
+        is_bool = pa.types.is_boolean(t)
+        for i, v in enumerate(arr.to_pylist()):
+            if v is None:
                 buffs[i] += b"\x00"
             else:
                 buffs[i] += b"\x01"
-                if width is not None:
+                if is_bool:
+                    buffs[i] += _enc_int(int(v), 1)
+                elif width is not None:
+                    if isinstance(v, _dt.datetime):
+                        v = int(v.timestamp() * 1_000_000)
+                    elif isinstance(v, _dt.date):
+                        v = (v - epoch).days
                     buffs[i] += _enc_int(v, width)
                 elif is_float:
                     buffs[i] += _enc_float(v, fwidth)
@@ -85,23 +113,25 @@ def encode_rows(cols: list, is_int32: list[bool] | None = None) -> list:
                     buffs[i] += _enc_slice(v, j == last)
             if j != last:
                 buffs[i] += b"\x00"
-    return [bytes(b) for b in buffs]
+    return pa.array([bytes(b) for b in buffs], pa.binary())
 
 
 def register(spark) -> None:
     """Register ``__encode_sort_key(*cols) -> binary`` (idempotent)."""
     if id(spark) in _REGISTERED:
         return
+    import math
+
     import pandas as pd
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import (PandasUDFType, arrow_udf,
+                                       pandas_udf)
 
     def _fn(*cols):
-        return pd.Series(encode_rows(list(cols)))
+        return encode_arrays(list(cols))
 
-    # variadic pandas UDFs need the explicit SCALAR eval type (the
-    # type-hint inference path rejects *args signatures)
-    __encode_sort_key = pandas_udf(_fn, "binary",
-                                   PandasUDFType.SCALAR)
+    # arrow_udf: columns arrive as pyarrow Arrays with the true
+    # logical type (nullable ints stay ints — see module docstring)
+    __encode_sort_key = arrow_udf(_fn, "binary")
 
     def _dstr(v):
         # C++ shortest-round-trip double render (fmt/to_chars) =
@@ -111,6 +141,8 @@ def register(spark) -> None:
             if x is None or pd.isna(x):
                 return None
             f = float(x)
+            if f == 0.0 and math.copysign(1.0, f) < 0:
+                return "-0"  # to_chars prints the sign of -0.0
             if f == int(f) and abs(f) < 1e16:
                 return str(int(f))
             return repr(f)

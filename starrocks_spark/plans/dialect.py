@@ -99,11 +99,12 @@ def translate_mysql_format(fmt: str) -> str:
 
 
 def _strip_quoted_spans(text: str) -> str:
-    """Blank string-literal spans (quote chars kept) for operator
-    probing."""
+    """Blank string-literal and backtick-identifier spans (quote
+    chars kept) for operator probing — a ``/`` inside a quoted
+    identifier must not read as division."""
     out, i = [], 0
     while i < len(text):
-        if text[i] in ("'", '"'):
+        if text[i] in ("'", '"', "`"):
             j = skip_quoted(text, i)
             out.append(text[i] + " " * max(0, j - i - 2)
                        + (text[j - 1] if j - 1 > i else ""))
@@ -2272,7 +2273,15 @@ def translate(sql: str) -> str:
         hit = False
         out = []
         for a in args:
-            t = _strip_quoted_spans(a) if "'" in a or '"' in a else a
+            t = (_strip_quoted_spans(a)
+                 if any(q in a for q in ("'", '"', "`")) else a)
+            # decimal-typed division renders with full decimal scale
+            # in the reference (trailing zeros), not double shortest-
+            # repr — leave args with decimal literals or explicit
+            # DECIMAL types on the native renderer
+            if re.search(r"(?i)\bdecimal|\d\.\d", t):
+                out.append(a)
+                continue
             if "/" in t and not re.search(r"(?i)\bcast\s*\(", t):
                 out.append(f"\0__sr_dstr\0(CAST(({a}) AS DOUBLE))")
                 hit = True

@@ -209,3 +209,21 @@ def test_distinct_over_running_frame_restructures():
         "select count(distinct v3) over(partition by v1 order by v2 "
         "rows between 3 preceding and current row) c from t0")
     assert "collect_set" in s3.lower()
+
+
+def test_concat_dbl_skips_decimal_and_backtick_args():
+    from starrocks_spark.plans import dialect
+
+    # int/int division is double-typed → repr-faithful render
+    s = dialect.translate("select concat('x_', (50 - i)/10) from t")
+    assert "__sr_dstr" in s
+    # decimal literals make the division DECIMAL-typed in the
+    # reference (full-scale render, trailing zeros) — no double repr
+    s2 = dialect.translate("select concat('x_', 1.5/2) from t")
+    assert "__sr_dstr" not in s2
+    s3 = dialect.translate(
+        "select concat(cast(a as decimal(10,2))/b) from t")
+    assert "__sr_dstr" not in s3
+    # a '/' inside a backtick-quoted identifier is not division
+    s4 = dialect.translate("select concat('x', `a/b`) from t")
+    assert "__sr_dstr" not in s4
