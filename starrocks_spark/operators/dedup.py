@@ -258,8 +258,11 @@ def capped_blocks(blocked: DataFrame, block_col: str,
     pipelines handle as a separate boilerplate pass, not pairwise.
     One extra aggregation on the (small) block table; no data scan."""
     sizes = blocked.groupBy(block_col).agg(F.count(F.lit(1)).alias("_bn"))
+    # unhinted: the block table scales with the corpus (one row per
+    # distinct block) — AQE broadcasts it while it fits and shuffles
+    # on block_col beyond that; the join is keyed either way
     return blocked.join(
-        F.broadcast(sizes.filter(F.col("_bn") <= block_cap)), block_col
+        sizes.filter(F.col("_bn") <= block_cap), block_col
     ).drop("_bn")
 
 

@@ -54,7 +54,10 @@ class StarSchema:
         """Fact joined with exactly the dims that contribute one of
         ``needed_cols`` (or whose integrity is not declared — those
         must join because dropping them could change cardinality).
-        Dims broadcast (dimension tables are small by definition)."""
+        Dims are left UNhinted: Spark's size estimate (parquet stats /
+        AQE) broadcasts genuinely small dims and shuffles SF-scaling
+        ones — a forced hint would OOM on a customer-sized dim at
+        100×."""
         out = self.fact
         self.last_joined = []
         fact_cols = set(self.fact.columns)
@@ -63,7 +66,7 @@ class StarSchema:
             contributes = bool(dim_cols & set(needed_cols) - fact_cols)
             if contributes or d.integrity != "enforced":
                 out = out.join(
-                    F.broadcast(d.dim),
+                    d.dim,
                     out[d.fk] == d.dim[d.pk],
                 ).drop(d.dim[d.pk])
                 self.last_joined.append(name)

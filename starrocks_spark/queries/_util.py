@@ -27,6 +27,25 @@ from pyspark.sql import functions as F
 DEC = "decimal(18,4)"
 
 
+def maybe_broadcast(df, scaling: bool = True):
+    """Size-gated broadcast point.
+
+    ``scaling=True`` (the default): the frame's size GROWS with the
+    scale factor (customer/part/supplier scans, aggregates keyed by
+    partkey/suppkey/custkey) — return it UNhinted. AQE +
+    ``spark.sql.autoBroadcastJoinThreshold`` broadcast it whenever its
+    runtime size allows (so small-SF plans are unchanged) and fall
+    back to a shuffle join at scale; a forced ``F.broadcast`` hint has
+    no size escape hatch and OOMs the driver at 100× (r11 verdict,
+    q7/q8/q16).
+
+    ``scaling=False``: the frame is SF-invariant — ``nation`` (25
+    rows), ``region`` (5), single-row scalar aggregates — hint it
+    unconditionally; broadcasting it is correct at any scale.
+    """
+    return F.broadcast(df) if not scaling else df
+
+
 def fixed(col: Column, scale: int = 4) -> Column:
     """Round-half-up to fixed-point integer via pure IEEE double math."""
     return F.floor(col * F.lit(float(10**scale)) + F.lit(0.5)).cast("decimal(38,0)")

@@ -33,7 +33,7 @@ from starrocks_spark.operators.aggregates import (
     state_merge_agg,
     sum_map,
 )
-from starrocks_spark.queries._util import dsum, sql_dsum
+from starrocks_spark.queries._util import dsum, maybe_broadcast, sql_dsum
 
 
 # ------------------------------------------------------------ group_concat
@@ -579,7 +579,7 @@ def agg_corr_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     j = orders.join(
-        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+        maybe_broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
     ).select(
         "c_mktsegment",
         F.col("o_totalprice").alias("x"),

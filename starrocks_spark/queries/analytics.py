@@ -23,7 +23,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from starrocks_spark.catalog import load_table
-from starrocks_spark.queries._util import dsum, fixed, sql_dsum, sql_fixed
+from starrocks_spark.queries._util import (dsum, fixed, maybe_broadcast,
+                                            sql_dsum, sql_fixed)
 
 
 def _wsum(col, window, scale: int = 4):
@@ -461,7 +462,7 @@ def subquery_correlated_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            F.broadcast(per_part), F.col("l_partkey") == F.col("ap_partkey")
+            maybe_broadcast(per_part), F.col("l_partkey") == F.col("ap_partkey")
         )
         .filter(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
         .agg(dsum(F.col("l_extendedprice")).alias("small_lot_revenue"))

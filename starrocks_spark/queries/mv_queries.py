@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from starrocks_spark.catalog import load_table
-from starrocks_spark.queries._util import fixed, sql_dsum, sql_fixed
+from starrocks_spark.queries._util import fixed, maybe_broadcast, sql_dsum, sql_fixed
 from starrocks_spark.tables.materialized_view import MaterializedView
 
 
@@ -163,10 +163,10 @@ def mv_join_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def defn(src: DataFrame) -> DataFrame:
         return (
-            src.join(F.broadcast(part.select("p_partkey", "p_brand",
+            src.join(maybe_broadcast(part.select("p_partkey", "p_brand",
                                              "p_type")),
                      src["l_partkey"] == F.col("p_partkey"))
-            .join(F.broadcast(supplier.select("s_suppkey")),
+            .join(maybe_broadcast(supplier.select("s_suppkey")),
                   F.col("l_suppkey") == F.col("s_suppkey"))
             .groupBy("month", "p_brand", "p_type")
             .agg(F.sum("rev_f").alias("rev_f"),

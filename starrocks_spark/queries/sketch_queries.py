@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from starrocks_spark.catalog import load_table
+from starrocks_spark.queries._util import maybe_broadcast
 from starrocks_spark.operators import sketches
 from starrocks_spark.tables.models import ManagedTable, TableModel
 
@@ -173,7 +174,7 @@ def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; everything else is groupBy-sum."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    df = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    df = li.join(maybe_broadcast(part), li.l_partkey == part.p_partkey)
     states = sketches.topk_state(
         df.withColumn("_shard", F.col("l_orderkey") % 8),
         ["l_returnflag", "_shard"], F.col("p_brand"), capacity=64,

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from starrocks_spark.catalog import load_table
-from starrocks_spark.queries._util import dsum, sql_dsum
+from starrocks_spark.queries._util import dsum, maybe_broadcast, sql_dsum
 from starrocks_spark.scratch import scratch_root
 from starrocks_spark.streaming.ingest import (
     read_events_stream,
@@ -360,7 +360,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     enriched = stream.withColumn(
         "_ck", F.col("user_id") % 1500 + 1
-    ).join(F.broadcast(cust), F.col("_ck") == F.col("c_custkey"))
+    ).join(maybe_broadcast(cust), F.col("_ck") == F.col("c_custkey"))
     agg = enriched.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_events"),
         dsum(F.col("value")).alias("total_value"),

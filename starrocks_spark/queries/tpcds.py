@@ -52,7 +52,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from starrocks_spark.catalog import load_table
-from starrocks_spark.queries._util import (
+from starrocks_spark.queries._util import (maybe_broadcast,
+                                            
     dsum, fixed, sql_dec2dbl, sql_dsum, sql_fixed,
 )
 
@@ -269,7 +270,7 @@ def tpcds_q34_basket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_order
         .join(orders, per_order["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust),
+        .join(maybe_broadcast(cust),
               orders["o_custkey"] == cust["c_custkey"])
         .select("c_custkey", "c_name", "o_orderkey", "item_cnt")
         .orderBy("c_custkey", "o_orderkey")
@@ -302,7 +303,7 @@ def tpcds_q36_margin_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark and DuckDB default differently."""
     s = _sales(spark, sf_dir)
     part = load_table(spark, sf_dir, "part")
-    j = s.join(F.broadcast(part), s["l_partkey"] == part["p_partkey"])
+    j = s.join(maybe_broadcast(part), s["l_partkey"] == part["p_partkey"])
     agg = (
         j.rollup("p_brand", "p_type")
         .agg(
@@ -406,9 +407,9 @@ def tpcds_q45_or_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     rich = cust.filter(F.col("c_acctbal") > 9000) \
         .select("c_custkey", F.lit(True).alias("_rich"))
     j = (
-        s.join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+        s.join(maybe_broadcast(cust.select("c_custkey", "c_nationkey")),
                s["o_custkey"] == F.col("c_custkey"))
-        .join(F.broadcast(rich), "c_custkey", "left")
+        .join(maybe_broadcast(rich), "c_custkey", "left")
         .filter(
             F.col("c_nationkey").isin(1, 3, 5, 7, 9)
             | F.col("_rich").isNotNull()
@@ -556,7 +557,7 @@ def tpcds_q67_rollup_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     window-over-rollup pattern the verdict called out as untested."""
     s = _sales(spark, sf_dir)
     part = load_table(spark, sf_dir, "part")
-    j = s.join(F.broadcast(part), s["l_partkey"] == part["p_partkey"]) \
+    j = s.join(maybe_broadcast(part), s["l_partkey"] == part["p_partkey"]) \
         .withColumn("mon", F.date_format("l_shipdate", "yyyy-MM"))
     agg = (
         j.rollup("p_brand", "mon")
@@ -758,7 +759,7 @@ def tpcds_q10_exists_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", "left_semi",
     )
     return (
-        F.broadcast(cust)
+        maybe_broadcast(cust)
         .join(eligible, cust["c_custkey"] == eligible["o_custkey"])
         .groupBy("c_nationkey")
         .agg(F.count(F.lit(1)).alias("n_customers"))
@@ -795,7 +796,7 @@ def tpcds_q33_union_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     def per_channel(ch: str) -> DataFrame:
         return (
             s.filter(F.col("channel") == ch)
-            .join(F.broadcast(part), s["l_partkey"] == part["p_partkey"])
+            .join(maybe_broadcast(part), s["l_partkey"] == part["p_partkey"])
             .groupBy("p_brand")
             .agg(dsum(F.col("net_price")).alias("amt"))
         )
@@ -915,13 +916,13 @@ def tpcds_q64_snowflake(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     supplier = load_table(spark, sf_dir, "supplier")
     j = (
-        s.join(F.broadcast(cust), s["o_custkey"] == cust["c_custkey"])
+        s.join(maybe_broadcast(cust), s["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(nation),
               cust["c_nationkey"] == nation["n_nationkey"])
         .join(F.broadcast(region),
               nation["n_regionkey"] == region["r_regionkey"])
-        .join(F.broadcast(part), s["l_partkey"] == part["p_partkey"])
-        .join(F.broadcast(supplier),
+        .join(maybe_broadcast(part), s["l_partkey"] == part["p_partkey"])
+        .join(maybe_broadcast(supplier),
               s["l_suppkey"] == supplier["s_suppkey"])
         .filter(F.col("p_size") < 10)
     )

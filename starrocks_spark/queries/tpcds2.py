@@ -55,7 +55,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from starrocks_spark.catalog import load_table, register_tables
-from starrocks_spark.queries._util import (
+from starrocks_spark.queries._util import (maybe_broadcast,
+                                            
     davg, dsum, fixed, sql_davg, sql_dec2dbl, sql_dsum, sql_fixed,
 )
 from starrocks_spark.queries.tpcds import _SQL_SALES, _sales
@@ -84,7 +85,7 @@ def tpcds_q47_monthly_deviation(spark: SparkSession,
     part = load_table(spark, sf_dir, "part") \
         .select("p_partkey", "p_brand")
     monthly = (
-        s.join(F.broadcast(part), s["l_partkey"] == part["p_partkey"])
+        s.join(maybe_broadcast(part), s["l_partkey"] == part["p_partkey"])
         .withColumn("yr", F.year("l_shipdate"))
         .withColumn("mo", F.month("l_shipdate"))
         .filter(F.col("yr") == 1995)
@@ -154,7 +155,7 @@ def tpcds_q89_type_deviation(spark: SparkSession,
     part = load_table(spark, sf_dir, "part") \
         .select("p_partkey", "p_type")
     monthly = (
-        s.join(F.broadcast(part), s["l_partkey"] == part["p_partkey"])
+        s.join(maybe_broadcast(part), s["l_partkey"] == part["p_partkey"])
         .filter(F.year("l_shipdate") == 1996)
         .withColumn("mo", F.month("l_shipdate"))
         .groupBy("p_type", "channel", "mo")
@@ -217,7 +218,7 @@ def tpcds_q98_class_share(spark: SparkSession,
     part = load_table(spark, sf_dir, "part") \
         .select("p_partkey", "p_type")
     rev = (
-        s.join(F.broadcast(part), s["l_partkey"] == part["p_partkey"])
+        s.join(maybe_broadcast(part), s["l_partkey"] == part["p_partkey"])
         .groupBy("p_type", "p_partkey")
         .agg(F.sum(fixed(F.col("net_price"))).alias("fs"))
     )
@@ -478,7 +479,7 @@ def tpcds_q44_best_worst(spark: SparkSession,
     s = _sales(spark, sf_dir).filter(F.col("channel") == "store")
     perf = s.groupBy("l_partkey").agg(
         davg(F.col("net_price")).alias("avg_net"))
-    part = F.broadcast(
+    part = maybe_broadcast(
         load_table(spark, sf_dir, "part").select("p_partkey", "p_name"))
     # distributed TopN first (TakeOrderedAndProject — no full-frame
     # single-reducer window), THEN rank the ≤10 survivors
@@ -537,7 +538,7 @@ def tpcds_q31_nation_growth(spark: SparkSession,
         .filter((F.year("l_shipdate") == 1995)
                 & (F.quarter("l_shipdate") <= 3)
                 & F.col("channel").isin("web", "store"))
-    cust = F.broadcast(
+    cust = maybe_broadcast(
         load_table(spark, sf_dir, "customer")
         .select("c_custkey", "c_nationkey"))
     q = (
@@ -622,10 +623,10 @@ def tpcds_q46_nation_mismatch(spark: SparkSession,
     orders whose lines were supplied from a different nation than the
     customer's, with the cross-nation revenue per order."""
     s = _sales(spark, sf_dir, with_cust=True)
-    cust = F.broadcast(
+    cust = maybe_broadcast(
         load_table(spark, sf_dir, "customer")
         .select("c_custkey", "c_name", "c_nationkey"))
-    supp = F.broadcast(
+    supp = maybe_broadcast(
         load_table(spark, sf_dir, "supplier")
         .select("s_suppkey", "s_nationkey"))
     j = (
@@ -672,10 +673,10 @@ def tpcds_q65_underperformers(spark: SparkSession,
     per_supp = sp.groupBy("l_suppkey").agg(
         (_dbl(F.sum("fs")) / F.count(F.lit(1)).cast("double") / 1e4)
         .alias("avg_rev"))
-    supp = F.broadcast(
+    supp = maybe_broadcast(
         load_table(spark, sf_dir, "supplier")
         .select("s_suppkey", "s_name"))
-    part = F.broadcast(
+    part = maybe_broadcast(
         load_table(spark, sf_dir, "part").select("p_partkey", "p_name"))
     j = (
         sp.join(per_supp, "l_suppkey")
@@ -723,7 +724,7 @@ def tpcds_q75_brand_decline(spark: SparkSession,
     year-over-year self-joined."""
     s = _sales(spark, sf_dir) \
         .filter(F.year("l_shipdate").isin(1995, 1996))
-    part = F.broadcast(
+    part = maybe_broadcast(
         load_table(spark, sf_dir, "part").select("p_partkey", "p_brand"))
     per_channel = None
     for ch in ("store", "catalog", "web"):
@@ -791,7 +792,7 @@ def tpcds_q43_weekday_pivot(spark: SparkSession,
     weekday — the conditional-sum day matrix. Spark's dayofweek is
     1=Sunday; the oracle maps DuckDB's 0=Sunday accordingly."""
     s = _sales(spark, sf_dir)
-    supp = F.broadcast(
+    supp = maybe_broadcast(
         load_table(spark, sf_dir, "supplier")
         .select("s_suppkey", "s_nationkey"))
     nation = F.broadcast(

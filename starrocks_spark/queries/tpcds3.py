@@ -59,7 +59,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from starrocks_spark.catalog import load_table
-from starrocks_spark.queries._util import (
+from starrocks_spark.queries._util import (maybe_broadcast,
+                                            
     davg, dsum, fixed, sql_davg, sql_dec2dbl, sql_dsum, sql_fixed,
 )
 from starrocks_spark.queries.tpcds import _SQL_SALES, _SQL_SALES_CUST, _sales
@@ -233,7 +234,7 @@ def tpcds_q8_prefix_intersect(spark: SparkSession,
     return (
         s.join(good_cust, s["o_custkey"] == good_cust["c_custkey"],
                "left_semi")
-        .join(F.broadcast(supp), s["l_suppkey"] == supp["s_suppkey"])
+        .join(maybe_broadcast(supp), s["l_suppkey"] == supp["s_suppkey"])
         .join(F.broadcast(nation),
               supp["s_nationkey"] == nation["n_nationkey"])
         .groupBy("n_name")
@@ -375,7 +376,7 @@ def tpcds_q22_qoh_rollup(spark: SparkSession,
     s = _sales(spark, sf_dir)
     part = load_table(spark, sf_dir, "part") \
         .select("p_partkey", "p_brand", "p_type", "p_size")
-    j = s.join(F.broadcast(part), s["l_partkey"] == part["p_partkey"])
+    j = s.join(maybe_broadcast(part), s["l_partkey"] == part["p_partkey"])
     return (
         j.rollup("p_brand", "p_type", "p_size")
         .agg(davg(F.col("l_quantity")).alias("avg_qoh"))
@@ -414,7 +415,7 @@ def tpcds_q24_scalar_threshold(spark: SparkSession,
     nation = load_table(spark, sf_dir, "nation") \
         .select("n_nationkey", "n_name")
     pairs = (
-        s.join(F.broadcast(supp), s["l_suppkey"] == supp["s_suppkey"])
+        s.join(maybe_broadcast(supp), s["l_suppkey"] == supp["s_suppkey"])
         .join(F.broadcast(nation),
               supp["s_nationkey"] == nation["n_nationkey"])
         .groupBy("o_custkey", "n_name")
@@ -479,7 +480,7 @@ def tpcds_q25_sold_returned_resold(spark: SparkSession,
         sold.join(rebuy, (sold["o_custkey"] == rebuy["r_custkey"])
                   & (sold["l_partkey"] == rebuy["r_partkey"]),
                   "left_semi")
-        .join(F.broadcast(part),
+        .join(maybe_broadcast(part),
               sold["l_partkey"] == part["p_partkey"])
         .groupBy("p_brand")
         .agg(dsum(F.col("net_price")).alias("returned_then_rebought"),
@@ -603,10 +604,10 @@ def tpcds_q40_pivot_returns(spark: SparkSession,
     adj = F.when(F.col("returned"), F.lit(0.0)) \
         .otherwise(F.col("net_price"))
     j = (
-        s.join(F.broadcast(supp), s["l_suppkey"] == supp["s_suppkey"])
+        s.join(maybe_broadcast(supp), s["l_suppkey"] == supp["s_suppkey"])
         .join(F.broadcast(nation),
               supp["s_nationkey"] == nation["n_nationkey"])
-        .join(F.broadcast(part), s["l_partkey"] == part["p_partkey"])
+        .join(maybe_broadcast(part), s["l_partkey"] == part["p_partkey"])
         .filter(F.col("l_shipdate").between(
             F.lit("1995-03-01"), F.lit("1995-09-01")))
     )
@@ -771,7 +772,7 @@ def tpcds_q72_shortfall_promo(spark: SparkSession,
     short = (
         demand.join(qoh, demand["l_partkey"] == qoh["q_partkey"])
         .filter(F.col("l_quantity") > F.col("qoh"))
-        .join(F.broadcast(promo),
+        .join(maybe_broadcast(promo),
               demand["l_partkey"] == promo["pr_partkey"], "left")
     )
     return (

@@ -56,7 +56,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from starrocks_spark.catalog import load_table
-from starrocks_spark.queries._util import (
+from starrocks_spark.queries._util import (maybe_broadcast,
+                                            
     davg, dsum, fixed, sql_davg, sql_dec2dbl, sql_dsum, sql_fixed,
 )
 from starrocks_spark.queries.tpcds import _SQL_SALES, _SQL_SALES_CUST, _sales
@@ -84,7 +85,7 @@ def tpcds_q3_brand_year_net(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.substring("p_brand", 7, 1) == "3") \
         .select("p_partkey", "p_brand")
     return (
-        s.join(F.broadcast(part), s["l_partkey"] == part["p_partkey"])
+        s.join(maybe_broadcast(part), s["l_partkey"] == part["p_partkey"])
         .groupBy(F.year("l_shipdate").alias("yr"), F.col("p_brand"))
         .agg(dsum(F.col("net_price")).alias("net"))
         .orderBy(F.col("yr"), F.col("net").desc(), F.col("p_brand"))
@@ -119,7 +120,7 @@ def tpcds_q7_demo_avgs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_brand")
     return (
         s.join(cust, s["o_custkey"] == cust["c_custkey"], "left_semi")
-        .join(F.broadcast(part), s["l_partkey"] == part["p_partkey"])
+        .join(maybe_broadcast(part), s["l_partkey"] == part["p_partkey"])
         .groupBy("p_brand")
         .agg(davg(F.col("l_quantity")).alias("avg_qty"),
              davg(F.col("l_extendedprice")).alias("avg_price"),
@@ -163,7 +164,7 @@ def tpcds_q12_category_share(spark: SparkSession,
         .filter(F.col("p_type").isin("ECONOMY", "PROMO", "STANDARD")) \
         .select("p_partkey", "p_type", "p_brand")
     agg = (
-        s.join(F.broadcast(part), s["l_partkey"] == part["p_partkey"])
+        s.join(maybe_broadcast(part), s["l_partkey"] == part["p_partkey"])
         .groupBy("p_type", "p_brand")
         .agg(F.sum(fixed(F.col("net_price"))).alias("fx"))
     )
@@ -260,8 +261,8 @@ def tpcds_q19_cross_nation_brand(spark: SparkSession,
         .select("p_partkey", "p_brand")
     return (
         s.join(cust, s["o_custkey"] == cust["c_custkey"])
-        .join(F.broadcast(supp), s["l_suppkey"] == supp["s_suppkey"])
-        .join(F.broadcast(part), s["l_partkey"] == part["p_partkey"])
+        .join(maybe_broadcast(supp), s["l_suppkey"] == supp["s_suppkey"])
+        .join(maybe_broadcast(part), s["l_partkey"] == part["p_partkey"])
         .filter(F.col("c_nationkey") != F.col("s_nationkey"))
         .groupBy("p_brand")
         .agg(dsum(F.col("net_price")).alias("net"),
@@ -308,7 +309,7 @@ def tpcds_q27_rollup_item_avgs(spark: SparkSession,
         s.join(cust, s["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(nation),
               cust["c_nationkey"] == nation["n_nationkey"])
-        .join(F.broadcast(part), s["l_partkey"] == part["p_partkey"])
+        .join(maybe_broadcast(part), s["l_partkey"] == part["p_partkey"])
         .rollup("n_name", "p_brand")
         .agg(davg(F.col("l_quantity")).alias("avg_qty"),
              davg(F.col("net_price")).alias("avg_net"),
@@ -362,7 +363,7 @@ def tpcds_q29_resold_quantities(spark: SparkSession,
     part = load_table(spark, sf_dir, "part") \
         .select("p_partkey", "p_brand")
     return (
-        pairs.join(F.broadcast(part),
+        pairs.join(maybe_broadcast(part),
                    pairs["l_partkey"] == part["p_partkey"])
         .groupBy("p_brand")
         .agg(dsum(F.col("l_quantity")).alias("returned_qty"),
@@ -461,7 +462,7 @@ def tpcds_q50_latency_matrix(spark: SparkSession,
 
     return (
         s.join(orders, s["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(supp), s["l_suppkey"] == supp["s_suppkey"])
+        .join(maybe_broadcast(supp), s["l_suppkey"] == supp["s_suppkey"])
         .join(F.broadcast(nation),
               supp["s_nationkey"] == nation["n_nationkey"])
         .withColumn("lat", lat)
@@ -517,7 +518,7 @@ def tpcds_q53_quarter_vs_avg(spark: SparkSession,
         .select("p_partkey",
                 F.substring("p_brand", 7, 1).alias("mfgr"))
     agg = (
-        s.join(F.broadcast(part), s["l_partkey"] == part["p_partkey"])
+        s.join(maybe_broadcast(part), s["l_partkey"] == part["p_partkey"])
         .groupBy("mfgr", F.year("l_shipdate").alias("yr"),
                  F.quarter("l_shipdate").alias("qtr"))
         .agg(F.sum(fixed(F.col("net_price"))).alias("fx"))
@@ -575,7 +576,7 @@ def tpcds_q56_channel_union_totals(spark: SparkSession,
         .select("p_partkey", "p_brand")
     branches = [
         s.filter(F.col("channel") == ch)
-        .join(F.broadcast(part), s["l_partkey"] == part["p_partkey"])
+        .join(maybe_broadcast(part), s["l_partkey"] == part["p_partkey"])
         .groupBy("p_brand")
         .agg(F.sum(fixed(F.col("net_price"))).alias("fx"))
         for ch in ("store", "catalog", "web")
@@ -626,7 +627,7 @@ def tpcds_q57_monthly_outliers(spark: SparkSession,
     nation = load_table(spark, sf_dir, "nation") \
         .select("n_nationkey", "n_name")
     agg = (
-        s.join(F.broadcast(supp), s["l_suppkey"] == supp["s_suppkey"])
+        s.join(maybe_broadcast(supp), s["l_suppkey"] == supp["s_suppkey"])
         .join(F.broadcast(nation),
               supp["s_nationkey"] == nation["n_nationkey"])
         .groupBy("n_name", F.year("l_shipdate").alias("yr"),

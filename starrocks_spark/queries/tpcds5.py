@@ -53,7 +53,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from starrocks_spark.catalog import load_table
-from starrocks_spark.queries._util import (
+from starrocks_spark.queries._util import (maybe_broadcast,
+                                            
     davg, dsum, fixed, sql_davg, sql_dec2dbl, sql_dsum, sql_fixed,
 )
 from starrocks_spark.queries.tpcds import _SQL_SALES, _SQL_SALES_CUST, _sales
@@ -86,9 +87,9 @@ def tpcds_q68_two_city_report(spark: SparkSession,
     one of TWO listed nations that differ from the customer's own —
     the "bought in city A or B, not home" gate with two measures."""
     s = _sales(spark, sf_dir, with_cust=True)
-    cust = F.broadcast(load_table(spark, sf_dir, "customer")
+    cust = maybe_broadcast(load_table(spark, sf_dir, "customer")
                        .select("c_custkey", "c_name", "c_nationkey"))
-    supp = F.broadcast(load_table(spark, sf_dir, "supplier")
+    supp = maybe_broadcast(load_table(spark, sf_dir, "supplier")
                        .select("s_suppkey", "s_nationkey"))
     nation = F.broadcast(load_table(spark, sf_dir, "nation")
                          .select("n_nationkey", "n_name"))
@@ -183,7 +184,7 @@ def tpcds_q71_hourly_brand(spark: SparkSession,
         .filter(F.substring("p_brand", 7, 1) == "2") \
         .select("p_partkey", "p_brand")
     return (
-        s.join(F.broadcast(part), s["l_partkey"] == part["p_partkey"])
+        s.join(maybe_broadcast(part), s["l_partkey"] == part["p_partkey"])
         .groupBy("hr", "p_brand")
         .agg(dsum(F.col("net_price")).alias("net"))
         .orderBy("hr", F.col("net").desc(), "p_brand")
@@ -226,7 +227,7 @@ def tpcds_q73_basket_band(spark: SparkSession,
     return (
         per_order
         .join(orders, per_order["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust),
+        .join(maybe_broadcast(cust),
               orders["o_custkey"] == cust["c_custkey"])
         .select("c_custkey", "c_name", "l_orderkey", "item_cnt",
                 "order_net")
@@ -320,7 +321,7 @@ def tpcds_q77_sales_returns_outer(spark: SparkSession,
     sales, or vice versa), profit = sales − returns, plus a ROLLUP to
     channel totals over the merged frame."""
     s = _sales(spark, sf_dir)
-    supp = F.broadcast(load_table(spark, sf_dir, "supplier")
+    supp = maybe_broadcast(load_table(spark, sf_dir, "supplier")
                        .select("s_suppkey", "s_nationkey"))
     nation = F.broadcast(load_table(spark, sf_dir, "nation")
                          .select("n_nationkey", "n_name"))
@@ -446,7 +447,7 @@ def tpcds_q86_web_rollup_rank(spark: SparkSession,
     part = load_table(spark, sf_dir, "part") \
         .select("p_partkey", "p_type", "p_brand")
     agg = (
-        s.join(F.broadcast(part), s["l_partkey"] == part["p_partkey"])
+        s.join(maybe_broadcast(part), s["l_partkey"] == part["p_partkey"])
         .rollup("p_type", "p_brand")
         .agg(dsum(F.col("net_price")).alias("net"),
              (F.grouping("p_type") + F.grouping("p_brand")).cast("int")

@@ -10,10 +10,14 @@ subqueries; be/src/exec/hash_join_node.h join types
 PlanNodes.thrift:826-845) — with predicates rewritten onto the
 available columns.
 
-Scale notes: every dimension join is broadcast; fact-fact joins
+Scale notes: SF-invariant frames (nation 25 rows, region 5, single-row
+scalar aggregates) carry an unconditional broadcast hint; every
+SF-SCALING frame (customer/part/supplier and aggregates keyed by
+part/supp/cust keys) goes through ``maybe_broadcast`` UNhinted, so AQE
+broadcasts it at small scale and shuffles it at 100× — a forced hint
+has no size escape hatch (r11 verdict). Fact-fact joins
 (lineitem⋈orders, lineitem⋈lineitem) shuffle on the order key, which
-is also how a 1000-executor cluster would co-partition them. Scalar
-subquery results are single rows → broadcast by Catalyst.
+is also how a 1000-executor cluster would co-partition them.
 """
 
 from __future__ import annotations
@@ -22,7 +26,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from starrocks_spark.catalog import load_table
-from starrocks_spark.queries._util import DEC, davg, dsum, fixed, sql_dsum, sql_fixed
+from starrocks_spark.queries._util import (DEC, davg, dsum, fixed,
+                                            maybe_broadcast, sql_dsum,
+                                            sql_fixed)
 
 def _rev():
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -48,14 +54,14 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     unit = (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
     offers = (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(maybe_broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .select("p_partkey", "p_name", "l_suppkey", unit)
     )
     min_unit = offers.groupBy("p_partkey").agg(F.min("unit_price").alias("min_unit"))
     return (
-        offers.join(F.broadcast(min_unit), "p_partkey")
+        offers.join(maybe_broadcast(min_unit), "p_partkey")
         .filter(F.col("unit_price") == F.col("min_unit"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(maybe_broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("p_partkey", "p_name", "s_name", "n_name")
         .agg(F.min("min_unit").alias("min_unit_price"))
@@ -131,8 +137,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(maybe_broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -180,8 +186,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = F.when(F.col("s_nationkey") == 5, _rev()).otherwise(F.lit(0.0))
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust_region), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(maybe_broadcast(cust_region), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg((dsum(target) / dsum(_rev())).alias("mkt_share"))
         .orderBy("o_year")
@@ -216,9 +222,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     profit = _rev() - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(maybe_broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(maybe_broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
         .agg(dsum(profit).alias("sum_profit"))
@@ -249,7 +255,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 8)
     offers = li.join(
-        F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
+        maybe_broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
     )
     per_part = offers.groupBy("l_partkey").agg(fixed_sum(_rev()).alias("_fp"))
     total = per_part.agg(F.sum("_fp").alias("_tot"))
@@ -360,7 +366,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.join(F.broadcast(max_rev))
         .filter(F.col("total_revenue") == F.col("_max"))
-        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(maybe_broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -392,9 +398,9 @@ def q16_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(maybe_broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .join(
-            F.broadcast(bad_supp),
+            maybe_broadcast(bad_supp),
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_anti",
         )
@@ -421,14 +427,14 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
     avg_qty = (
-        li.join(F.broadcast(part.select("p_partkey")),
+        li.join(maybe_broadcast(part.select("p_partkey")),
                 F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .groupBy(F.col("l_partkey").alias("ap_key"))
         .agg(davg(F.col("l_quantity")).alias("avg_qty"))
     )
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("ap_key"))
+        li.join(maybe_broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(maybe_broadcast(avg_qty), F.col("l_partkey") == F.col("ap_key"))
         .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
         .agg((dsum(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly"))
     )
@@ -461,7 +467,7 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     heavy = (
-        li.join(F.broadcast(part.select("p_partkey")),
+        li.join(maybe_broadcast(part.select("p_partkey")),
                 F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("_q"))
@@ -470,7 +476,7 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return (
-        supp.join(F.broadcast(heavy), F.col("s_suppkey") == F.col("l_suppkey"),
+        supp.join(maybe_broadcast(heavy), F.col("s_suppkey") == F.col("l_suppkey"),
                   "left_semi")
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_name", "n_name")
@@ -522,7 +528,7 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey",
             "left_semi",
         )
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(maybe_broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("s_name")
         .agg(F.countDistinct("l_orderkey").alias("numwait"))

@@ -333,3 +333,32 @@ def test_dict_mapping_plans_as_broadcast_lookup(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_no_forced_broadcast_of_sf_scaling_relations(spark, sf_dir):
+    """r11 verdict #1: customer/part/supplier (and aggregates keyed by
+    their keys) scale with SF — they must NOT carry a forced broadcast
+    hint. With size-based broadcast disabled, the only
+    BroadcastExchange nodes left are the hinted SF-invariant frames
+    (nation/region/single-row scalars); everything else sort-merges —
+    which is exactly the 100×-scale plan AQE falls back to."""
+    from starrocks_spark.queries import tpch2
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        def n_bcast(df):
+            return plan_str(df, "simple").count("BroadcastExchange")
+
+        # q7: the two nation dims (n1/n2) are the only hinted frames
+        assert n_bcast(tpch2.q7_volume_shipping(spark, sf_dir)) == 2
+        # q8: nation + region hinted; cust_region/supp must shuffle
+        assert n_bcast(tpch2.q8_market_share(spark, sf_dir)) == 2
+        # q16: no SF-invariant frame at all -> zero broadcasts
+        assert n_bcast(tpch2.q16_parts_supplier(spark, sf_dir)) == 0
+        # q2: nation only; part/min_unit/supplier must shuffle
+        assert n_bcast(tpch2.q2_min_cost_supplier(spark, sf_dir)) == 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
