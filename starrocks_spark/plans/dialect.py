@@ -161,6 +161,13 @@ def _split_top_level(args: str) -> list[str]:
     return parts
 
 
+#: per-translate()-run tally of FIRED call rewrites (callback returned
+#: a replacement), keyed by function name — the differential fuzz
+#: harness asserts its generated statements actually exercise the
+#: mapped surface instead of passing through unchanged
+REWRITE_HITS: dict[str, int] = {}
+
+
 def rewrite_calls(sql: str, name: str, fn) -> str:
     """Replace every call of `name(...)` (case-insensitive, balanced
     parens, quote-aware) with fn(args_list) -> str. Processes nested
@@ -185,6 +192,8 @@ def rewrite_calls(sql: str, name: str, fn) -> str:
         repl = fn(_split_top_level(inner))
         if repl is None:  # leave untouched: re-emit with marker to stop loop
             repl = f"\0{name}\0({inner})"
+        else:
+            REWRITE_HITS[name] = REWRITE_HITS.get(name, 0) + 1
         sql = sql[: m.start()] + repl + sql[i:]
     # unreachable
 
@@ -227,6 +236,8 @@ def rewrite_calls_over(sql: str, name: str, fn) -> str:
         repl = fn(_split_top_level(inner), over)
         if repl is None:
             repl = f"\0{name}\0({inner})" + sql[i:end]
+        else:
+            REWRITE_HITS[name] = REWRITE_HITS.get(name, 0) + 1
         sql = sql[:m.start()] + repl + sql[end:]
 
 
@@ -239,7 +250,8 @@ def _restore_markers(sql: str) -> str:
 # ---------------------------------------------------------------------------
 
 _INTERVAL_RE = re.compile(
-    r"^INTERVAL\s+(.+?)\s+(YEAR|QUARTER|MONTH|WEEK|DAY|HOUR|MINUTE|SECOND)S?$",
+    r"^INTERVAL\s+(.+?)\s+(YEAR|QUARTER|MONTH|WEEK|DAY|HOUR|MINUTE"
+    r"|SECOND|MILLISECOND|MICROSECOND)S?$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -259,25 +271,127 @@ def _interval_expr(n: str, unit: str) -> str:
         if unit == "QUARTER":  # no QUARTER interval literal in Spark
             return f"INTERVAL {3 * int(n)} MONTH"
         return f"INTERVAL {n.strip()} {unit}"
+    args = ["0"] * 7
     if unit == "QUARTER":
-        args = ["0"] * 7
         args[_MAKE_INTERVAL_SLOT["MONTH"]] = f"3 * ({n})"
+    elif unit == "MILLISECOND":
+        args[_MAKE_INTERVAL_SLOT["SECOND"]] = f"({n}) / 1000"
+    elif unit == "MICROSECOND":
+        args[_MAKE_INTERVAL_SLOT["SECOND"]] = f"({n}) / 1000000"
     else:
-        args = ["0"] * 7
         args[_MAKE_INTERVAL_SLOT[unit]] = f"({n})"
     return f"make_interval({', '.join(args)})"
 
 
-def _rw_date_addsub(sign: str):
+def _fold_interval_arith(arg: str):
+    """IntervalLiteral arithmetic the FE folds before typing
+    (fe AstBuilder visitArithmeticBinary over IntervalLiteral):
+    ``INTERVAL n unit * k``, ``INTERVAL n unit / k``,
+    ``k * INTERVAL n unit`` → (count_expr, UNIT); plain
+    ``INTERVAL n unit`` passes through; None when not interval-shaped."""
+    m = re.match(r"(?is)^INTERVAL\s+(\S+)\s+(\w+?)S?\s*([*/])\s*(.+)$",
+                 arg)
+    if m:
+        return (f"CAST(({m.group(1)}) {m.group(3)} ({m.group(4)}) "
+                f"AS INT)", m.group(2).upper())
+    m = re.match(r"(?is)^(.+?)\*\s*INTERVAL\s+(\S+)\s+(\w+?)S?$", arg)
+    if m:
+        return (f"CAST(({m.group(2)}) * ({m.group(1).strip()}) AS INT)",
+                m.group(3).upper())
+    m = _INTERVAL_RE.match(arg)
+    if m:
+        return m.group(1), m.group(2).upper()
+    return None
+
+
+def _rw_emitted_ts_in(sql: str) -> str:
+    """``<emitted timestamp expr> IN ('lit', ...)``: Spark's IN
+    type-coercion widens timestamp-vs-string to STRING, so the
+    rendered compare ('1000-01-02 00:00:00' vs '1000-01-02') misses —
+    the reference casts the literals to DATETIME instead
+    (test_expr_substr_prune_partition). Scoped to expressions THIS
+    translator emitted (the int-date-arith family), where the LHS
+    type is provably TIMESTAMP."""
+    pat = re.compile(r"\0timestampadd\0\(|\(TRY_CAST\(")
+    i = 0
+    while True:
+        m = pat.search(sql, i)
+        if m is None:
+            return sql
+        # balanced scan over the emitted expression
+        start = (m.end() - 1 if sql[m.start()] != "("
+                 else m.start())
+        depth, j = 0, start
+        while j < len(sql):
+            ch = sql[j]
+            if ch == "'":
+                j = skip_quoted(sql, j) - 1
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    j += 1
+                    break
+            j += 1
+        expr = sql[start:j]
+        if sql[m.start()] == "(" and not (
+                "AS TIMESTAMP" in expr.upper()
+                and re.search(r"\bINTERVAL\b|\bmake_interval\b", expr,
+                              re.IGNORECASE)):
+            i = m.end()  # some other TRY_CAST — not our emission
+            continue
+        im = re.match(r"(\s+(?:NOT\s+)?IN\s*)\(", sql[j:],
+                      re.IGNORECASE)
+        if not im:
+            i = m.end()
+            continue
+        lo = j + im.end()  # first char of the list body
+        depth, k = 1, lo
+        while k < len(sql) and depth:
+            ch = sql[k]
+            if ch == "'":
+                k = skip_quoted(sql, k) - 1
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            k += 1
+        items = _split_top_level(sql[lo:k - 1])
+        new = ", ".join(
+            f"CAST({it.strip()} AS TIMESTAMP)"
+            if re.fullmatch(r"'[^']*'", it.strip()) else it
+            for it in items)
+        sql = sql[:lo] + new + sql[k - 1:]
+        i = m.end()
+
+
+def _rw_int_date_arith(unit: str, sign: str):
+    """date_add/adddate/days_add/months_add/years_add family: the
+    reference has ONE overload each, (DATETIME, INT) -> DATETIME
+    (gensrc/script/functions.py:536-552), so the result keeps the
+    time part for ANY input — Spark's native date_add would return
+    DATE and silently drop it (found by the r12 differential fuzz).
+    Also folds IntervalLiteral arithmetic and reproduces the FE's
+    Expr-divide-IntervalLiteral syntax error (test_days_add)."""
+    op = "+" if sign == "+" else "-"
+
     def rw(args: list[str]):
         if len(args) != 2:
             return None
-        m = _INTERVAL_RE.match(args[1].strip())
-        if m is None:
-            return None  # plain int form — Spark-native already
-        n, unit = m.group(1), m.group(2).upper()
-        op = "+" if sign == "+" else "-"
-        return f"(({args[0]}) {op} {_interval_expr(n, unit)})"
+        a0, arg = args[0], args[1].strip()
+        if re.search(r"(?i)/\s*INTERVAL\b", _strip_quoted_spans(arg)):
+            raise ValueError(
+                "Getting syntax error. Detail message: Do not support "
+                "Expr divide IntervalLiteral syntax.")
+        f = _fold_interval_arith(arg)
+        if f is not None:
+            cnt, u = f
+            return (f"(TRY_CAST({a0} AS TIMESTAMP) {op} "
+                    f"{_interval_expr(cnt, u)})")
+        neg = f"({arg})" if sign == "+" else f"-({arg})"
+        return (f"\0timestampadd\0({unit}, {neg}, "
+                f"TRY_CAST({a0} AS TIMESTAMP))")
 
     return rw
 
@@ -1708,18 +1822,18 @@ _SIMPLE_WRAPS = {
     "utc_timestamp": lambda a: "current_timestamp()",
     "strleft": lambda a: f"left({', '.join(a)})",
     "strright": lambda a: f"right({', '.join(a)})",
-    "adddate": lambda a: f"\0date_add\0({', '.join(a)})",
-    "subdate": lambda a: f"\0date_sub\0({', '.join(a)})",
-    "days_add": lambda a: f"\0date_add\0({', '.join(a)})",
-    "days_sub": lambda a: f"\0date_sub\0({', '.join(a)})",
+    "adddate": _rw_int_date_arith("DAY", "+"),
+    "subdate": _rw_int_date_arith("DAY", "-"),
+    "days_add": _rw_int_date_arith("DAY", "+"),
+    "days_sub": _rw_int_date_arith("DAY", "-"),
     "milliseconds_add": lambda a: (
         f"\0timestampadd\0(MILLISECOND, {a[1]}, {a[0]})"),
     "milliseconds_sub": lambda a: (
         f"\0timestampadd\0(MILLISECOND, -({a[1]}), {a[0]})"),
-    "months_add": lambda a: f"add_months({', '.join(a)})",
-    "months_sub": lambda a: f"add_months({a[0]}, -({a[1]}))",
-    "years_add": lambda a: f"(({a[0]}) + INTERVAL {a[1]} YEAR)",
-    "years_sub": lambda a: f"(({a[0]}) - INTERVAL {a[1]} YEAR)",
+    "months_add": _rw_int_date_arith("MONTH", "+"),
+    "months_sub": _rw_int_date_arith("MONTH", "-"),
+    "years_add": _rw_int_date_arith("YEAR", "+"),
+    "years_sub": _rw_int_date_arith("YEAR", "-"),
     "ucase": lambda a: f"upper({', '.join(a)})",
     "lcase": lambda a: f"lower({', '.join(a)})",
     # array family names the reference spells differently
@@ -2292,8 +2406,8 @@ def translate(sql: str) -> str:
     sql = rewrite_calls(sql, "concat", _rw_concat_dbl)
     for name in _INNER_IGNORE_NULLS:
         sql = rewrite_calls(sql, name, _rw_inner_ignore_nulls(name))
-    sql = rewrite_calls(sql, "date_add", _rw_date_addsub("+"))
-    sql = rewrite_calls(sql, "date_sub", _rw_date_addsub("-"))
+    sql = rewrite_calls(sql, "date_add", _rw_int_date_arith("DAY", "+"))
+    sql = rewrite_calls(sql, "date_sub", _rw_int_date_arith("DAY", "-"))
     # AFTER date_add/date_sub (their rewriter consumes the INTERVAL
     # form itself): remaining bare computed intervals in arithmetic
     sql = _BARE_INTERVAL_RE.sub(
@@ -2375,7 +2489,11 @@ def translate(sql: str) -> str:
                           re.IGNORECASE)]
     if re.search(r"\(\s*DISTINCT\b", sql, re.IGNORECASE) \
             and re.search(r"\bOVER\b", sql, re.IGNORECASE):
-        sql = _rw_distinct_over_unbounded(sql)
+        new0 = _rw_distinct_over_unbounded(sql)
+        if new0 != sql:
+            REWRITE_HITS["distinct_over_unbounded"] = \
+                REWRITE_HITS.get("distinct_over_unbounded", 0) + 1
+        sql = new0
     for name in gated:
         sql = rewrite_calls_over(sql, name,
                                  _rw_distinct_agg_over(name))
@@ -2390,6 +2508,8 @@ def translate(sql: str) -> str:
     # requires a length — the reference treats it as unbounded string
     sql = re.sub(r"\bAS\s+VARCHAR\s*\)", "AS STRING)", sql,
                  flags=re.IGNORECASE)
+    if re.search(r"\bIN\s*\(", sql, re.IGNORECASE):
+        sql = _rw_emitted_ts_in(sql)
     return _restore_markers(sql)
 
 

@@ -43,7 +43,26 @@ def test_nested_interval_inside_format():
 def test_interval_forms():
     out = translate("SELECT date_add(d, INTERVAL 3 MONTH), date_sub(d, 5) FROM t")
     assert "+ INTERVAL 3 MONTH" in out
-    assert "date_sub(d, 5)" in out  # plain int form untouched
+    # plain int form returns DATETIME in the reference (FunctionSet
+    # date_sub(DATETIME, INT) -> DATETIME) — timestampadd keeps the
+    # time part where Spark's native date_sub would drop it
+    assert "timestampadd(DAY, -(5)" in out
+
+
+def test_int_date_arith_interval_folding():
+    # IntervalLiteral arithmetic folds into the count (test_days_add)
+    out = translate("SELECT adddate(d, INTERVAL 1 YEAR * 2) FROM t")
+    assert "CAST((1) * (2) AS INT)" in out
+    out = translate("SELECT adddate(d, 2 * INTERVAL 1 YEAR) FROM t")
+    assert "CAST((1) * (2) AS INT)" in out
+    out = translate("SELECT adddate(d, INTERVAL 2 YEAR / 2) FROM t")
+    assert "CAST((2) / (2) AS INT)" in out
+    import pytest as _pt
+    with _pt.raises(ValueError, match="divide IntervalLiteral"):
+        translate("SELECT adddate(d, 2 / INTERVAL 2 YEAR) FROM t")
+    # sub-second units exist as Spark literals
+    out = translate("SELECT adddate(d, INTERVAL 500 MILLISECOND) FROM t")
+    assert "INTERVAL 500 MILLISECOND" in out
 
 
 def test_aliases():

@@ -283,3 +283,243 @@ def test_fuzz_dialect_vs_duckdb(sparktabs, duck):
     assert not failures, (
         f"{len(failures)}/{n} fuzzed statements diverge; first: "
         f"{failures[0]}")
+
+
+# ---------------------------------------------------------------------------
+# r12 (r11 verdict ask #2): fuzz the DIALECT-SPECIFIC rewrite surface.
+# Each family emits a PAIR — the StarRocks spelling (run through
+# ``translate`` on Spark) and a DuckDB-equivalent twin rendering —
+# because these functions either do not exist in DuckDB or carry
+# MySQL semantics DuckDB spells differently. The run asserts both
+# value agreement AND that ≥20 distinct call rewrites actually fired
+# (dialect.REWRITE_HITS), so the generator provably exercises the
+# mapped surface instead of passing through unchanged.
+# ---------------------------------------------------------------------------
+
+_JS = "concat('{\"a\":', l_linenumber, ',\"b\":\"', l_returnflag, '\"}')"
+
+
+class DialectGen:
+    """(sr_expr, duck_expr) pair families over the lineitem schema."""
+
+    def __init__(self, rng: random.Random):
+        self.r = rng
+
+    # --- scalar (row-local) families ---
+    def date_format(self):
+        toks = self.r.sample(
+            [("%Y", "%Y"), ("%m", "%m"), ("%d", "%d"), ("%H", "%H"),
+             ("%i", "%M"), ("%s", "%S"), ("%j", "%j")],
+            self.r.randint(1, 3))
+        sep = self.r.choice(["-", " ", ":", "/"])
+        f1 = sep.join(t[0] for t in toks)
+        f2 = sep.join(t[1] for t in toks)
+        return (f"date_format(l_shipdate, '{f1}')",
+                f"strftime(l_shipdate, '{f2}')")
+
+    def str_to_date(self):
+        if self.r.random() < 0.5:
+            return ("str_to_date(date_format(l_shipdate, '%Y-%m-%d'),"
+                    " '%Y-%m-%d')", "CAST(l_shipdate AS DATE)")
+        return ("str_to_date(date_format(l_shipdate, "
+                "'%Y-%m-%d %H:%i:%s'), '%Y-%m-%d %H:%i:%s')",
+                "CAST(l_shipdate AS TIMESTAMP)")
+
+    def from_unixtime(self):
+        k = self.r.randint(1, 9)
+        return (f"from_unixtime(l_orderkey * {k} + 86400)",
+                f"epoch_ms((l_orderkey * {k} + 86400) * 1000)")
+
+    def day_month_name(self):
+        fn = self.r.choice(["dayname", "monthname"])
+        return (f"{fn}(l_shipdate)", f"{fn}(l_shipdate)")
+
+    def strleft_right(self):
+        n = self.r.randint(1, 4)
+        c = self.r.choice(["l_returnflag", "l_linestatus"])
+        fn = self.r.choice([("strleft", "left"), ("strright", "right")])
+        return (f"{fn[0]}(concat({c}, 'xyz'), {n})",
+                f"{fn[1]}(concat({c}, 'xyz'), {n})")
+
+    def case_fns(self):
+        c = self.r.choice(["l_returnflag", "l_linestatus"])
+        fn = self.r.choice([("ucase", "upper"), ("lcase", "lower")])
+        return (f"{fn[0]}(concat({c}, 'aB'))",
+                f"{fn[1]}(concat({c}, 'aB'))")
+
+    def split_part(self):
+        n = self.r.randint(1, 3)
+        e = "concat(l_returnflag, '-', l_linestatus, '-z')"
+        return (f"split_part({e}, '-', {n})",
+                f"split_part({e}, '-', {n})")
+
+    def get_json(self):
+        pick = self.r.randrange(3)
+        if pick == 0:
+            return (f"get_json_string({_JS}, '$.b')",
+                    f"json_extract_string({_JS}, '$.b')")
+        if pick == 1:
+            return (f"get_json_int({_JS}, '$.a')",
+                    f"CAST(json_extract({_JS}, '$.a') AS BIGINT)")
+        return (f"get_json_double({_JS}, '$.a')",
+                f"CAST(json_extract({_JS}, '$.a') AS DOUBLE)")
+
+    def int_date_arith(self):
+        n = self.r.randint(1, 30)
+        fn = self.r.choice(
+            [("days_add", "+", "DAY"), ("days_sub", "-", "DAY"),
+             ("months_add", "+", "MONTH"), ("months_sub", "-", "MONTH"),
+             ("years_add", "+", "YEAR"), ("years_sub", "-", "YEAR"),
+             ("adddate", "+", "DAY"), ("subdate", "-", "DAY")])
+        return (f"{fn[0]}(l_shipdate, {n})",
+                f"l_shipdate {fn[1]} INTERVAL {n} {fn[2]}")
+
+    def interval_date_arith(self):
+        n = self.r.randint(1, 20)
+        u = self.r.choice(["DAY", "MONTH", "YEAR"])
+        fn, op = self.r.choice([("date_add", "+"), ("date_sub", "-")])
+        return (f"{fn}(l_shipdate, INTERVAL {n} {u})",
+                f"l_shipdate {op} INTERVAL {n} {u}")
+
+    def round_single(self):
+        c = self.r.choice(["l_extendedprice", "l_quantity", "l_tax"])
+        return (f"round({c})",
+                f"CAST(round(CAST({c} AS DOUBLE)) AS BIGINT)")
+
+    def md5sum(self):
+        c = self.r.choice(["l_returnflag", "l_linestatus"])
+        return (f"md5sum({c})", f"md5({c})")
+
+    def greatest_least_date(self):
+        fn = self.r.choice(["greatest", "least"])
+        d = f"199{self.r.randint(2, 8)}-06-17"
+        return (f"{fn}(l_shipdate, date('{d}'))",
+                f"CAST({fn}(l_shipdate, TIMESTAMP '{d} 00:00:00') "
+                f"AS TIMESTAMP)")
+
+    def array_fns(self):
+        pick = self.r.randrange(3)
+        if pick == 0:
+            return ("array_length(split(concat(l_returnflag, '-a-b'),"
+                    " '-'))",
+                    "len(string_split(concat(l_returnflag, '-a-b'),"
+                    " '-'))")
+        if pick == 1:
+            return ("array_sum(array_map(x -> cast(x as int), "
+                    "split('1-2-3', '-')))",
+                    "list_sum(list_transform(string_split('1-2-3', "
+                    "'-'), x -> CAST(x AS INT)))")
+        a, b = self.r.randint(0, 3), self.r.randint(4, 7)
+        return (f"array_length(array_generate({a}, {b}))",
+                f"len(generate_series({a}, {b}))")
+
+    def regexp_replace(self):
+        e = "concat(l_returnflag, l_linestatus)"
+        return (f"regexp_replace({e}, '[AO]', 'x')",
+                f"regexp_replace({e}, '[AO]', 'x', 'g')")
+
+    # --- aggregate families (grouped by l_returnflag) ---
+    def group_concat(self):
+        sep = self.r.choice(["|", ","])
+        return (f"group_concat(l_linestatus ORDER BY l_linestatus "
+                f"SEPARATOR '{sep}')",
+                f"string_agg(l_linestatus, '{sep}' "
+                f"ORDER BY l_linestatus)")
+
+    def count_if(self):
+        t = self.r.randint(10, 40)
+        return (f"count_if(l_quantity > {t})",
+                f"count(*) FILTER (WHERE l_quantity > {t})")
+
+    def multi_distinct(self):
+        if self.r.random() < 0.5:
+            return ("multi_distinct_count(l_suppkey)",
+                    "count(DISTINCT l_suppkey)")
+        return ("multi_distinct_sum(l_linenumber)",
+                "sum(DISTINCT l_linenumber)")
+
+    def percentile_disc(self):
+        q = self.r.choice(["0.25", "0.5", "0.9"])
+        return (f"percentile_disc(l_quantity, {q})",
+                f"quantile_disc(l_quantity, {q})")
+
+    SCALAR = ["date_format", "str_to_date", "from_unixtime",
+              "day_month_name", "strleft_right", "case_fns",
+              "split_part", "get_json", "int_date_arith",
+              "interval_date_arith", "round_single", "md5sum",
+              "greatest_least_date", "array_fns", "regexp_replace"]
+    AGG = ["group_concat", "count_if", "multi_distinct",
+           "percentile_disc"]
+
+    def statement(self):
+        """One (sr_sql, duck_sql) statement pair."""
+        r = self.r
+        shape = r.randrange(10)
+        if shape == 9:
+            # DISTINCT aggregate over a window partition — StarRocks
+            # desugars to scalar-state markers; the DuckDB twin is the
+            # equivalent groupBy + join
+            ag, col = r.choice([("count", "l_suppkey"),
+                                ("sum", "l_linenumber")])
+            sr = (f"SELECT l_orderkey, l_linenumber, {ag}(distinct "
+                  f"{col}) OVER (PARTITION BY l_returnflag) AS w "
+                  f"FROM lineitem ORDER BY l_orderkey, l_linenumber")
+            dk = (f"SELECT l_orderkey, l_linenumber, w FROM lineitem "
+                  f"JOIN (SELECT l_returnflag AS rf, {ag}(DISTINCT "
+                  f"{col}) AS w FROM lineitem GROUP BY 1) ON "
+                  f"l_returnflag = rf "
+                  f"ORDER BY l_orderkey, l_linenumber")
+            return sr, dk
+        if shape >= 7:
+            fams = r.sample(self.AGG, r.randint(1, 2))
+            items = [getattr(self, f)() for f in fams]
+            sr_i = ", ".join(f"{s} AS a{i}"
+                             for i, (s, _) in enumerate(items))
+            dk_i = ", ".join(f"{d} AS a{i}"
+                             for i, (_, d) in enumerate(items))
+            return (f"SELECT l_returnflag, {sr_i} FROM lineitem "
+                    f"GROUP BY l_returnflag ORDER BY l_returnflag",
+                    f"SELECT l_returnflag, {dk_i} FROM lineitem "
+                    f"GROUP BY l_returnflag ORDER BY l_returnflag")
+        fams = r.sample(self.SCALAR, r.randint(1, 3))
+        items = [getattr(self, f)() for f in fams]
+        sr_i = ", ".join(f"{s} AS c{i}"
+                         for i, (s, _) in enumerate(items))
+        dk_i = ", ".join(f"{d} AS c{i}"
+                         for i, (_, d) in enumerate(items))
+        tail = ("FROM lineitem ORDER BY l_orderkey, l_linenumber")
+        return (f"SELECT l_orderkey, l_linenumber, {sr_i} {tail}",
+                f"SELECT l_orderkey, l_linenumber, {dk_i} {tail}")
+
+
+def test_fuzz_dialect_rewrite_surface(sparktabs, duck):
+    from starrocks_spark.functions import (mmh3, percentile, regexfn,
+                                           strcase, strtodate)
+
+    for mod in (strcase, percentile, strtodate, regexfn, mmh3):
+        mod.register(sparktabs)
+    seed = int(os.environ.get("SPARK_FUZZ_SEED", "1107"))
+    n = int(os.environ.get("SPARK_FUZZ_DIALECT_N", "40"))
+    g = DialectGen(random.Random(seed + 1))
+    dialect.REWRITE_HITS.clear()
+    failures = []
+    for _ in range(n):
+        sr, dk = g.statement()
+        if " ".join(sr.split()) in FUZZ_KNOWN_DIFFS:
+            continue
+        try:
+            s_rows = _rows(sparktabs.sql(dialect.translate(sr))
+                           .collect())
+            d_rows = _rows(duck.execute(dk).fetchall())
+        except Exception as e:  # noqa: BLE001 — engine rejected
+            failures.append((sr, f"error: {str(e)[:200]}"))
+            continue
+        if not _agree(s_rows, d_rows):
+            failures.append(
+                (sr, f"spark={s_rows[:2]} duck={d_rows[:2]} "
+                     f"({len(s_rows)} vs {len(d_rows)} rows)"))
+    assert not failures, (
+        f"{len(failures)}/{n} dialect-family statements diverge; "
+        f"first: {failures[0]}")
+    # the run must have exercised a broad slice of the mapped surface
+    assert len(dialect.REWRITE_HITS) >= 20, sorted(dialect.REWRITE_HITS)

@@ -103,6 +103,7 @@ _SUITES = [
     ("test_create_table", "test_keyword_column_name", 4, 0),
     ("test_exchange_hash_function", "test_exchange_hash_function_version", 8, 0),
     ("test_function", "test_date_trunc", 22, 0),
+    ("test_function", "test_days_add", 41, 0),
     ("test_function", "test_str_to_map", 1, 0),
     ("test_group_execution", "test_group_execution_prune", 22, 0),
     ("test_jit", "test_jit_case_when_mixed_types", 1, 0),
