@@ -206,6 +206,47 @@ TPCDS = [
     "tpcds_q83_return_ratio",
     "tpcds_q85_reason_bands",
     "tpcds_q95_dual_exists",
+    # r12: remaining families wired in so tpcds_total spans the full
+    # 99 published query numbers (r11 verdict ask #4) — 25 families
+    # that existed in the registry but not here, plus the 11 new
+    # queries/tpcds6.py shapes (q20 q26 q42 q52 q55 q60 q62 q63 q79
+    # q80 q82)
+    "tpcds_q3_brand_year_net",
+    "tpcds_q7_demo_avgs",
+    "tpcds_q12_category_share",
+    "tpcds_q15_or_gate_nations",
+    "tpcds_q19_cross_nation_brand",
+    "tpcds_q27_rollup_item_avgs",
+    "tpcds_q29_resold_quantities",
+    "tpcds_q37_onhand_window",
+    "tpcds_q50_latency_matrix",
+    "tpcds_q53_quarter_vs_avg",
+    "tpcds_q56_channel_union_totals",
+    "tpcds_q57_monthly_outliers",
+    "tpcds_q68_two_city_report",
+    "tpcds_q69_store_only_customers",
+    "tpcds_q71_hourly_brand",
+    "tpcds_q73_basket_band",
+    "tpcds_q74_yoy_quantity_ratio",
+    "tpcds_q77_sales_returns_outer",
+    "tpcds_q84_income_band_lookup",
+    "tpcds_q86_web_rollup_rank",
+    "tpcds_q90_ampm_ratio",
+    "tpcds_q91_monthly_return_loss",
+    "tpcds_q92_excess_discount",
+    "tpcds_q94_web_clean_orders",
+    "tpcds_q96_band_count",
+    "tpcds_q20_catalog_ratio",
+    "tpcds_q26_catalog_demo_avgs",
+    "tpcds_q42_month_category",
+    "tpcds_q52_month_brand",
+    "tpcds_q55_brand_month",
+    "tpcds_q60_category_channel_union",
+    "tpcds_q62_web_latency_buckets",
+    "tpcds_q63_month_vs_avg",
+    "tpcds_q79_customer_baskets",
+    "tpcds_q80_channel_rollup",
+    "tpcds_q82_onhand_price_band",
 ]
 
 
@@ -274,6 +315,11 @@ def main() -> None:
                 "tpcds": tpcds_timings,
                 "tpcds_total": round(sum(tpcds_timings.values()), 4),
                 "sf": _sf_from_dir(SF_DIR),
+                # ambient-load provenance: BENCH_NOTES documents a
+                # ±20-50% same-machine drift band under load — the
+                # 1/5/15-min load averages make every recorded run
+                # self-describing (r11 ask #8)
+                "loadavg": [round(x, 2) for x in os.getloadavg()],
             }
     # persist the FULL parsed JSON alongside the one-line print: the
     # driver's BENCH_r{N}.json keeps only a 2,000-char tail of stdout,

@@ -52,9 +52,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from starrocks_spark.catalog import load_table
-from starrocks_spark.queries._util import (maybe_broadcast,
-                                            
-    dsum, fixed, sql_dec2dbl, sql_dsum, sql_fixed,
+from starrocks_spark.queries._util import (
+    dsum, fixed, sql_dec2dbl, sql_dsum, sql_fixed, maybe_broadcast,
 )
 
 QUERIES: dict = {}

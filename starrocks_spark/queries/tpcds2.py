@@ -55,9 +55,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from starrocks_spark.catalog import load_table, register_tables
-from starrocks_spark.queries._util import (maybe_broadcast,
-                                            
-    davg, dsum, fixed, sql_davg, sql_dec2dbl, sql_dsum, sql_fixed,
+from starrocks_spark.queries._util import (
+    davg, dsum, fixed, sql_davg, sql_dec2dbl, sql_dsum, sql_fixed, maybe_broadcast,
 )
 from starrocks_spark.queries.tpcds import _SQL_SALES, _sales
 

@@ -39,6 +39,7 @@ from starrocks_spark.queries import (
     tpcds3,
     tpcds4,
     tpcds5,
+    tpcds6,
     tpch,
     tpch2,
     unnest_multi,
@@ -75,6 +76,7 @@ _MODULES = [
     tpcds3,
     tpcds4,
     tpcds5,
+    tpcds6,
 ]
 
 # The driver's correctness gate checks the FIRST ~50 registered queries
@@ -101,63 +103,65 @@ _MODULES = [
 # TPC-H/window/setop/asof/funnel families) whose shared engine core
 # moved since their last driver check.
 _PRIORITY = [
-    # --- r11 rotation: staleness-first (r10 verdict ask #7).
-    # Every registered query has had >=1 driver check; this
-    # window re-drives the 50 stalest rows — everything whose
-    # last driver check was round 1 (39 rows: early TPC-H,
-    # window/grouping/setop/subquery/scalar families) plus the
-    # 11 oldest round-2 rows. The TPC-H rows double as checks
-    # on the r11 bench-headline extension to all 22 queries.
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q14_promo_effect",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_order_priority",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_stock",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q16_parts_supplier",
-    "tpch_q17_small_quantity",
-    "tpch_q20_potential_promotion",
-    "tpch_q22_global_sales",
-    "window_rank",
-    "window_lead_lag",
-    "window_ntile_dist",
-    "window_moving_avg",
-    "window_first_last",
-    "grouping_rollup",
-    "grouping_cube",
-    "grouping_sets_explicit",
-    "setop_except",
-    "setop_intersect",
-    "setop_union_counts",
-    "subquery_exists",
-    "subquery_not_exists",
-    "subquery_scalar",
-    "qualify_top_order",
-    "pivot_status",
-    "case_when_buckets",
-    "topk_parts",
-    "values_inline_join",
-    "explode_words",
-    "posexplode_embedding",
-    "generate_series_months",
-    "func_string_family",
-    "tpch_q12_shipmode_priority",
-    "tpch_q21_suppliers_kept_waiting",
-    "json_extract_props",
-    "asof_purchase_view",
-    "join_nonequi_range",
-    "point_lookup_pk",
-    "skew_salted_join",
-    "agg_pushdown_nation_revenue",
-    "sessionize_stats",
-    "text_quality_stats",
-    "token_count_stats",
+    # --- r12 rotation (r11 verdict ask #6): the 11 new
+    # tpcds6 families (never driver-checked) first, then the
+    # 39 stalest rows — every row last checked in round 2
+    # (dialect scalar/agg/stream/table-model families) plus
+    # the 25 oldest round-4 rows (agg sketches, connector,
+    # meta-scan, files export, streaming, set-op ALL).
+    # dialect_date_format_mysql / dialect_str_to_date_
+    # roundtrip double as driver checks on this round's
+    # date-arith dialect rework.
+    "tpcds_q20_catalog_ratio",
+    "tpcds_q26_catalog_demo_avgs",
+    "tpcds_q42_month_category",
+    "tpcds_q52_month_brand",
+    "tpcds_q55_brand_month",
+    "tpcds_q60_category_channel_union",
+    "tpcds_q62_web_latency_buckets",
+    "tpcds_q63_month_vs_avg",
+    "tpcds_q79_customer_baskets",
+    "tpcds_q80_channel_rollup",
+    "tpcds_q82_onhand_price_band",
+    "agg_approx_distinct_bounds",
+    "agg_bitmap_algebra",
+    "agg_group_concat",
+    "agg_histogram_equiwidth",
+    "agg_percentile_exact",
+    "dialect_date_format_mysql",
+    "func_array_higher_order",
+    "func_bit_ops",
+    "func_math_family",
+    "func_variant_type",
+    "multimodal_decode_meta",
+    "recursive_cte_months",
+    "stream_tumbling_revenue",
+    "table_range_partition_prune",
+    "agg_approx_top_k",
+    "agg_array_agg_distinct",
+    "agg_mann_whitney",
+    "agg_map_agg",
+    "agg_min_max_by",
+    "agg_state_merge",
+    "agg_theta_distinct",
+    "asof_inner_tolerance",
+    "connector_duckdb_sink",
+    "dialect_str_to_date_roundtrip",
+    "files_orc_partitioned_export",
+    "func_array_family2",
+    "func_inet_aton_ntoa",
+    "func_map_family",
+    "func_money_bytes_format",
+    "func_ngram_search",
+    "func_string_advanced",
+    "lang_id_confusion",
+    "large_in_list_join",
+    "meta_scan_minmax",
+    "pipeline_curate_corpus",
+    "schema_scan_columns",
+    "session_window_agg",
+    "setop_except_all",
+    "setop_intersect_all",
 ]
 
 
