@@ -412,10 +412,14 @@ def tpcds_q63_month_vs_avg(spark: SparkSession,
         .agg(F.sum(fixed(F.col("net_price"))).alias("_fx"))
     )
     w = Window.partitionBy("p_brand", "d_year")
+    # exact integer window sum / window count, one IEEE division each
+    # — bit-identical in DuckDB (AVG over DECIMAL would round
+    # engine-specifically)
     out = monthly.select(
         "p_brand", "d_year", "d_moy",
         (_dbl(F.col("_fx")) / 1e4).alias("sum_sales"),
-        (_dbl(F.avg(F.col("_fx")).over(w)) / 1e4).alias("avg_monthly"))
+        (_dbl(F.sum(F.col("_fx")).over(w)) / 1e4
+         / _dbl(F.count(F.lit(1)).over(w))).alias("avg_monthly"))
     return (
         out.filter(
             (F.col("avg_monthly") > 0)
@@ -438,9 +442,10 @@ WITH monthly AS (
 win AS (
   SELECT p_brand, d_year, d_moy,
          {sql_dec2dbl('fx')} / 10000.0 AS sum_sales,
-         {sql_dec2dbl('CAST(AVG(fx) OVER '
-                      '(PARTITION BY p_brand, d_year) AS DECIMAL(38,0))')}
-           / 10000.0 AS avg_monthly
+         {sql_dec2dbl('SUM(fx) OVER (PARTITION BY p_brand, d_year)')}
+           / 10000.0
+           / CAST(COUNT(*) OVER (PARTITION BY p_brand, d_year)
+                  AS DOUBLE) AS avg_monthly
   FROM monthly
 )
 SELECT * FROM win
@@ -471,8 +476,7 @@ def tpcds_q79_customer_baskets(spark: SparkSession,
         s.join(supp, s["l_suppkey"] == supp["s_suppkey"], "left_semi")
         .join(cust, s["o_custkey"] == cust["c_custkey"])
         .groupBy("c_name", F.col("l_orderkey").alias("order_id"))
-        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-             .alias("basket_qty"),
+        .agg(dsum(F.col("l_quantity")).alias("basket_qty"),
              dsum(F.col("net_price")).alias("basket_amt"))
         .orderBy(F.desc("basket_amt"), "c_name", "order_id")
         .limit(100)
@@ -481,7 +485,7 @@ def tpcds_q79_customer_baskets(spark: SparkSession,
 
 ORACLE["tpcds_q79_customer_baskets"] = f"""
 SELECT c_name, l_orderkey AS order_id,
-       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS basket_qty,
+       {sql_dsum('l_quantity')} AS basket_qty,
        {sql_dsum('l_extendedprice * (1 - l_discount)')} AS basket_amt
 FROM ({_SQL_SALES_CUST}) s
 JOIN customer ON o_custkey = c_custkey
