@@ -366,6 +366,189 @@ def _rw_emitted_ts_in(sql: str) -> str:
         i = m.end()
 
 
+
+_DATE_DIFF_UNITS = {
+    "year": "YEAR", "quarter": "QUARTER", "month": "MONTH",
+    "week": "WEEK", "day": "DAY", "hour": "HOUR", "minute": "MINUTE",
+    "second": "SECOND", "millisecond": "MILLISECOND",
+    "microsecond": "MICROSECOND",
+}
+
+
+
+_INTERVAL_ARITH_L = re.compile(
+    r"INTERVAL\s+'?(\d+)'?\s+(YEAR|QUARTER|MONTH|WEEK|DAY|HOUR|MINUTE"
+    r"|SECOND)S?\s*([*/])\s*(\d+)(?!\d)", re.IGNORECASE)
+_INTERVAL_ARITH_R = re.compile(
+    r"(?<![\w'])(\d+)\s*\*\s*INTERVAL\s+'?(\d+)'?\s+"
+    r"(YEAR|QUARTER|MONTH|WEEK|DAY|HOUR|MINUTE|SECOND)S?(?!\w)",
+    re.IGNORECASE)
+
+
+def _fold_bare_interval_arith(sql: str) -> str:
+    """Constant-fold ``INTERVAL '1' DAY * 3`` / ``3 * INTERVAL '1'
+    DAY`` / ``INTERVAL '6' DAY / 3`` into a single interval literal.
+    The FE folds IntervalLiteral arithmetic before typing, so
+    ``date - interval '1' day * 3`` stays DATE-typed; Spark's
+    interval multiplication widens to a day-time interval and flips
+    the result to TIMESTAMP (test_intervals_trino)."""
+    def l(m):
+        n, unit, op, k = (int(m.group(1)), m.group(2).upper(),
+                          m.group(3), int(m.group(4)))
+        v = n * k if op == "*" else n // k
+        return f"INTERVAL {v} {unit}"
+
+    def r(m):
+        return (f"INTERVAL {int(m.group(1)) * int(m.group(2))} "
+                f"{m.group(3).upper()}")
+
+    sql = _INTERVAL_ARITH_L.sub(l, sql)
+    return _INTERVAL_ARITH_R.sub(r, sql)
+
+
+def _rw_unit_diff(unit: str):
+    """N_diff(a, b) = FULL elapsed <unit> periods from b to a, sign-
+    aware and sub-second-sensitive (be time_functions years_diff..
+    milliseconds_diff, gensrc functions.py:564-591) — exactly Spark's
+    timestampdiff(unit, b, a)."""
+    def rw(a):
+        if len(a) != 2:
+            return None
+        return (f"\0timestampdiff\0({unit}, "
+                f"TRY_CAST({a[1]} AS TIMESTAMP), "
+                f"TRY_CAST({a[0]} AS TIMESTAMP))")
+    return rw
+
+
+#: SET sql_dialect='Trino' flips date_diff's argument order
+#: (Trino spells date_diff(unit, from, to); StarRocks (unit, to,
+#: from) — fe trino parser TrinoParserUtils); the runner's SET
+#: interceptor maintains this flag
+TRINO_DATE_DIFF = False
+
+
+def _rw_date_diff(a):
+    """date_diff('unit', to, from) — quoted-unit dispatch
+    (time_functions.cpp:1238-1387 *_diff_v2). Calendar units
+    (year/quarter/month) need the v2 month-end-clamped kernel
+    (functions/datediff.py UDF); fixed-length units are exact
+    microsecond quotients = Spark's timestampdiff."""
+    if len(a) != 3:
+        return None
+    # Trino's (unit, from, to) order applies only when the analyzer
+    # takes the Trino signature — i.e. typed timestamp args; varchar
+    # args fall back to the native (unit, to, from) path (observed
+    # contract of test_date_diff: scalar `timestamp '...'` rows swap,
+    # the varchar-column table rows do not)
+    swap = TRINO_DATE_DIFF and any(
+        re.match(r"(?is)^\s*timestamp\s*'", x) for x in (a[1], a[2]))
+    to_, from_ = (a[2], a[1]) if swap else (a[1], a[2])
+    m = re.fullmatch(r"['\"]([\w-]+)['\"]", a[0].strip())
+    if m:
+        unit = m.group(1).lower()
+        u = _DATE_DIFF_UNITS.get(unit)
+        if u is None:
+            # literal unknown unit is an analyzer error (fe
+            # DateDiffFunction; test_date_diff pins the message)
+            raise ValueError(
+                "date_diff function type column should be one of "
+                "day/hour/minute/second/millisecond/month/year/week"
+                "/quarter")
+        if unit not in ("year", "quarter", "month"):
+            return (f"\0timestampdiff\0({u}, "
+                    f"TRY_CAST({from_} AS TIMESTAMP), "
+                    f"TRY_CAST({to_} AS TIMESTAMP))")
+        unit_expr = f"'{unit}'"
+    else:
+        # runtime unit (column / NULL): dispatch inside the UDF
+        unit_expr = f"CAST({a[0]} AS STRING)"
+    return (f"\0__sr_date_diff\0({unit_expr}, "
+            f"TRY_CAST({to_} AS TIMESTAMP), "
+            f"TRY_CAST({from_} AS TIMESTAMP))")
+
+
+
+def _rw_time_slice(is_date: bool):
+    """time_slice/date_slice(x, INTERVAL n unit [, floor|ceil]) →
+    period-aligned bucketing UDF (functions/timeslice.py;
+    be time_functions.cpp:1012 time_slice dispatch)."""
+    def rw(a):
+        if len(a) not in (2, 3):
+            return None
+        im = re.match(r"(?is)^INTERVAL\s+(\S+)\s+(\w+?)S?$",
+                      a[1].strip())
+        if not im:
+            return None
+        n, unit = im.group(1), im.group(2).lower()
+        if re.fullmatch(r"-?\d+\.\d+", n):
+            # fractional period counts are a parse error in the
+            # reference (IntervalLiteral takes an integer)
+            raise ValueError(
+                f"Getting syntax error. Detail message: "
+                f"unsupported fractional interval value {n}.")
+        if is_date and unit in ("hour", "minute", "second",
+                                "millisecond", "microsecond"):
+            raise ValueError("can't use time_slice for date with "
+                             "time(hour/minute/second)")
+        base = "'floor'"
+        if len(a) == 3:
+            b = a[2].strip().strip("'\"").lower()
+            if b not in ("floor", "ceil"):
+                return None
+            base = f"'{b}'"
+        call = (f"\0__sr_time_slice\0(TRY_CAST({a[0]} AS TIMESTAMP), "
+                f"CAST({n} AS INT), '{unit}', {base})")
+        return f"CAST({call} AS DATE)" if is_date else call
+    return rw
+
+
+def _rw_field(a):
+    """MySQL FIELD(x, a, b, ...): 1-based index of the first match,
+    0 when absent or x IS NULL. A CASE chain of plain equalities —
+    Spark coerces each (x, aN) PAIR like MySQL does (string '01.0'
+    matches the numeric 1.0 but '01' != '1' as strings), and a NULL
+    x makes every predicate NULL so the chain falls through to 0."""
+    if len(a) < 2:
+        return None
+    # MySQL's mode rule is GLOBAL and type-driven: all-VARCHAR
+    # arguments compare as strings; anything else switches EVERY
+    # comparison to numeric (FunctionSet field has only VARCHAR-all
+    # and DOUBLE-all overloads). Argument types are not knowable
+    # textually, so dispatch on Spark's typeof() — constant-folded
+    # per column, so the dead branch costs nothing. The double route
+    # hops through STRING (Spark disallows date->double casts;
+    # non-numeric text becomes NULL, which never matches).
+    sgate = " AND ".join(f"\0typeof\0({x}) = 'string'" for x in a)
+    def _dbl9(x):
+        # MySQL numeric coercions: date -> 20220202, datetime ->
+        # 20220202000000, boolean -> 1/0; everything else through the
+        # string render (non-numeric text -> NULL, never matches)
+        # every branch must TYPE-CHECK for every possible arg type
+        # (Spark analyzes dead CASE branches too) — hop through the
+        # universally-castable STRING first
+        xs = f"CAST({x} AS STRING)"
+        return (f"(CASE WHEN \0typeof\0({x}) = 'date' THEN "
+                f"TRY_CAST(\0date_format\0(TRY_CAST({xs} AS "
+                f"TIMESTAMP), 'yyyyMMdd') AS DOUBLE) "
+                f"WHEN \0typeof\0({x}) LIKE 'timestamp%' THEN "
+                f"TRY_CAST(\0date_format\0(TRY_CAST({xs} AS "
+                f"TIMESTAMP), 'yyyyMMddHHmmss') AS DOUBLE) "
+                f"WHEN \0typeof\0({x}) = 'boolean' THEN "
+                f"(CASE {xs} WHEN 'true' THEN 1.0D WHEN 'false' "
+                f"THEN 0.0D END) "
+                f"ELSE TRY_CAST({xs} AS DOUBLE) END)")
+    dargs = [_dbl9(x) for x in a]
+    # identity casts in the gated branch keep analysis valid for
+    # mixed-typed args (the branch only RUNS when all are strings)
+    sw = " ".join(f"WHEN CAST({a[0]} AS STRING) = "
+                  f"CAST({x} AS STRING) THEN {i}"
+                  for i, x in enumerate(a[1:], 1))
+    dw = " ".join(f"WHEN ({dargs[0]}) = ({x}) THEN {i}"
+                  for i, x in enumerate(dargs[1:], 1))
+    return (f"(CASE WHEN {sgate} THEN (CASE {sw} ELSE 0 END) "
+            f"ELSE (CASE {dw} ELSE 0 END) END)")
+
+
 def _rw_int_date_arith(unit: str, sign: str):
     """date_add/adddate/days_add/months_add/years_add family: the
     reference has ONE overload each, (DATETIME, INT) -> DATETIME
@@ -377,6 +560,21 @@ def _rw_int_date_arith(unit: str, sign: str):
     op = "+" if sign == "+" else "-"
 
     def rw(args: list[str]):
+        if len(args) == 3:
+            # Trino's date_add('unit', amount, x): x + amount unit,
+            # result type FOLLOWS x (date stays DATE, timestamp/
+            # datetime-string stays TIMESTAMP — test_intervals_trino)
+            um = re.fullmatch(r"['\"](\w+)['\"]", args[0].strip())
+            u = um and _DATE_DIFF_UNITS.get(um.group(1).lower())
+            if not u:
+                return None
+            x = args[2].strip()
+            datey = re.match(r"(?is)^(date\s*\(|DATE\s+'"
+                             r"|'\d{4}-\d{2}-\d{2}'$)", x)
+            cast = ("CAST(" + x + " AS DATE)" if datey
+                    else "TRY_CAST(" + x + " AS TIMESTAMP)")
+            iv = _interval_expr(args[1].strip(), u)
+            return f"({cast} {op} {iv})"
         if len(args) != 2:
             return None
         a0, arg = args[0], args[1].strip()
@@ -467,6 +665,16 @@ def _rw_split_literal(args: list[str]):
     return f"\0split\0({args[0]}, '{esc}')"
 
 
+def _rw_yearweek2(args):
+    """2-arg yearweek(d, mode): MySQL calc_week across all 8 modes
+    (functions/mysqlweek.py UDF; test_datetime/test_yearweek)."""
+    if len(args) != 2:
+        return None
+    return (f"\0__sr_yearweek\0(\0try_to_date\0("
+            f"TRY_CAST({args[0]} AS STRING)), "
+            f"CAST({args[1]} AS INT))")
+
+
 def _rw_yearweek(args: list[str]):
     """MySQL/StarRocks yearweek(d) mode 0 (be time_functions
     year_week): weeks start Sunday; week 1 starts at the FIRST Sunday
@@ -474,8 +682,10 @@ def _rw_yearweek(args: list[str]):
     week. With ws = the Sunday starting d's week, the result is
     year(ws)*100 + 1 + (ws - first_sunday(year(ws)))/7. Invalid dates
     → NULL (arg goes through try_to_date, MySQL null-on-bad-date)."""
+    if len(args) == 2:
+        return _rw_yearweek2(args)
     if len(args) != 1:
-        return None  # explicit-mode form not supported
+        return None
     d = f"\0try_to_date\0(TRY_CAST({args[0]} AS STRING))"
     ws = f"\0date_sub\0({d}, \0dayofweek\0({d}) - 1)"
     fs = (f"\0next_day\0(\0make_date\0(\0year\0({ws}) - 1, 12, 31), "
@@ -1830,6 +2040,35 @@ _SIMPLE_WRAPS = {
         f"\0timestampadd\0(MILLISECOND, {a[1]}, {a[0]})"),
     "milliseconds_sub": lambda a: (
         f"\0timestampadd\0(MILLISECOND, -({a[1]}), {a[0]})"),
+    "time_slice": _rw_time_slice(False),
+    "date_slice": _rw_time_slice(True),
+    # yearweek with an explicit mode goes through the MySQL calc_week
+    # UDF (functions/mysqlweek.py); 1-arg keeps the proven mode-0 SQL
+    "materialize": lambda a: (f"({a[0]})" if len(a) == 1 else None),
+    "to_base64": lambda a: (f"\0base64\0(CAST({a[0]} AS STRING))"
+                            if len(a) == 1 else None),
+    "from_base64": lambda a: (
+        f"CAST(\0unbase64\0({a[0]}) AS STRING)"
+        if len(a) == 1 else None),
+    "bit_shift_left": lambda a: (
+        f"\0shiftleft\0({a[0]}, CAST({a[1]} AS INT))"
+        if len(a) == 2 else None),
+    "bit_shift_right": lambda a: (
+        f"\0shiftright\0({a[0]}, CAST({a[1]} AS INT))"
+        if len(a) == 2 else None),
+    "bit_shift_right_logical": lambda a: (
+        f"\0shiftrightunsigned\0({a[0]}, CAST({a[1]} AS INT))"
+        if len(a) == 2 else None),
+    "field": _rw_field,
+    "years_diff": _rw_unit_diff("YEAR"),
+    "months_diff": _rw_unit_diff("MONTH"),
+    "weeks_diff": _rw_unit_diff("WEEK"),
+    "days_diff": _rw_unit_diff("DAY"),
+    "hours_diff": _rw_unit_diff("HOUR"),
+    "minutes_diff": _rw_unit_diff("MINUTE"),
+    "seconds_diff": _rw_unit_diff("SECOND"),
+    "milliseconds_diff": _rw_unit_diff("MILLISECOND"),
+    "date_diff": _rw_date_diff,
     "months_add": _rw_int_date_arith("MONTH", "+"),
     "months_sub": _rw_int_date_arith("MONTH", "-"),
     "years_add": _rw_int_date_arith("YEAR", "+"),
@@ -2406,6 +2645,20 @@ def translate(sql: str) -> str:
     sql = rewrite_calls(sql, "concat", _rw_concat_dbl)
     for name in _INNER_IGNORE_NULLS:
         sql = rewrite_calls(sql, name, _rw_inner_ignore_nulls(name))
+    if re.search(r"\bINTERVAL\b", sql, re.IGNORECASE):
+        sql = _fold_bare_interval_arith(sql)
+        # a date-ONLY string literal in interval arithmetic coerces
+        # to DATE in the reference (ArithmeticExpr); Spark's string
+        # coercion goes to TIMESTAMP and changes the render
+        def _datelit(m):
+            # not when the quote belongs to a DATE/TIMESTAMP literal
+            if re.search(r"(?i)\b(date|timestamp)\s*$",
+                         m.string[:m.start()]):
+                return m.group(0)
+            return f"CAST({m.group(1)} AS DATE) {m.group(2)} "
+        sql = re.sub(
+            r"('\d{4}-\d{2}-\d{2}')\s*([+-])\s*(?=INTERVAL\b)",
+            _datelit, sql, flags=re.IGNORECASE)
     sql = rewrite_calls(sql, "date_add", _rw_int_date_arith("DAY", "+"))
     sql = rewrite_calls(sql, "date_sub", _rw_int_date_arith("DAY", "-"))
     # AFTER date_add/date_sub (their rewriter consumes the INTERVAL
@@ -2439,8 +2692,29 @@ def translate(sql: str) -> str:
     # 2^53 LOSE precision — reproduced by the explicit double hop).
     # Decimal args keep Spark's decimal round (scale-0 decimal, which
     # already matches the decimal overload).
+    def _rw_round_chain(a):
+        r0 = _rw_round_single(a)
+        if r0 is not None:
+            return r0
+        if len(a) == 2 and not re.fullmatch(r"-?\d+", a[1].strip()):
+            # non-foldable scale: Spark's round() rejects it; the
+            # reference rounds half-away-from-zero at a per-row scale
+            x, sc = a[0], a[1]
+            p10 = f"pow(10, CAST({sc} AS INT))"
+            return (f"(CASE WHEN ({x}) IS NULL OR ({sc}) IS NULL "
+                    f"THEN NULL ELSE sign(CAST({x} AS DOUBLE)) * "
+                    f"floor(abs(CAST({x} AS DOUBLE)) * {p10} + 0.5) "
+                    f"/ {p10} END)")
+        return None
+
     if re.search(r"\bround\s*\(", sql, re.IGNORECASE):
-        sql = rewrite_calls(sql, "round", _rw_round_single)
+        sql = rewrite_calls(sql, "round", _rw_round_chain)
+    if re.search(r"\bdround\s*\(", sql, re.IGNORECASE):
+        # dround is round's alias (FunctionSet DROUND)
+        sql = rewrite_calls(
+            sql, "dround",
+            lambda a: (_rw_round_chain(a)
+                       or f"\0round\0({', '.join(a)})"))
     if re.search(r"\burl_extract_parameter\s*\(", sql, re.IGNORECASE):
         sql = rewrite_calls(sql, "url_extract_parameter",
                             _rw_url_extract_parameter)
@@ -2515,10 +2789,10 @@ def translate(sql: str) -> str:
 
 def starrocks_sql(spark: SparkSession, sql: str, sf_dir: str) -> DataFrame:
     """Run a StarRocks-dialect query against the registered tables."""
-    from starrocks_spark.functions import (bitmap, jsonshape, mmh3,
-                                           percentile, regexfn,
-                                           sortkey, strcase,
-                                           strtodate)
+    from starrocks_spark.functions import (bitmap, datediff, jsonshape,
+                                           mmh3, mysqlweek, percentile,
+                                           regexfn, sortkey, strcase,
+                                           strtodate, timeslice)
 
     register_tables(spark, sf_dir)
     strcase.register(spark)
@@ -2532,4 +2806,7 @@ def starrocks_sql(spark: SparkSession, sql: str, sf_dir: str) -> DataFrame:
     mmh3.register(spark)
     bitmap.register(spark)
     sortkey.register(spark)
+    datediff.register(spark)
+    mysqlweek.register(spark)
+    timeslice.register(spark)
     return spark.sql(translate(sql))

@@ -110,6 +110,16 @@ class PreDispatch:
             return StatementResult(stmt, "noop")
         return None
 
+    def _pre_set_sql_dialect(self, stmt):
+        m = re.match(r"\s*SET\s+sql_dialect\s*=\s*"
+                     r"['\"]?(\w+)['\"]?\s*$", stmt, re.IGNORECASE)
+        if m:
+            # only date_diff's argument order differs in the surface
+            # the suites exercise (fe TrinoParserUtils)
+            dialect.TRINO_DATE_DIFF = m.group(1).lower() == "trino"
+            return StatementResult(stmt, "noop")
+        return None
+
     def _pre_set_feature_vars(self, stmt):
         svm = re.match(r"\s*SET\s+(?:GLOBAL\s+)?"
                        r"(enable_\w+|cbo_\w+|insert_max_filter_ratio"
@@ -992,7 +1002,7 @@ PRE1 = {
     'START': ['txn_begin'],
     'COMMIT': ['txn_commit'],
     'ROLLBACK': ['txn_rollback'],
-    'SET': ['set_sql_mode', 'set_feature_vars', 'set_partial_update', 'set_binary_encoding', 'set_time_zone'],
+    'SET': ['set_sql_mode', 'set_sql_dialect', 'set_feature_vars', 'set_partial_update', 'set_binary_encoding', 'set_time_zone'],
     'GRANT': ['grant_select'],
     'REVOKE': ['revoke_select'],
     'ALTER': ['alter_view_security'],

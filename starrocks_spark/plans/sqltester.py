@@ -2490,11 +2490,16 @@ class ScriptRunner(PreDispatch):
     supported fraction honestly rather than hiding it."""
 
     def __init__(self, spark: SparkSession, strict: bool = True):
-        from starrocks_spark.functions import (bitmap, jsonshape, mmh3,
-                                               percentile, regexfn,
-                                               sortkey, strcase,
-                                               strtodate)
+        from starrocks_spark.functions import (bitmap, datediff,
+                                               jsonshape, mmh3,
+                                               mysqlweek, percentile,
+                                               regexfn, sortkey,
+                                               strcase, strtodate,
+                                               timeslice)
         sortkey.register(spark)
+        datediff.register(spark)
+        mysqlweek.register(spark)
+        timeslice.register(spark)
         mmh3.register(spark)
         bitmap.register(spark)
         strcase.register(spark)

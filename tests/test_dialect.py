@@ -50,13 +50,18 @@ def test_interval_forms():
 
 
 def test_int_date_arith_interval_folding():
-    # IntervalLiteral arithmetic folds into the count (test_days_add)
+    # IntervalLiteral arithmetic constant-folds (test_days_add,
+    # test_intervals_trino) — r12 second pass folds literal counts
+    # into a single interval literal before any call rewrite
     out = translate("SELECT adddate(d, INTERVAL 1 YEAR * 2) FROM t")
-    assert "CAST((1) * (2) AS INT)" in out
+    assert "INTERVAL 2 YEAR" in out
     out = translate("SELECT adddate(d, 2 * INTERVAL 1 YEAR) FROM t")
-    assert "CAST((1) * (2) AS INT)" in out
+    assert "INTERVAL 2 YEAR" in out
     out = translate("SELECT adddate(d, INTERVAL 2 YEAR / 2) FROM t")
-    assert "CAST((2) / (2) AS INT)" in out
+    assert "INTERVAL 1 YEAR" in out
+    # non-constant counts still fold inside the call rewrite
+    out = translate("SELECT adddate(d, INTERVAL 1 YEAR * n) FROM t")
+    assert "make_interval" in out
     import pytest as _pt
     with _pt.raises(ValueError, match="divide IntervalLiteral"):
         translate("SELECT adddate(d, 2 / INTERVAL 2 YEAR) FROM t")

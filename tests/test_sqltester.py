@@ -104,6 +104,16 @@ _SUITES = [
     ("test_exchange_hash_function", "test_exchange_hash_function_version", 8, 0),
     ("test_function", "test_date_trunc", 22, 0),
     ("test_function", "test_days_add", 41, 0),
+    ("test_function", "test_time_slice", 98, 0),
+    ("test_function", "test_field", 32, 0),
+    ("test_function", "test_materialize", 28, 1),
+    ("test_function", "test_round", 8, 0),
+    ("test_function", "test_mod_pmod_int_min_overflow", 3, 0),
+    ("test_datetime", "test_yearweek", 25, 0),
+    ("test_datetime", "test_time_diff", 36, 0),
+    ("test_datetime", "test_date_diff", 85, 1),
+    ("test_datetime", "test_intervals", 18, 0),
+    ("test_agg_function", "test_min_max_n", 25, 0),
     ("test_function", "test_str_to_map", 1, 0),
     ("test_group_execution", "test_group_execution_prune", 22, 0),
     ("test_jit", "test_jit_case_when_mixed_types", 1, 0),
