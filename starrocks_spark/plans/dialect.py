@@ -81,13 +81,18 @@ def translate_mysql_format(fmt: str) -> str:
             tok = fmt[i : i + 2]
             out.append(_MYSQL_FMT.get(tok, tok[1]))
             i += 2
+        elif fmt[i].isalpha():
+            # literal letter RUN → one quoted span ('t''t' would mean
+            # t-quote-t in a Java pattern; test_date_format pins a
+            # 46-letter run)
+            j = i
+            while j < len(fmt) and fmt[j].isalpha() \
+                    and not (fmt[j] == "%" and j + 1 < len(fmt)):
+                j += 1
+            out.append("'" + fmt[i:j] + "'")
+            i = j
         else:
-            ch = fmt[i]
-            if ch.isalpha():
-                # literal letter → quote it for DateTimeFormatter
-                out.append(f"'{ch}'")
-            else:
-                out.append(ch)
+            out.append(fmt[i])
             i += 1
     return "".join(out)
 
@@ -420,6 +425,11 @@ def _rw_unit_diff(unit: str):
     return rw
 
 
+#: the reference test deployment's session time zone (FE default in
+#: its test env) — offset-RENDERING functions (joda Z tokens) expose
+#: it; SET time_zone updates it, the runner resets it per script
+REF_SESSION_TZ = "Asia/Shanghai"
+
 #: SET sql_dialect='Trino' flips date_diff's argument order
 #: (Trino spells date_diff(unit, from, to); StarRocks (unit, to,
 #: from) — fe trino parser TrinoParserUtils); the runner's SET
@@ -466,6 +476,64 @@ def _rw_date_diff(a):
             f"TRY_CAST({to_} AS TIMESTAMP), "
             f"TRY_CAST({from_} AS TIMESTAMP))")
 
+
+
+
+
+def _rw_substr(name):
+    """substr/substring position/length args are INT in the reference:
+    an out-of-int32 LITERAL is an analyzer error, an out-of-range
+    runtime value becomes NULL (cast failure -> NULL row, not '').
+    TRY_CAST(.. AS INT) reproduces the runtime path; literals raise
+    the FE's message (test_substr)."""
+    def rw(a):
+        if len(a) not in (2, 3):
+            return None
+        out, changed = [a[0]], False
+        for x in a[1:]:
+            xs = x.strip()
+            if re.fullmatch(r"-?\d+", xs):
+                if not (-2 ** 31 <= int(xs) <= 2 ** 31 - 1):
+                    raise ValueError(
+                        f"Cast argument {xs} to int type failed.")
+                out.append(xs)
+            else:
+                out.append(f"TRY_CAST({x} AS INT)")
+                changed = True
+        if not changed:
+            return None
+        return f"\0{name}\0({', '.join(out)})"
+    return rw
+
+
+def _rw_to_datetime(ntz: bool):
+    """to_datetime[_ntz](unix, scale 0|3|6) — epoch at second/milli/
+    micro scale (gensrc functions.py:638-649); other scales are NULL.
+    The non-ntz form renders in the session zone (REF_SESSION_TZ)."""
+    def rw(a):
+        if len(a) not in (1, 2):
+            return None
+        u = a[0]
+        sc = a[1].strip() if len(a) == 2 else "0"
+
+        def conv(fn):
+            c = f"\0{fn}\0({u})"
+            if not ntz:
+                c = (f"\0from_utc_timestamp\0({c}, "
+                     f"'{REF_SESSION_TZ}')")
+            return c
+
+        fns = {"0": "timestamp_seconds", "3": "timestamp_millis",
+               "6": "timestamp_micros"}
+        if re.fullmatch(r"\d+", sc):
+            fn = fns.get(sc)
+            return conv(fn) if fn else "CAST(NULL AS TIMESTAMP)"
+        return (f"(CASE CAST({sc} AS INT) "
+                f"WHEN 0 THEN {conv('timestamp_seconds')} "
+                f"WHEN 3 THEN {conv('timestamp_millis')} "
+                f"WHEN 6 THEN {conv('timestamp_micros')} "
+                f"ELSE CAST(NULL AS TIMESTAMP) END)")
+    return rw
 
 
 def _rw_time_slice(is_date: bool):
@@ -621,8 +689,30 @@ def _rw_fmt_func(name: str):
             if date_t:
                 call = f"CAST({call} AS DATE)"
             return _throw_wrap(call, args[0], date_t)
+        if name in ("date_format", "time_format"):
+            # the BE renders into a 128-byte buffer (time_functions
+            # .cpp:1866 char buf[128]) — a RENDERED length >= 128 is
+            # NULL (test_date_format pins 126 ok / 130 NULL)
+            _W = {"%Y": 4, "%y": 2, "%m": 2, "%c": 2, "%d": 2,
+                  "%e": 2, "%H": 2, "%k": 2, "%h": 2, "%I": 2,
+                  "%i": 2, "%s": 2, "%S": 2, "%f": 6, "%j": 3,
+                  "%T": 8, "%v": 2, "%%": 1}
+            body, rlen, k = lit[1:-1], 0, 0
+            while k < len(body):
+                if body[k] == "%" and k + 1 < len(body):
+                    w = _W.get(body[k:k + 2])
+                    if w is None:
+                        rlen = None  # variable-width token: no limit
+                        break
+                    rlen += w
+                    k += 2
+                else:
+                    rlen += 1
+                    k += 1
+            if rlen is not None and rlen >= 128:
+                return "NULL"
         java = translate_mysql_format(lit[1:-1])
-        new_args = args[:-1] + [f"'{java}'"]
+        new_args = args[:-1] + ["'" + java.replace("'", "''") + "'"]
         target = {"str_to_date": "to_timestamp", "time_format": "date_format"}.get(
             name, name
         )
@@ -2040,6 +2130,13 @@ _SIMPLE_WRAPS = {
         f"\0timestampadd\0(MILLISECOND, {a[1]}, {a[0]})"),
     "milliseconds_sub": lambda a: (
         f"\0timestampadd\0(MILLISECOND, -({a[1]}), {a[0]})"),
+    "substr": _rw_substr("substr"),
+    "substring": _rw_substr("substring"),
+    "to_datetime": _rw_to_datetime(False),
+    "to_datetime_ntz": _rw_to_datetime(True),
+    "jodatime_format": lambda a: (
+        f"\0__sr_joda_format\0(TRY_CAST({a[0]} AS TIMESTAMP), "
+        f"{a[1]}, '{REF_SESSION_TZ}')" if len(a) == 2 else None),
     "time_slice": _rw_time_slice(False),
     "date_slice": _rw_time_slice(True),
     # yearweek with an explicit mode goes through the MySQL calc_week
@@ -2782,6 +2879,8 @@ def translate(sql: str) -> str:
     # requires a length — the reference treats it as unbounded string
     sql = re.sub(r"\bAS\s+VARCHAR\s*\)", "AS STRING)", sql,
                  flags=re.IGNORECASE)
+    sql = re.sub(r"\bAS\s+VARBINARY\s*\)", "AS BINARY)", sql,
+                 flags=re.IGNORECASE)
     if re.search(r"\bIN\s*\(", sql, re.IGNORECASE):
         sql = _rw_emitted_ts_in(sql)
     return _restore_markers(sql)
@@ -2789,10 +2888,11 @@ def translate(sql: str) -> str:
 
 def starrocks_sql(spark: SparkSession, sql: str, sf_dir: str) -> DataFrame:
     """Run a StarRocks-dialect query against the registered tables."""
-    from starrocks_spark.functions import (bitmap, datediff, jsonshape,
-                                           mmh3, mysqlweek, percentile,
-                                           regexfn, sortkey, strcase,
-                                           strtodate, timeslice)
+    from starrocks_spark.functions import (bitmap, datediff, jodafmt,
+                                           jsonshape, mmh3, mysqlweek,
+                                           percentile, regexfn, sortkey,
+                                           strcase, strtodate,
+                                           timeslice)
 
     register_tables(spark, sf_dir)
     strcase.register(spark)
@@ -2809,4 +2909,5 @@ def starrocks_sql(spark: SparkSession, sql: str, sf_dir: str) -> DataFrame:
     datediff.register(spark)
     mysqlweek.register(spark)
     timeslice.register(spark)
+    jodafmt.register(spark)
     return spark.sql(translate(sql))

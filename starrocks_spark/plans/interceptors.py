@@ -330,8 +330,25 @@ class PreDispatch:
             # session time zone; map onto Spark's session conf
             self.spark.conf.set("spark.sql.session.timeZone",
                                 tzm.group(1))
+            dialect.REF_SESSION_TZ = tzm.group(1)
             return StatementResult(stmt, "noop")
         return None
+
+    def _pre_select_sysvar(self, stmt):
+        m = re.match(r"\s*SELECT\s+@@(?:session\.|global\.)?"
+                     r"(\w+)\s*;?\s*$", stmt, re.IGNORECASE)
+        if not m:
+            return None
+        name = m.group(1).lower()
+        if name == "time_zone":
+            val = dialect.REF_SESSION_TZ
+        else:
+            val = self.vars.get(name)
+            if val is None:
+                return None  # unknown system var: fall through
+        df = self.spark.createDataFrame([(str(val),)],
+                                        f"`@@{name}` string")
+        return StatementResult(stmt, "select", df)
 
     def _pre_db_record(self, stmt):
         dbm = re.match(r"\s*(?:CREATE\s+DATABASE\s+(?:IF\s+NOT\s+"
@@ -1007,6 +1024,7 @@ PRE1 = {
     'REVOKE': ['revoke_select'],
     'ALTER': ['alter_view_security'],
     'RECOVER': ['recover_partition', 'recover_table'],
+    'SELECT': ['select_sysvar'],
     'SHOW': ['show_index', 'show_temp_partitions', 'show_variables', 'show_columns', 'show_full_columns', 'show_create_view', 'show_create_table', 'show_partitions'],
     'DROP': ['drop_index_on', 'drop_database'],
     'EXECUTE': ['execute_as'],

@@ -726,13 +726,24 @@ def _rw_cast_json_struct(sql: str, throw: bool = False) -> str:
                      f"cast value conflict with range of {tl}') "
                      f"AS {tl}) " if throw else "NULL")
             if im.group(1).lower() == "bigint":
-                # DOUBLE can't separate 2^63-1 from 2^63 (both round
-                # to 2^63) — an identity cast of long-max would false-
-                # positive. DECIMAL(38,0) compares exactly.
-                cond = (f"CAST(({expr}) AS DECIMAL(38,0)) > "
-                        f"9223372036854775807 OR "
-                        f"CAST(({expr}) AS DECIMAL(38,0)) < "
-                        f"-9223372036854775808")
+                # two checks, AND-combined, because each false-
+                # positives alone: DOUBLE can't separate 2^63-1 from
+                # 2^63 (identity cast of long-max would misfire) and
+                # Spark's double→DECIMAL goes through Double.toString
+                # (-9.223372036854776e18 becomes -9223372036854776000
+                # and misfires on exactly-representable -2^63 —
+                # test_cast). NULL from an unrepresentable decimal
+                # counts as out-of-range so the double check decides.
+                dec_out = (f"CAST(({expr}) AS DECIMAL(38,0)) > "
+                           f"9223372036854775807 OR "
+                           f"CAST(({expr}) AS DECIMAL(38,0)) < "
+                           f"-9223372036854775808")
+                dbl_out = (f"CAST(({expr}) AS DOUBLE) >= "
+                           f"9.223372036854775808E18 OR "
+                           f"CAST(({expr}) AS DOUBLE) < "
+                           f"-9.223372036854775808E18")
+                cond = (f"(coalesce({dec_out}, true) "
+                        f"AND ({dbl_out}))")
             else:
                 hi = {"tinyint": "128.0", "smallint": "32768.0",
                       "int": "2147483648.0", "integer": "2147483648.0",
@@ -2491,12 +2502,13 @@ class ScriptRunner(PreDispatch):
 
     def __init__(self, spark: SparkSession, strict: bool = True):
         from starrocks_spark.functions import (bitmap, datediff,
-                                               jsonshape, mmh3,
-                                               mysqlweek, percentile,
-                                               regexfn, sortkey,
-                                               strcase, strtodate,
-                                               timeslice)
+                                               jodafmt, jsonshape,
+                                               mmh3, mysqlweek,
+                                               percentile, regexfn,
+                                               sortkey, strcase,
+                                               strtodate, timeslice)
         sortkey.register(spark)
+        jodafmt.register(spark)
         datediff.register(spark)
         mysqlweek.register(spark)
         timeslice.register(spark)
@@ -2518,6 +2530,7 @@ class ScriptRunner(PreDispatch):
         _MV_VIEWS_CREATED.clear()
         # a prior script's SET time_zone must not leak across runs
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        dialect.REF_SESSION_TZ = "Asia/Shanghai"
         # the reference's TIME type (time_functions); Spark gates it
         try:
             spark.conf.set("spark.sql.timeType.enabled", "true")

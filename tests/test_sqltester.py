@@ -106,10 +106,16 @@ _SUITES = [
     ("test_function", "test_days_add", 41, 0),
     ("test_function", "test_time_slice", 98, 0),
     ("test_function", "test_field", 32, 0),
-    ("test_function", "test_materialize", 28, 1),
+    ("test_function", "test_materialize", 29, 0),
     ("test_function", "test_round", 8, 0),
+    ("test_function", "test_substr", 14, 0),
+    ("test_function", "test_date_format", 4, 0),
+    ("test_function", "test_cast", 14, 0),
     ("test_function", "test_mod_pmod_int_min_overflow", 3, 0),
     ("test_datetime", "test_yearweek", 25, 0),
+    ("test_datetime", "test_jodatime_format", 37, 0),
+    ("test_datetime", "test_to_datetime_ntz", 10, 0),
+    ("test_datetime", "test_to_datetime", 11, 0),
     ("test_datetime", "test_time_diff", 36, 0),
     ("test_datetime", "test_date_diff", 85, 1),
     ("test_datetime", "test_intervals", 18, 0),
