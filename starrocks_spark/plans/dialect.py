@@ -506,6 +506,41 @@ def _rw_substr(name):
     return rw
 
 
+
+def _rw_aes(name: str):
+    """aes_encrypt/aes_decrypt → the folded-key AES UDF
+    (functions/aesfn.py). A 5-arg AAD with a literal non-GCM mode is
+    the FE's analyzer error; from_base64 in the data argument stays
+    BINARY (the display wrap would mangle ciphertext bytes)."""
+    udf = f"__sr_aes_{name.split('_')[1]}"
+
+    def bin_(x):
+        x = re.sub(r"(?i)\bfrom_base64\s*\(", "\0unbase64\0(", x)
+        return f"CAST({x} AS BINARY)"
+
+    def rw(a):
+        if len(a) not in (2, 4, 5):
+            return None
+        mode = "'AES_128_ECB'" if len(a) == 2 else a[3].strip()
+        mm = re.fullmatch(r"['\"](\w+)['\"]", mode)
+        if len(a) == 5 and mm and not mm.group(1).upper() \
+                .endswith("_GCM"):
+            raise ValueError(
+                f"Getting analyzing error. Detail message: {name} "
+                f"with 5 parameters requires GCM mode to use AAD "
+                f"parameter, but got mode: {mm.group(1)}. Only GCM "
+                f"modes (AES_128_GCM, AES_192_GCM, AES_256_GCM) "
+                f"support AAD parameter..")
+        iv = bin_(a[2]) if len(a) >= 4 else "CAST(NULL AS BINARY)"
+        aad = bin_(a[4]) if len(a) == 5 else "CAST(NULL AS BINARY)"
+        mode_e = mode if mm else f"CAST({mode} AS STRING)"
+        call = (f"\0{udf}\0({bin_(a[0])}, {bin_(a[1])}, {iv}, "
+                f"{mode_e}, {aad})")
+        return (f"CAST({call} AS STRING)"
+                if name == "aes_decrypt" else call)
+    return rw
+
+
 def _rw_to_datetime(ntz: bool):
     """to_datetime[_ntz](unix, scale 0|3|6) — epoch at second/milli/
     micro scale (gensrc functions.py:638-649); other scales are NULL.
@@ -2142,6 +2177,8 @@ _SIMPLE_WRAPS = {
     # yearweek with an explicit mode goes through the MySQL calc_week
     # UDF (functions/mysqlweek.py); 1-arg keeps the proven mode-0 SQL
     "materialize": lambda a: (f"({a[0]})" if len(a) == 1 else None),
+    "aes_encrypt": _rw_aes("aes_encrypt"),
+    "aes_decrypt": _rw_aes("aes_decrypt"),
     "to_base64": lambda a: (f"\0base64\0(CAST({a[0]} AS STRING))"
                             if len(a) == 1 else None),
     "from_base64": lambda a: (
@@ -2888,11 +2925,11 @@ def translate(sql: str) -> str:
 
 def starrocks_sql(spark: SparkSession, sql: str, sf_dir: str) -> DataFrame:
     """Run a StarRocks-dialect query against the registered tables."""
-    from starrocks_spark.functions import (bitmap, datediff, jodafmt,
-                                           jsonshape, mmh3, mysqlweek,
-                                           percentile, regexfn, sortkey,
-                                           strcase, strtodate,
-                                           timeslice)
+    from starrocks_spark.functions import (aesfn, bitmap, datediff,
+                                           jodafmt, jsonshape, mmh3,
+                                           mysqlweek, percentile,
+                                           regexfn, sortkey, strcase,
+                                           strtodate, timeslice)
 
     register_tables(spark, sf_dir)
     strcase.register(spark)
@@ -2910,4 +2947,5 @@ def starrocks_sql(spark: SparkSession, sql: str, sf_dir: str) -> DataFrame:
     mysqlweek.register(spark)
     timeslice.register(spark)
     jodafmt.register(spark)
+    aesfn.register(spark)
     return spark.sql(translate(sql))

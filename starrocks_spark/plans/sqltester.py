@@ -2501,14 +2501,16 @@ class ScriptRunner(PreDispatch):
     supported fraction honestly rather than hiding it."""
 
     def __init__(self, spark: SparkSession, strict: bool = True):
-        from starrocks_spark.functions import (bitmap, datediff,
-                                               jodafmt, jsonshape,
-                                               mmh3, mysqlweek,
-                                               percentile, regexfn,
-                                               sortkey, strcase,
-                                               strtodate, timeslice)
+        from starrocks_spark.functions import (aesfn, bitmap,
+                                               datediff, jodafmt,
+                                               jsonshape, mmh3,
+                                               mysqlweek, percentile,
+                                               regexfn, sortkey,
+                                               strcase, strtodate,
+                                               timeslice)
         sortkey.register(spark)
         jodafmt.register(spark)
+        aesfn.register(spark)
         datediff.register(spark)
         mysqlweek.register(spark)
         timeslice.register(spark)

@@ -111,6 +111,7 @@ _SUITES = [
     ("test_function", "test_substr", 14, 0),
     ("test_function", "test_date_format", 4, 0),
     ("test_function", "test_cast", 14, 0),
+    ("test_function", "test_encryption", 81, 0),
     ("test_function", "test_mod_pmod_int_min_overflow", 3, 0),
     ("test_datetime", "test_yearweek", 25, 0),
     ("test_datetime", "test_jodatime_format", 37, 0),
