@@ -507,6 +507,16 @@ def _rw_substr(name):
 
 
 
+
+def _sub_hll_aggs(x: str) -> str:
+    """Inside an HLL consumer, the HLL-returning aggregates compute
+    for real; bare (display-position) ones render NULL like the
+    mysql client does for HLL cells."""
+    x = re.sub(r"(?i)\bhll_raw_agg\s*\(", "\0__sr_hll_raw_agg\0(", x)
+    x = re.sub(r"(?i)\bhll_union\s*\(", "\0__sr_hll_raw_agg\0(", x)
+    return x
+
+
 def _rw_aes(name: str):
     """aes_encrypt/aes_decrypt → the folded-key AES UDF
     (functions/aesfn.py). A 5-arg AAD with a literal non-GCM mode is
@@ -2177,6 +2187,35 @@ _SIMPLE_WRAPS = {
     # yearweek with an explicit mode goes through the MySQL calc_week
     # UDF (functions/mysqlweek.py); 1-arg keeps the proven mode-0 SQL
     "materialize": lambda a: (f"({a[0]})" if len(a) == 1 else None),
+    # HLL surface (functions/hllfn.py) — consumers first so nested
+    # HLL-returning aggregates convert before the display-NULL pass
+    "hll_cardinality": lambda a: (
+        f"\0__sr_hll_cardinality\0({_sub_hll_aggs(a[0])})"
+        if len(a) == 1 else None),
+    "hll_serialize": lambda a: (f"({_sub_hll_aggs(a[0])})"
+                                if len(a) == 1 else None),
+    "hll_deserialize": lambda a: (
+        f"\0__sr_hll_deserialize\0({_sub_hll_aggs(a[0])})"
+        if len(a) == 1 else None),
+    "hll_hash": lambda a: (
+        f"\0__sr_hll_hash\0(CAST({a[0]} AS STRING))"
+        if len(a) == 1 else None),
+    "hll_empty": lambda a: ("CAST(X'00' AS BINARY)"
+                            if len(a) == 0 else None),
+    "hll_union_agg": lambda a: (
+        f"\0__sr_hll_union_agg\0({_sub_hll_aggs(a[0])})"
+        if len(a) == 1 else None),
+    "ndv": lambda a: (f"\0__sr_ndv_agg\0({a[0]})"
+                      if len(a) == 1 else None),
+    "approx_count_distinct": lambda a: (
+        f"\0__sr_ndv_agg\0({a[0]})" if len(a) == 1 else None),
+    "approx_count_distinct_hll_sketch": lambda a: (
+        f"\0__sr_ds_hll_agg\0({a[0]})" if len(a) == 1 else None),
+    "ds_hll_count_distinct": lambda a: (
+        f"\0__sr_ds_hll_agg\0({a[0]})" if 1 <= len(a) <= 3
+        else None),
+    "hll_union": lambda a: "max(CAST(NULL AS STRING))",
+    "hll_raw_agg": lambda a: "max(CAST(NULL AS STRING))",
     "aes_encrypt": _rw_aes("aes_encrypt"),
     "aes_decrypt": _rw_aes("aes_decrypt"),
     "to_base64": lambda a: (f"\0base64\0(CAST({a[0]} AS STRING))"
@@ -2733,6 +2772,9 @@ def translate(sql: str) -> str:
     # Spark's recursion evaluates self-terminating CTEs exactly
     sql = re.sub(r"/\*\+\s*SET_VAR\s*\([^)]*\)\s*\*/", "", sql,
                  flags=re.IGNORECASE)
+    # bare key=value planner hints (new_planner_agg_stage = 3, ...)
+    # are FE execution directives — semantics-neutral here
+    sql = re.sub(r"/\*\+\s*\w+\s*=\s*\w+\s*\*/", "", sql)
     sql = _rw_json_arrow(sql)
     sql = _rw_chained_cmp(sql)
     # SELECT * EXCLUDE (cols) — StarRocks' spelling of Spark's
@@ -2926,8 +2968,8 @@ def translate(sql: str) -> str:
 def starrocks_sql(spark: SparkSession, sql: str, sf_dir: str) -> DataFrame:
     """Run a StarRocks-dialect query against the registered tables."""
     from starrocks_spark.functions import (aesfn, bitmap, datediff,
-                                           jodafmt, jsonshape, mmh3,
-                                           mysqlweek, percentile,
+                                           hllfn, jodafmt, jsonshape,
+                                           mmh3, mysqlweek, percentile,
                                            regexfn, sortkey, strcase,
                                            strtodate, timeslice)
 
@@ -2948,4 +2990,5 @@ def starrocks_sql(spark: SparkSession, sql: str, sf_dir: str) -> DataFrame:
     timeslice.register(spark)
     jodafmt.register(spark)
     aesfn.register(spark)
+    hllfn.register(spark)
     return spark.sql(translate(sql))

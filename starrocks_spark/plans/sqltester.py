@@ -2502,15 +2502,16 @@ class ScriptRunner(PreDispatch):
 
     def __init__(self, spark: SparkSession, strict: bool = True):
         from starrocks_spark.functions import (aesfn, bitmap,
-                                               datediff, jodafmt,
-                                               jsonshape, mmh3,
-                                               mysqlweek, percentile,
-                                               regexfn, sortkey,
-                                               strcase, strtodate,
-                                               timeslice)
+                                               datediff, hllfn,
+                                               jodafmt, jsonshape,
+                                               mmh3, mysqlweek,
+                                               percentile, regexfn,
+                                               sortkey, strcase,
+                                               strtodate, timeslice)
         sortkey.register(spark)
         jodafmt.register(spark)
         aesfn.register(spark)
+        hllfn.register(spark)
         datediff.register(spark)
         mysqlweek.register(spark)
         timeslice.register(spark)

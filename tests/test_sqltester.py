@@ -121,6 +121,8 @@ _SUITES = [
     ("test_datetime", "test_date_diff", 85, 1),
     ("test_datetime", "test_intervals", 18, 0),
     ("test_agg_function", "test_min_max_n", 25, 0),
+    ("test_agg_function", "test_hll", 12, 0),
+    ("test_function", "test_hll_deserialize_sparse_oob", 2, 0),
     ("test_function", "test_str_to_map", 1, 0),
     ("test_group_execution", "test_group_execution_prune", 22, 0),
     ("test_jit", "test_jit_case_when_mixed_types", 1, 0),
