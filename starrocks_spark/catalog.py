@@ -28,8 +28,27 @@ TABLES = [
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# DataFrame-HANDLE cache: (session, dir, table) → the analyzed scan.
+# This caches METADATA only — the unresolved plan + schema, like the
+# reference FE's table catalog — never rows: every action still scans
+# the parquet input. Without it each query re-pays file listing +
+# footer schema inference + py4j per table (~30-60 ms × 2-5 tables ×
+# 180+ bench queries). Keyed on the live session OBJECT (`is` check)
+# so a restarted session can never serve a stale handle.
+_DF_CACHE: dict[tuple[int, str, str], tuple[SparkSession, DataFrame]] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (id(spark), sf_dir, name)
+    hit = _DF_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    df = _load_table(spark, sf_dir, name)
+    _DF_CACHE[key] = (spark, df)
+    return df
+
+
+def _load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Declarative read → Catalyst gets filter pushdown,
     column pruning and partition pruning for free.
 

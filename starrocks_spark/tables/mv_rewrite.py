@@ -111,7 +111,7 @@ class MVCatalog:
             e.mv.refresh(source)  # PCT: a no-op when already fresh
         elif freshness == "base":
             fp = e.mv._fingerprints(source).collect()
-            changed = e.mv._changed_vs_snapshot(fp)
+            changed = e.mv._changed_vs_snapshot(fp, e.mv._read_meta())
             # None = never refreshed (no snapshot) — that is the
             # stalest possible state, not freshness
             if changed is None or changed:
