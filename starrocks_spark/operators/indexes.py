@@ -78,11 +78,17 @@ class Sq8Index:
              query_id: str = "q_id", vec_col: str = "embedding",
              score_name: str = "approx_cos") -> DataFrame:
         recon = S.sq8_reconstruct(self.table.read(), self.lo, self.hi,
-                                  self.corpus_id)
-        q = queries.select(F.col(query_id), F.col(vec_col).alias("_qv"))
+                                  self.corpus_id) \
+            .withColumn("_rn_", F.sqrt(V.dot(F.col("_rv"), F.col("_rv"))))
+        # norms once per row below the join (bit-identical to cosine():
+        # same sqrt(dot) expression and operand order), one dot fold
+        # per scored pair
+        q = queries.select(F.col(query_id), F.col(vec_col).alias("_qv")) \
+            .withColumn("_qn_", F.sqrt(V.dot(F.col("_qv"), F.col("_qv"))))
         scored = F.broadcast(q).crossJoin(recon).select(
             query_id, self.corpus_id,
-            V.cosine(F.col("_qv"), F.col("_rv")).alias(score_name),
+            (V.dot(F.col("_qv"), F.col("_rv"))
+             / (F.col("_qn_") * F.col("_rn_"))).alias(score_name),
         )
         return S.topk_per_query(
             scored, query_id, self.corpus_id, score_name, k
@@ -118,8 +124,12 @@ class IvfIndex:
             # kmeans_refine; fixed-point-exact, so oracle-checkable)
             cents = S.kmeans_refine(corpus, cents, corpus_id, vec_col,
                                     iters=kmeans_iters)
+        # vecn: the row's pre-computed norm, stored with the list entry
+        # (parquet round-trips the double exactly) — probes then pay
+        # one dot fold per pair instead of three
         lists = S.assign_centroids(corpus, cents, corpus_id, vec_col) \
             .withColumnRenamed("_cv", "vec") \
+            .withColumnRenamed("_vn", "vecn") \
             .repartitionByRange(list_files, "cent_id")
         SnapshotTable(spark, os.path.join(path, "lists")).overwrite(lists)
         _write_meta(path, {"cents": cents, "corpus_id": corpus_id})
@@ -135,7 +145,10 @@ class IvfIndex:
         probed = S.probe_centroids(queries, self.cents, query_id,
                                    vec_col, nprobe)
         lists = self.table.read()
-        score = (V.cosine(F.col("_qv"), F.col("vec"))
+        # cosine path: probe rows carry _qn, stored lists carry vecn —
+        # one dot fold per pair, bit-identical to cosine()
+        score = ((V.dot(F.col("_qv"), F.col("vec"))
+                  / (F.col("_qn") * F.col("vecn")))
                  if metric == "cosine"
                  else -V.l2_distance(F.col("_qv"), F.col("vec")))
         scored = probed.join(lists, "cent_id").select(

@@ -75,14 +75,21 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k per query over the full corpus.
     queries: (q_id, embedding); corpus: (vec_id, embedding)."""
+    # norms are materialized ONCE PER ROW on each side of the join
+    # (below the join, so projection collapse cannot inline them into
+    # the per-pair score): cosine per pair is then a single dot fold
+    # instead of three. sqrt(dot(v,v)) here is the exact expression
+    # cosine() uses, so dot/(qn·cn) is bit-identical to cosine().
     q = queries.select(
         F.col(query_id), F.col(vec_col).alias("_qv")
-    )
-    c = corpus.select(F.col(corpus_id), F.col(vec_col).alias("_cv"))
+    ).withColumn("_qn", _vnorm("_qv"))
+    c = corpus.select(F.col(corpus_id), F.col(vec_col).alias("_cv")) \
+        .withColumn("_cn", _vnorm("_cv"))
     scored = F.broadcast(q).crossJoin(c).select(
         query_id,
         corpus_id,
-        V.cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+        (V.dot(F.col("_qv"), F.col("_cv"))
+         / (F.col("_qn") * F.col("_cn"))).alias("cos_sim"),
     )
     return topk_per_query(scored, query_id, corpus_id, "cos_sim", k) \
         .select(query_id, "rank", corpus_id, "cos_sim")
@@ -117,11 +124,13 @@ def lsh_bucketed_topk(
         queries.select(
             F.col(query_id),
             F.col(vec_col).alias("_qv"),
+            _vnorm(vec_col).alias("_qn"),
             V.lsh_bucket(F.col(vec_col), planes, dim).alias("_b0"),
         )
         .select(
             query_id,
             "_qv",
+            "_qn",
             F.explode(
                 F.array(*[
                     F.col("_b0").bitwiseXOR(F.lit(flip))
@@ -133,8 +142,12 @@ def lsh_bucketed_topk(
     c = corpus.select(
         F.col(corpus_id),
         F.col(vec_col).alias("_cv"),
+        _vnorm(vec_col).alias("_cn"),
         V.lsh_bucket(F.col(vec_col), planes, dim).alias("_bucket"),
     )
+    # per-pair score = one dot fold; the norms were computed once per
+    # row below the join (bit-identical to cosine(): same sqrt(dot)
+    # expression, same operand order)
     scored = (
         F.broadcast(q).join(c, "_bucket")
         # a corpus vector can match several probe buckets of one query
@@ -142,7 +155,8 @@ def lsh_bucketed_topk(
         .select(
             query_id,
             corpus_id,
-            V.cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+            (V.dot(F.col("_qv"), F.col("_cv"))
+             / (F.col("_qn") * F.col("_cn"))).alias("cos_sim"),
         )
     )
     return topk_per_query(scored, query_id, corpus_id, "cos_sim", k) \
@@ -172,23 +186,29 @@ def cosine_dup_pairs(
         df.select(
             F.col(id_col),
             F.col(vec_col).alias("_v"),
+            _vnorm(vec_col).alias("_n"),
             V.lsh_bucket(F.col(vec_col), planes, dim).alias("_blk"),
         ),
         "_blk",
         block_cap,
     )
     a = base.select(
-        "_blk", F.col(id_col).alias("id_a"), F.col("_v").alias("_va")
+        "_blk", F.col(id_col).alias("id_a"), F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
     )
     b = base.select(
-        "_blk", F.col(id_col).alias("id_b"), F.col("_v").alias("_vb")
+        "_blk", F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
     )
+    # norms once per row (below the self-join), one dot fold per pair —
+    # bit-identical to cosine() (same sqrt(dot) expression and order)
     return (
         a.join(b, "_blk")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a", "id_b",
-            V.cosine(F.col("_va"), F.col("_vb")).alias("cos_sim"),
+            (V.dot(F.col("_va"), F.col("_vb"))
+             / (F.col("_na") * F.col("_nb"))).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
@@ -243,6 +263,26 @@ def _vnorm(vec_col: str) -> Column:
     return F.sqrt(V.dot(v, v))
 
 
+def _ranked_centroid_structs(sims_col: Column,
+                             cents: list[tuple[int, list[float]]]) -> Column:
+    """array<struct<ns:double, cent_id:int>> sorted ascending by
+    (−sim, cent_id): element 0 is the nearest centroid (ties to the
+    smallest cent_id — same order as a cos DESC, cent_id ASC rank),
+    the first nprobe elements are the probe set. Built with ONE
+    textual reference to the sims array: Catalyst's projection
+    collapse inlines the full zip_with + 16×64 literal centroid
+    matrix into every reference, and the old 16-way named_struct
+    unroll made plan analysis + codegen the dominant cost (the r12
+    before-plans carry the matrix 17-20×, 380-460 KB of plan text)."""
+    cent_ids = F.expr(
+        "array(" + ",".join(str(int(cid)) for cid, _ in cents) + ")"
+    )
+    return F.sort_array(F.zip_with(
+        sims_col, cent_ids,
+        lambda s, c: F.struct((-s).alias("ns"), c.alias("cent_id")),
+    ))
+
+
 def assign_centroids(
     corpus: DataFrame,
     cents: list[tuple[int, list[float]]],
@@ -250,24 +290,20 @@ def assign_centroids(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Nearest-centroid assignment as PURE MAP WORK: the centroid
-    vectors are literal arrays in one projection; argmax = first
-    position of the array max (cents are ordered by cent_id, so ties
-    break to the smallest cent_id — same as a cos DESC, cent_id ASC
-    rank). No crossJoin explode, no shuffle — the round-5 verdict's
-    16×-amplification window is gone. Returns (cent_id, <corpus_id>,
-    _cv)."""
-    cent_ids = F.expr(
-        "array(" + ",".join(str(int(cid)) for cid, _ in cents) + ")"
-    )
+    vectors are literal arrays in one projection; nearest = first
+    element of the (−sim, cent_id)-sorted struct array (cents are
+    ordered by cent_id, so ties break to the smallest cent_id — same
+    as a cos DESC, cent_id ASC rank). No crossJoin explode, no
+    shuffle — the round-5 verdict's 16×-amplification window is gone.
+    Returns (cent_id, <corpus_id>, _cv)."""
     base = corpus.select(F.col(corpus_id), F.col(vec_col).alias("_cv")) \
         .withColumn("_vn", _vnorm("_cv")) \
         .withColumn("_sims", _sims_to_centroids("_cv", "_vn", cents))
     return base.withColumn(
         "cent_id",
-        F.get(cent_ids,
-              (F.array_position(F.col("_sims"), F.array_max(F.col("_sims")))
-               - 1).cast("int")),
-    ).select("cent_id", corpus_id, "_cv")
+        F.get(_ranked_centroid_structs(F.col("_sims"), cents),
+              0)["cent_id"],
+    ).select("cent_id", corpus_id, "_cv", "_vn")
 
 
 def probe_centroids(
@@ -283,16 +319,15 @@ def probe_centroids(
     base = queries.select(F.col(query_id), F.col(vec_col).alias("_qv")) \
         .withColumn("_vn", _vnorm("_qv")) \
         .withColumn("_sims", _sims_to_centroids("_qv", "_vn", cents))
-    structs = F.expr(
-        "array(" + ",".join(
-            f"named_struct('ns', -_sims[{i}], 'cent_id', {int(cid)})"
-            for i, (cid, _) in enumerate(cents)
-        ) + ")"
-    )
     return (
-        base.withColumn("_top", F.slice(F.sort_array(structs), 1, nprobe))
-        .select(query_id, "_qv", F.explode("_top").alias("_t"))
-        .select(query_id, "_qv", F.col("_t.cent_id").alias("cent_id"))
+        base.withColumn(
+            "_top",
+            F.slice(_ranked_centroid_structs(F.col("_sims"), cents),
+                    1, nprobe))
+        .select(query_id, "_qv", "_vn",
+                F.explode("_top").alias("_t"))
+        .select(query_id, "_qv", F.col("_vn").alias("_qn"),
+                F.col("_t.cent_id").alias("cent_id"))
     )
 
 
@@ -325,10 +360,14 @@ def ivf_topk(
     lists = assign_centroids(corpus, cents, corpus_id, vec_col)
     probed = probe_centroids(queries, cents, query_id, vec_col, nprobe)
 
+    # both sides arrive with their norms pre-materialized (probe: _qn,
+    # lists: _vn) — one dot fold per scored pair, bit-identical to
+    # cosine()
     scored = probed.join(lists, "cent_id").select(
         query_id,
         corpus_id,
-        V.cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+        (V.dot(F.col("_qv"), F.col("_cv"))
+         / (F.col("_qn") * F.col("_vn"))).alias("cos_sim"),
     )
     return topk_per_query(scored, query_id, corpus_id, "cos_sim", k) \
         .select(query_id, "rank", corpus_id, "cos_sim")
@@ -437,11 +476,16 @@ def sq8_topk(
     float32 corpus, which is the point of SQ8 at 100 TB."""
     lo, hi = sq8_train_bounds(corpus, vec_col, dim)
     codes = sq8_encode(corpus, lo, hi, corpus_id, vec_col)
-    recon = sq8_reconstruct(codes, lo, hi, corpus_id)
-    q = queries.select(F.col(query_id), F.col(vec_col).alias("_qv"))
+    recon = sq8_reconstruct(codes, lo, hi, corpus_id) \
+        .withColumn("_rn", _vnorm("_rv"))
+    # norms once per row below the join — one dot fold per pair,
+    # bit-identical to cosine()
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("_qv")) \
+        .withColumn("_qn", _vnorm("_qv"))
     scored = F.broadcast(q).crossJoin(recon).select(
         query_id, corpus_id,
-        V.cosine(F.col("_qv"), F.col("_rv")).alias("approx_cos"),
+        (V.dot(F.col("_qv"), F.col("_rv"))
+         / (F.col("_qn") * F.col("_rn"))).alias("approx_cos"),
     )
     return topk_per_query(scored, query_id, corpus_id, "approx_cos", k) \
         .select(query_id, "rank", corpus_id, "approx_cos")

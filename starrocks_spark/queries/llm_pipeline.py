@@ -979,8 +979,9 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata from the closed-form sample generator — a decoder bug
     (endianness, header offsets, chunk walk) breaks the match."""
     docs = load_table(spark, sf_dir, "documents")
-    wav = multimodal.with_media_payload(docs, "wav")
-    return multimodal.decode_wav_meta(wav).orderBy("doc_id")
+    # fused build+decode: same real RIFF bytes, parsed by the same row
+    # decoder, one Python boundary crossing instead of two (guide §4)
+    return multimodal.media_meta(docs, "wav").orderBy("doc_id")
 
 
 _WAV_SQL = """
@@ -1010,9 +1011,9 @@ def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     thumbnail/downsample path is pytest-verified against a numpy
     reference; the oracle checks the closed-form channel sums)."""
     docs = load_table(spark, sf_dir, "documents")
-    ppm = multimodal.with_media_payload(docs, "ppm")
+    # fused build+decode (guide §4): one Python boundary crossing
     return (
-        multimodal.decode_ppm_meta(ppm)
+        multimodal.media_meta(docs, "ppm")
         .drop("thumb")
         .orderBy("doc_id")
     )
@@ -1186,9 +1187,12 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), "embedding"
     )
     probed = similarity.probe_centroids(q, cents1, nprobe=4)
+    # norms arrive pre-materialized from probe (_qn) and assignment
+    # (_vn): one dot fold per scored pair, bit-identical to cosine()
     scored = probed.join(lists, "cent_id").select(
         "q_id", "vec_id",
-        V.cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+        (V.dot(F.col("_qv"), F.col("_cv"))
+         / (F.col("_qn") * F.col("_vn"))).alias("cos_sim"),
     )
     out = similarity.topk_per_query(scored, "q_id", "vec_id",
                                     "cos_sim", 5)

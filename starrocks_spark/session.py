@@ -26,6 +26,24 @@ OLAP_CONF: dict[str, str] = {
     # --- adaptive execution: runtime re-planning, skew handling, coalesce
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Size-driven coalescing knobs (r12, guide §2.2), env-parameterised
+    # per the scale-dependent-settings rule. parallelismFirst=false
+    # makes the advisory byte size govern coalescing (the documented
+    # production recommendation: a 100 TB shuffle gets bytes/advisory
+    # partitions instead of max-count slivers) — but it was A/B
+    # MEASURED HERE at sf0.1 and made the bench 1.08x SLOWER overall
+    # (dedup_minhash_lsh 4.95→8.35 s, tpch_q1 1.33→2.77 s): KB-sized
+    # shuffles whose rows carry CPU-heavy work (md5 signatures,
+    # array_intersect verification) collapse to ONE task and the
+    # compute serializes. Byte-driven coalescing misjudges
+    # compute-bound-but-small partitions, so the local default keeps
+    # Spark's stock parallelism-first behaviour and a real deployment
+    # flips SPARK_GRAFT_COALESCE_PARALLELISM_FIRST=false where
+    # partition byte size tracks work. (OPTIMIZATION_r12.md §session)
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst":
+        os.environ.get("SPARK_GRAFT_COALESCE_PARALLELISM_FIRST", "true"),
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes":
+        os.environ.get("SPARK_GRAFT_ADVISORY_PART", "64m"),
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.adaptive.localShuffleReader.enabled": "true",
     # --- cost-based optimizer + join reorder (reference: Cascades memo)
