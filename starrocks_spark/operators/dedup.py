@@ -125,16 +125,22 @@ def minhash_lsh_pairs(
     """
     mh_tbl = pairs_tbl if pairs_tbl is not None \
         else pairs_table(df, id_col, text_col)
+    # the band explode (k-salt minhash + per-band md5) is persisted
+    # BELOW capped_blocks too: the cap's sizes aggregate and its join
+    # side would otherwise each evaluate the signature expressions —
+    # 2x the md5 work per doc (r12, guide §2.3 "don't compute things
+    # you throw away"; both layers are lazy, one action materializes
+    # the chain)
     banded = _persist(
         capped_blocks(
-            mh_tbl.select(
+            _persist(mh_tbl.select(
                 "_id",
                 F.explode(
                     T.lsh_bands(
                         T.minhash_signature_from_pairs(F.col("_mh"), k),
                         bands, rows)
                 ).alias("_band"),
-            ),
+            )),
             "_band",
             block_cap,
         )
@@ -199,7 +205,10 @@ def simhash_pairs(
         )
     )
     cb = T.SIMHASH_CHUNK_BITS
-    chunked = capped_blocks(
+    # persisted: both self-join sides (and the cap's sizes aggregate)
+    # read the chunk table — without the barrier the explode + cap
+    # join would be evaluated once per reference (see minhash_lsh_pairs)
+    chunked = _persist(capped_blocks(
         sigs.select(
             "_id", "_sim",
             F.explode(
@@ -215,7 +224,7 @@ def simhash_pairs(
         ),
         "_chunk",
         chunk_cap,
-    )
+    ))
     a = chunked.select("_chunk", F.col("_id").alias("id_a"), F.col("_sim").alias("_sim_a"))
     b = chunked.select("_chunk", F.col("_id").alias("id_b"), F.col("_sim").alias("_sim_b"))
     hamming = F.bit_count(F.col("_sim_a").bitwiseXOR(F.col("_sim_b")))
@@ -288,16 +297,17 @@ def ngram_jaccard_pairs(
     ``capped_blocks``, and the self-join shuffles only (id, band)."""
     mh_tbl = pairs_tbl if pairs_tbl is not None \
         else pairs_table(df, id_col, text_col, n)
+    # band explode persisted below the cap too — see minhash_lsh_pairs
     banded = _persist(
         capped_blocks(
-            mh_tbl.select(
+            _persist(mh_tbl.select(
                 "_id",
                 F.explode(
                     T.lsh_bands(
                         T.minhash_signature_from_pairs(F.col("_mh"), k),
                         bands, rows)
                 ).alias("_band"),
-            ),
+            )),
             "_band",
             block_cap,
         )
@@ -351,13 +361,23 @@ def connected_components(
     # of pure driver-side planning at a 400-edge graph. Checkpointing
     # truncates lineage to a leaf; iterations are then O(graph), not
     # O(plan history). (On a cluster swap for reliable checkpoint().)
+    # All checkpoints are NON-eager (r12, guide §1.2 fixed-overhead
+    # shape): eager=True runs one materialization job per checkpoint
+    # PLUS the convergence-count job each iteration; eager=False folds
+    # materialization into the count's job, halving the per-iteration
+    # job count — the loop's cost at benchmark scale is almost pure
+    # per-job scheduling overhead. Both directions of each edge come
+    # from ONE explode pass over the pairs frame instead of a
+    # union of two scans of the (unpersisted) upstream dedup pipeline.
     edges = (
-        pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .unionByName(
-            pairs.select(F.col(dst).alias("s"), F.col(src).alias("d"))
-        )
+        pairs.select(
+            F.explode(F.array(
+                F.struct(F.col(src).alias("s"), F.col(dst).alias("d")),
+                F.struct(F.col(dst).alias("s"), F.col(src).alias("d")),
+            )).alias("_e"))
+        .select("_e.s", "_e.d")
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # initialization folds the FIRST propagation step in: label0 =
     # min(id, min neighbor id) — the same single groupBy shuffle the
@@ -367,7 +387,7 @@ def connected_components(
         edges.groupBy(F.col("s").alias("id"))
         .agg(F.min("d").alias("_nm"))
         .select("id", F.least(F.col("id"), F.col("_nm")).alias("label"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     superseded = []
     for _ in range(max_iters):
@@ -376,8 +396,9 @@ def connected_components(
             .groupBy(F.col("d").alias("id"))
             .agg(F.min("label").alias("nmin"))
         )
-        # carry (old, new) in one frame: the checkpoint materializes
-        # the new state and the count answers convergence
+        # carry (old, new) in one frame: the count both answers
+        # convergence and (eager=False) materializes the checkpoint
+        # in the same job
         stepped = (
             labels.join(neighbor_min, "id", "left")
             .select(
@@ -388,7 +409,7 @@ def connected_components(
                     F.coalesce(F.col("nmin"), F.col("label")),
                 ).alias("label"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = stepped.filter(F.col("label") != F.col("_old")).count()
         superseded.append(labels)

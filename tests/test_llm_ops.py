@@ -327,3 +327,21 @@ def test_sq8_recall_vs_brute_force(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, recall
+
+
+def test_minhash_band_table_served_from_cache(spark):
+    """r12 optimization pin: the LSH band explode (k-salt minhash +
+    per-band md5) and the capped band table are persisted, so the
+    cap's sizes aggregate and both self-join sides read InMemory
+    relations instead of re-evaluating the signature expressions."""
+    from starrocks_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i % 7} {i}") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    out = dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.0)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # mh pairs table (verify joins), banded block table (self-join
+    # sides) and the pre-cap band explode must all be cache reads
+    assert plan.count("InMemoryRelation") >= 3, plan[:2000]
