@@ -30,9 +30,12 @@ def filter_in_values(df: DataFrame, col: str, values: list,
     if len(values) <= threshold:
         cond = F.col(col).isin(values)
         return df.filter(~cond if negate else cond)
+    from starrocks_spark.queries._util import lit_frame
+
     spark = df.sparkSession
-    lookup = spark.createDataFrame(
-        [(v,) for v in values], f"__in_value {df.schema[col].dataType.simpleString()}"
+    lookup = lit_frame(
+        spark, [(v,) for v in values],
+        f"__in_value {df.schema[col].dataType.simpleString()}",
     ).distinct()
     how = "left_anti" if negate else "left_semi"
     return df.join(

@@ -207,8 +207,11 @@ class FulltextIndex:
         # under — self.n_buckets from index_meta.json) — a literal
         # handful, computed engine-side in one metadata-scale job so
         # the stored layout's clustering is actually used for pruning
+        # range(0,1,1,1): a 1-row leaf must be a single partition —
+        # bare range(1) parallelizes one row across defaultParallelism
+        # tasks (32 task launches for a constant fold, r12)
         buckets = [
-            r[0] for r in self.spark.range(1).select(
+            r[0] for r in self.spark.range(0, 1, 1, 1).select(
                 F.explode(F.array(*[
                     F.abs(F.hash(F.lit(t))) % self.n_buckets
                     for t in sorted(set(terms))

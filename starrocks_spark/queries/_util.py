@@ -27,6 +27,24 @@ from pyspark.sql import functions as F
 DEC = "decimal(18,4)"
 
 
+def lit_frame(spark, rows, schema):
+    """Single-partition literal DataFrame (VALUES / fixture tables).
+
+    A plain ``createDataFrame(list)`` pickles the rows into an RDD
+    parallelized across defaultParallelism slices — 32 task launches
+    (and a 32-partition build stage on every broadcast) for a handful
+    of constant rows, measured ~0.3 s per use at local[32]. Routing
+    the same rows through one Arrow batch yields a single-partition
+    scan (~10 ms) with identical values and the same explicit schema.
+    Empty row lists keep the plain path (no Arrow batch to build)."""
+    if not rows:
+        return spark.createDataFrame([], schema)
+    import pandas as pd
+
+    pdf = pd.DataFrame.from_records([tuple(r) for r in rows])
+    return spark.createDataFrame(pdf, schema=schema)
+
+
 def maybe_broadcast(df, scaling: bool = True):
     """Size-gated broadcast point.
 

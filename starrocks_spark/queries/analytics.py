@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from starrocks_spark.catalog import load_table
-from starrocks_spark.queries._util import (dsum, fixed, maybe_broadcast,
+from starrocks_spark.queries._util import (dsum, fixed, lit_frame, maybe_broadcast,
                                             sql_dsum, sql_fixed)
 
 
@@ -577,9 +577,10 @@ def values_inline_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VALUES list (LocalRelation) broadcast-joined to a fact scan
     (reference: raw_values_node.cpp)."""
     li = load_table(spark, sf_dir, "lineitem")
-    flags = spark.createDataFrame(
+    flags = lit_frame(
+        spark,
         [("R", "returned"), ("A", "accepted"), ("N", "none")],
-        ["flag", "flag_desc"],
+        "flag string, flag_desc string",
     )
     return (
         li.join(F.broadcast(flags), F.col("l_returnflag") == F.col("flag"))

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from starrocks_spark.catalog import load_table
 from starrocks_spark.operators import asof_join, retention, sessionize, window_funnel
-from starrocks_spark.queries._util import dsum, sql_dsum
+from starrocks_spark.queries._util import dsum, lit_frame, sql_dsum
 
 
 def asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -227,8 +227,8 @@ def funnel_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantic drift in any mode's state machine fails the hash."""
     from starrocks_spark.operators.funnel import window_funnel_modes
 
-    df = spark.createDataFrame(
-        _FUNNEL_FIXTURE, "user_id long, event_type string, tsec long"
+    df = lit_frame(
+        spark, _FUNNEL_FIXTURE, "user_id long, event_type string, tsec long"
     ).select(
         "user_id", "event_type", F.timestamp_seconds("tsec").alias("ts")
     )

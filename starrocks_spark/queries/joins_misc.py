@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from starrocks_spark.catalog import load_table
 from starrocks_spark.operators.in_rewrite import filter_in_values
-from starrocks_spark.queries._util import fixed, sql_fixed
+from starrocks_spark.queries._util import fixed, lit_frame, sql_fixed
 
 
 def join_nonequi_range(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -25,7 +25,8 @@ def join_nonequi_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined on lo <= price < hi. Non-equi → Spark plans a broadcast
     nested-loop join; the small side MUST be the broadcast side."""
     orders = load_table(spark, sf_dir, "orders")
-    buckets = spark.createDataFrame(
+    buckets = lit_frame(
+        spark,
         [("micro", 0.0, 50_000.0), ("small", 50_000.0, 150_000.0),
          ("mid", 150_000.0, 300_000.0), ("large", 300_000.0, 1e9)],
         "bucket string, lo double, hi double",

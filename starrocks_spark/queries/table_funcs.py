@@ -58,7 +58,9 @@ def generate_series_months(spark: SparkSession, sf_dir: str) -> DataFrame:
     """generate_series + left join: monthly order counts including
     empty months (reference: generate_series.h table function)."""
     orders = load_table(spark, sf_dir, "orders")
-    months = spark.range(1).select(
+    # single-partition 1-row leaf (bare range(1) schedules
+    # defaultParallelism tasks for one row)
+    months = spark.range(0, 1, 1, 1).select(
         F.explode(
             F.sequence(
                 F.lit("1995-01-01").cast("timestamp"),

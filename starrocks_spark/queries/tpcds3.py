@@ -60,7 +60,8 @@ from pyspark.sql import functions as F
 
 from starrocks_spark.catalog import load_table
 from starrocks_spark.queries._util import (
-    davg, dsum, fixed, sql_davg, sql_dec2dbl, sql_dsum, sql_fixed, maybe_broadcast,
+    davg, dsum, fixed, lit_frame, sql_davg, sql_dec2dbl, sql_dsum, sql_fixed,
+    maybe_broadcast,
 )
 from starrocks_spark.queries.tpcds import _SQL_SALES, _SQL_SALES_CUST, _sales
 
@@ -213,9 +214,10 @@ def tpcds_q8_prefix_intersect(spark: SparkSession,
         .select("c_custkey", "c_acctbal",
                 F.lpad((F.col("c_custkey") % 50).cast("string"),
                        2, "0").alias("pfx"))
-    lit_pfx = spark.createDataFrame(
+    lit_pfx = lit_frame(
+        spark,
         [(p,) for p in ("11", "13", "15", "17", "19",
-                        "21", "23", "25", "27", "29")], ["pfx"])
+                        "21", "23", "25", "27", "29")], "pfx string")
     rich_pfx = (
         cust.filter(F.col("c_acctbal") > 0)
         .groupBy("pfx").agg(F.count(F.lit(1)).alias("n"))

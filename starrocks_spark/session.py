@@ -56,6 +56,23 @@ OLAP_CONF: dict[str, str] = {
     # --- scan pruning (reference: zone maps / segment stats)
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
+    # --- scan split sizing derives from INPUT BYTES, not a task-count
+    #     floor (r12, guide §2.2 "fewer, larger map tasks" / §6).
+    #     Spark's default minPartitionNum = defaultParallelism forces
+    #     every scan to >= 32 splits, so a KB-sized parquet file
+    #     schedules 32 near-empty tasks per scan stage (~60-90 ms of
+    #     pure task-launch per stage, measured). With the floor at 1,
+    #     split count comes from size alone (maxPartitionBytes /
+    #     openCostInBytes packing): tiny inputs scan as 1 task, a
+    #     100 TB table still gets size/128MB splits, and the count no
+    #     longer changes with the core count (which also makes the
+    #     low-core scaling run measure the queries, not the floor).
+    #     CPU-heavy scans in this repo (dedup/ANN text+vector stages)
+    #     explicitly repartition to full parallelism, so they keep
+    #     their cores either way. Env-overridable for deployments
+    #     whose medium-sized hot tables want a parallelism floor.
+    "spark.sql.files.minPartitionNum":
+        os.environ.get("SPARK_GRAFT_SCAN_MIN_SPLITS", "1"),
     # --- broadcast threshold: dimension tables up to 64 MB broadcast
     #     (reference CBO picks broadcast joins for small build sides)
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
