@@ -252,11 +252,13 @@ def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("v_ts") <= F.col("p_ts"))
         & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
     )
-    # 8 state partitions: the hour of join state at this rate fits a
-    # handful of stores; 32 would be 4x the fixed snapshot/delta I/O
-    # for zero extra useful parallelism (see run_stream_to_memory)
+    # 4 state partitions: the hour of join state at this rate is a few
+    # MB — fixed snapshot/delta I/O per store dominates, so the count
+    # tracks state VOLUME (r12 re-measure: p32 7.0 s, p8 2.3-3.0 s,
+    # p4/p2/p1 all ~1.8 s — 4 sits on the floor with parallelism
+    # headroom; RocksDB provider measured no faster at this volume)
     pairs = run_stream_to_memory(joined, output_mode="append",
-                                 state_partitions=8)
+                                 state_partitions=4)
     return (
         pairs.groupBy(F.col("p_user").alias("user_id"))
         .agg(
