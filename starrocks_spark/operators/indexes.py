@@ -126,12 +126,24 @@ class IvfIndex:
                                     iters=kmeans_iters)
         # vecn: the row's pre-computed norm, stored with the list entry
         # (parquet round-trips the double exactly) — probes then pay
-        # one dot fold per pair instead of three
-        lists = S.assign_centroids(corpus, cents, corpus_id, vec_col) \
+        # one dot fold per pair instead of three.
+        # persisted below repartitionByRange: the range partitioner's
+        # SAMPLING pass would otherwise evaluate the assignment stage
+        # (16 × 64-dim dot folds per row) a second time (r13, guide
+        # §2.3); the build is eager, so the cache is released before
+        # returning.
+        from pyspark.storagelevel import StorageLevel
+
+        assigned = S.assign_centroids(corpus, cents, corpus_id, vec_col) \
             .withColumnRenamed("_cv", "vec") \
             .withColumnRenamed("_vn", "vecn") \
-            .repartitionByRange(list_files, "cent_id")
-        SnapshotTable(spark, os.path.join(path, "lists")).overwrite(lists)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            SnapshotTable(spark, os.path.join(path, "lists")).overwrite(
+                assigned.repartitionByRange(list_files, "cent_id")
+            )
+        finally:
+            assigned.unpersist()
         _write_meta(path, {"cents": cents, "corpus_id": corpus_id})
         return cls(spark, path)
 
@@ -186,14 +198,26 @@ class FulltextIndex:
     @classmethod
     def build(cls, spark: SparkSession, docs: DataFrame, path: str,
               posting_files: int = 8) -> "FulltextIndex":
+        from pyspark.storagelevel import StorageLevel
+
         from starrocks_spark.operators.fulltext import (
             N_BUCKETS, build_posting_table,
         )
 
+        # persisted: repartitionByRange SAMPLES its input to pick the
+        # range bounds, so the corpus explode + (term, doc) aggregate
+        # would otherwise be evaluated twice — once for the sampling
+        # pass, once for the shuffle (r13, guide §2.3). The build is
+        # eager (overwrite writes immediately), so the cache is
+        # released before returning.
         postings = build_posting_table(docs) \
-            .repartitionByRange(posting_files, "bucket", "term")
-        SnapshotTable(spark, os.path.join(path, "postings")) \
-            .overwrite(postings)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            SnapshotTable(spark, os.path.join(path, "postings")) \
+                .overwrite(postings.repartitionByRange(
+                    posting_files, "bucket", "term"))
+        finally:
+            postings.unpersist()
         _write_meta(path, {"n_docs": docs.count(),
                            "n_buckets": N_BUCKETS})
         return cls(spark, path)
@@ -204,22 +228,19 @@ class FulltextIndex:
 
         terms = [t.lower() for t in query_terms]
         # the query's bucket ids (same hash space the index was BUILT
-        # under — self.n_buckets from index_meta.json) — a literal
-        # handful, computed engine-side in one metadata-scale job so
-        # the stored layout's clustering is actually used for pruning
-        # range(0,1,1,1): a 1-row leaf must be a single partition —
-        # bare range(1) parallelizes one row across defaultParallelism
-        # tasks (32 task launches for a constant fold, r12)
-        buckets = [
-            r[0] for r in self.spark.range(0, 1, 1, 1).select(
-                F.explode(F.array(*[
-                    F.abs(F.hash(F.lit(t))) % self.n_buckets
-                    for t in sorted(set(terms))
-                ]))
-            ).collect()
+        # under — self.n_buckets from index_meta.json) stay an
+        # EXPRESSION: abs(hash(<literal>)) % n is foldable, so
+        # Catalyst's ConstantFolding turns the IN-list into literals
+        # at plan time and the predicate pushes to the postings
+        # parquet scan (PushedFilters: In(bucket, ...)). The old form
+        # ran a separate 1-row Spark job per MATCH just to evaluate
+        # the same constants (r13, guide §1.2 fixed-overhead shape).
+        bucket_of = [
+            F.abs(F.hash(F.lit(t))) % self.n_buckets
+            for t in sorted(set(terms))
         ]
         hits = self.table.read().filter(
-            F.col("bucket").isin(sorted(set(buckets)))
+            F.col("bucket").isin(*bucket_of)
             & F.col("term").isin(terms)
         )
         return rank_postings(hits, terms, self.n_docs, mode, k)

@@ -36,13 +36,28 @@ def lit_frame(spark, rows, schema):
     of constant rows, measured ~0.3 s per use at local[32]. Routing
     the same rows through one Arrow batch yields a single-partition
     scan (~10 ms) with identical values and the same explicit schema.
-    Empty row lists keep the plain path (no Arrow batch to build)."""
+    Empty row lists keep the plain path (no Arrow batch to build).
+
+    The Arrow columns are built with the EXPLICIT per-column types
+    from ``schema`` — the earlier pandas ``from_records`` intermediate
+    inferred dtypes, which silently promotes a nullable int column to
+    float64 (``None``→``NaN``) before the Arrow conversion."""
     if not rows:
         return spark.createDataFrame([], schema)
-    import pandas as pd
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructType
 
-    pdf = pd.DataFrame.from_records([tuple(r) for r in rows])
-    return spark.createDataFrame(pdf, schema=schema)
+    st = (schema if isinstance(schema, StructType)
+          else StructType.fromDDL(schema))
+    arrow_schema = to_arrow_schema(st)
+    cols = list(zip(*[tuple(r) for r in rows]))
+    tbl = pa.Table.from_arrays(
+        [pa.array(list(c), type=f.type)
+         for c, f in zip(cols, arrow_schema)],
+        schema=arrow_schema,
+    )
+    return spark.createDataFrame(tbl, schema=st)
 
 
 def maybe_broadcast(df, scaling: bool = True):

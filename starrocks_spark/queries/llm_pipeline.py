@@ -887,9 +887,13 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("stopword_ratio") >= 0.05)
         & F.col("lang").isin("en", "de", "es", "fr")
     )
-    # exact dedup: keep min doc_id per fingerprint
+    # exact dedup: keep min doc_id per fingerprint. PERSISTED (lazy):
+    # the survivor frame feeds BOTH the near-dup signature chain and
+    # the final survivors join — without the barrier the augmented-
+    # docs build + quality features + fingerprint window are evaluated
+    # twice per action (r12 verdict Next-round #4; guide §2.3)
     fp = T.hash60(F.concat_ws(" ", T.norm_words(F.col("text"))))
-    deduped = (
+    deduped = dedup._persist(
         kept.withColumn("_fp", fp)
         .withColumn(
             "_rn",

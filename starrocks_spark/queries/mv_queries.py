@@ -51,9 +51,13 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = orders.filter(F.year("o_orderdate") >= 2001)
     source2 = base.unionByName(late)
     n1 = mv.refresh(source2)
-    late_months = late.select(
-        F.date_format("o_orderdate", "yyyy-MM")
-    ).distinct().count()
+    # the refresh's own snapshot already records every partition value
+    # (driver-side metadata, one row per month) — deriving the late-
+    # month bound from it replaces a distinct().count() Spark job over
+    # orders with a dict scan (r13, guide §1.2 fixed-overhead shape)
+    late_months = sum(
+        1 for r in mv._read_meta() if r["__part"] >= "2001-01"
+    )
     assert 0 < n1 <= late_months, (
         f"PCT refresh touched {n1} partitions, expected <= {late_months}"
     )

@@ -30,6 +30,7 @@ from starrocks_spark.streaming.ingest import (
     read_events_stream,
     read_events_stream_split,
     run_stream_to_memory,
+    state_partitions_for,
     upsert_stream_into_table,
 )
 from starrocks_spark.streaming.stateful import stateful_user_profiles
@@ -46,7 +47,7 @@ def stream_tumbling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, sf_dir)
     agg = tumbling_window_revenue(stream, width="1 hour")
     return run_stream_to_memory(agg, output_mode="complete",
-                                state_partitions=8)
+                                state_partitions=state_partitions_for(spark, sf_dir))
 
 
 _TUMBLING_SQL = f"""
@@ -65,7 +66,7 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, sf_dir)
     agg = sliding_window_counts(stream, width="1 hour", slide="30 minutes")
     return run_stream_to_memory(agg, output_mode="complete",
-                                state_partitions=8)
+                                state_partitions=state_partitions_for(spark, sf_dir))
 
 
 # Spark hop windows are epoch-aligned multiples of the slide; an event
@@ -86,7 +87,7 @@ def stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, sf_dir)
     agg = session_window_stats(stream, gap="30 minutes")
     return run_stream_to_memory(agg, output_mode="complete",
-                                state_partitions=8)
+                                state_partitions=state_partitions_for(spark, sf_dir))
 
 
 # F.session_window merges events strictly less than the gap apart, so
@@ -123,7 +124,7 @@ def stream_dedup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     settled = run_stream_to_memory(
         deduped.select("user_id", "event_type"), output_mode="append",
-        state_partitions=8,
+        state_partitions=state_partitions_for(spark, sf_dir),
     )
     return settled
 
@@ -177,7 +178,7 @@ def stream_stateful_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     updates = run_stream_to_memory(
         stateful_user_profiles(stream), output_mode="update",
-        state_partitions=8,
+        state_partitions=state_partitions_for(spark, sf_dir),
     )
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (
@@ -252,13 +253,15 @@ def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("v_ts") <= F.col("p_ts"))
         & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
     )
-    # 4 state partitions: the hour of join state at this rate is a few
-    # MB — fixed snapshot/delta I/O per store dominates, so the count
-    # tracks state VOLUME (r12 re-measure: p32 7.0 s, p8 2.3-3.0 s,
-    # p4/p2/p1 all ~1.8 s — 4 sits on the floor with parallelism
-    # headroom; RocksDB provider measured no faster at this volume)
-    pairs = run_stream_to_memory(joined, output_mode="append",
-                                 state_partitions=4)
+    # state partitions derived from estimated state volume (r12
+    # verdict Next-round #6: no hand-tuned integers) — fixed
+    # snapshot/delta I/O per store dominates small state, so the count
+    # tracks state BYTES (r12 sweep: p32 7.0 s, p8 2.3-3.0 s, p4/p2/p1
+    # all ~1.8 s; RocksDB provider measured no faster at this volume)
+    pairs = run_stream_to_memory(
+        joined, output_mode="append",
+        state_partitions=state_partitions_for(spark, sf_dir),
+    )
     return (
         pairs.groupBy(F.col("p_user").alias("user_id"))
         .agg(
@@ -368,7 +371,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("value")).alias("total_value"),
     )
     return run_stream_to_memory(agg, output_mode="complete",
-                                state_partitions=8)
+                                state_partitions=state_partitions_for(spark, sf_dir))
 
 
 _STATIC_ENRICH_SQL = f"""

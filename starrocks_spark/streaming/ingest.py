@@ -105,6 +105,36 @@ def read_events_stream_split(spark: SparkSession, sf_dir: str,
     return _ts_to_timestamp(stream)
 
 
+def state_partitions_for(spark: SparkSession, sf_dir: str,
+                         table: str = "events",
+                         state_fraction: float = 1.0) -> int:
+    """Derive the stateful-operator partition count from estimated
+    state VOLUME (r12 verdict Next-round #6 — no hand-tuned integers).
+
+    Every state partition is a state-store instance paying fixed
+    snapshot/delta file I/O per micro-batch, so the count should track
+    state bytes, not core count (sweep at sf0.1: 32 partitions 7.0 s,
+    4/2/1 all ~1.8 s). The state bound at plan time: the source's
+    on-disk bytes × a decompression factor × ``state_fraction`` (the
+    share of the source a query actually keeps — watermarked join
+    buffers and window aggregates keep far less than 1.0; 1.0 is the
+    conservative whole-source bound), divided by the per-store target
+    (~100 MB, the HDFSBackedStateStore comfort zone; env-overridable
+    via SPARK_GRAFT_STATE_STORE_BYTES), clamped to the cluster's
+    parallelism. At sf0.1 (2 MB events) every streaming query gets 1
+    store; a 100 TB source gets bytes/100 MB stores capped at the
+    core count."""
+    per_store = int(os.environ.get("SPARK_GRAFT_STATE_STORE_BYTES",
+                                   str(100 << 20)))
+    try:
+        raw = os.path.getsize(os.path.join(sf_dir, f"{table}.parquet"))
+    except OSError:
+        raw = 0
+    est_state = raw * 4.0 * state_fraction  # parquet→row decompression
+    n = max(1, -(-int(est_state) // per_store))  # ceil div
+    return min(n, spark.sparkContext.defaultParallelism)
+
+
 def run_stream_to_memory(stream_df: DataFrame, output_mode: str = "complete",
                          name: str | None = None,
                          state_partitions: int | None = None) -> DataFrame:

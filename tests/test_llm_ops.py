@@ -345,3 +345,29 @@ def test_minhash_band_table_served_from_cache(spark):
     # mh pairs table (verify joins), banded block table (self-join
     # sides) and the pre-cap band explode must all be cache reads
     assert plan.count("InMemoryRelation") >= 3, plan[:2000]
+
+
+def test_connected_components_reliable_checkpoint_switch(
+        spark, tmp_path, monkeypatch):
+    """SPARK_GRAFT_RELIABLE_CHECKPOINT=<dir> must route CC's iterative
+    state through reliable checkpoint() (survives executor loss on a
+    cluster; r12 verdict What's-wrong #2): the checkpoint leaf changes
+    to a ReliableCheckpointRDD written under the directory, and the
+    labels are unchanged."""
+    from starrocks_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    ck = str(tmp_path / "ck")
+    monkeypatch.setenv("SPARK_GRAFT_RELIABLE_CHECKPOINT", ck)
+    out = dedup.connected_components(pairs)
+    cc = {r["id"]: r["cluster_id"] for r in out.collect()}
+    assert {cc[i] for i in (1, 2, 3, 4)} == {1}
+    assert {cc[i] for i in (10, 11)} == {10}
+    # the leaf is a reliable checkpoint: RDD files landed under ck
+    import os
+    found = any(f.startswith("rdd-") for _, ds, _ in os.walk(ck)
+                for f in ds)
+    assert found, "no ReliableCheckpointRDD directory written"
+    assert "ReliableCheckpoint" in out.rdd.toDebugString().decode()

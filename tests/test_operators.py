@@ -173,3 +173,19 @@ def test_window_funnel_modes_reference_semantics(spark):
             ).collect()
         }
         assert got == expected, f"mode {mode}: {got} != {expected}"
+
+
+def test_lit_frame_nullable_int_roundtrip(spark):
+    """lit_frame builds Arrow columns with the EXPLICIT schema types:
+    a None in an int column must come back as an IntegerType null,
+    not a float64 NaN promotion (r12 verdict What's-wrong #3)."""
+    from starrocks_spark.queries._util import lit_frame
+
+    df = lit_frame(spark, [(1, "a"), (None, "b"), (3, None)],
+                   "k int, s string")
+    assert df.schema.simpleString() == "struct<k:int,s:string>"
+    rows = {(r["k"], r["s"]) for r in df.collect()}
+    assert rows == {(1, "a"), (None, "b"), (3, None)}
+    # single Arrow batch → LocalTableScan leaf (not a pickled RDD scan)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan
