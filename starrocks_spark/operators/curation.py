@@ -216,25 +216,33 @@ def gopher_repetition(docs: DataFrame, n: int = 2,
     shape silently dropped them, so a consumer anti-joining drops
     would pass short docs through unfiltered).
     """
-    words = docs.select(
+    # ONE pass: explode_outer keeps gram-less (short) docs as a NULL-
+    # gram row, so n_words rides the explode and the per-doc metrics
+    # fold out of two aggregations — the earlier two-branch shape
+    # (base ⋈ per_doc left join) evaluated norm_words twice and paid a
+    # join + broadcast exchange to recombine what one scan already had
+    # (r13, guide §2.4 "remove shuffles outright")
+    exploded = docs.select(
         "doc_id", T.norm_words(F.col("text")).alias("w")
-    )
-    grams = words.select(
+    ).select(
         "doc_id",
-        F.explode(_word_grams(F.col("w"), n)).alias("gram"),
+        F.size("w").cast("long").alias("_nw"),
+        F.explode_outer(_word_grams(F.col("w"), n)).alias("gram"),
     )
-    per_gram = grams.groupBy("doc_id", "gram").agg(
-        F.count(F.lit(1)).alias("c")
+    per_gram = exploded.groupBy("doc_id", "gram").agg(
+        F.max("_nw").alias("_nw"), F.count(F.lit(1)).alias("c")
     )
-    per_doc = per_gram.groupBy("doc_id").agg(
-        F.sum("c").alias("_ng"), F.max("c").alias("_tg")
-    )
-    base = words.select("doc_id", F.size("w").cast("long").alias("n_words"))
-    joined = base.join(per_doc, "doc_id", "left").select(
-        "doc_id", "n_words",
-        F.coalesce(F.col("_ng"), F.lit(0)).cast("long").alias("n_grams"),
-        F.coalesce(F.col("_tg"), F.lit(0)).cast("long")
-        .alias("top_gram_count"),
+    gram_c = F.when(F.col("gram").isNotNull(), F.col("c"))
+    joined = (
+        per_gram.groupBy("doc_id")
+        .agg(
+            F.max("_nw").alias("n_words"),
+            F.coalesce(F.sum(gram_c), F.lit(0)).cast("long")
+            .alias("n_grams"),
+            F.coalesce(F.max(gram_c), F.lit(0)).cast("long")
+            .alias("top_gram_count"),
+        )
+        .select("doc_id", "n_words", "n_grams", "top_gram_count")
     )
     frac = F.when(
         F.col("n_grams") > 0,

@@ -757,8 +757,287 @@ _SUITES = [
 ]
 
 
+# ---------------------------------------------------------------------------
+# Fast/slow tiering (r12 verdict Next-round #1): the full 483-case
+# matrix is ~60 min wall — past the driver's pytest budget, so the
+# default tier (pytest.ini addopts -m "not slow") keeps a measured
+# ~300 s selection that still covers every operator category (the
+# cheapest case per category + every individually cheap case, chosen
+# from per-test junitxml durations of a full green run); the remaining
+# cases carry the `slow` marker. Full matrix: `pytest -m '' tests/`
+# (or -m slow for only the long tail). Every case stays green either
+# way — the tiering changes scheduling, not coverage semantics.
+_FAST = frozenset({
+    ('test_across_engine', 'test_connection'),
+    ('test_add_column', 'test_add_column'),
+    ('test_agg', 'test_agg_compressed_key2'),
+    ('test_agg', 'test_agg_set_prefetch'),
+    ('test_agg', 'test_agg_split_two_phase'),
+    ('test_agg', 'test_agg_with_limit_seq'),
+    ('test_agg', 'test_grouping_set'),
+    ('test_agg', 'test_jit_largeint_literal'),
+    ('test_agg', 'test_orderby_agg'),
+    ('test_agg', 'test_streaming_agg'),
+    ('test_agg', 'test_tinyint_agg'),
+    ('test_agg_function', 'test_avg_over_flow'),
+    ('test_agg_function', 'test_bitmap_union_int'),
+    ('test_agg_function', 'test_bool_or'),
+    ('test_agg_function', 'test_corvariance_constant_args'),
+    ('test_alter_table', 'test_alter_partition'),
+    ('test_array', 'test_cast_array'),
+    ('test_array_fn', 'test_array_filter'),
+    ('test_array_fn', 'test_array_map_in_predicate_reuse'),
+    ('test_array_fn', 'test_array_map_null_empty_rows'),
+    ('test_array_fn', 'test_array_sum_avg'),
+    ('test_asof_join', 'test_asof_join.sql'),
+    ('test_asof_join', 'test_asof_join_operators.sql'),
+    ('test_automatic_partition', 'test_automatic_partition_list_name_collision'),
+    ('test_automatic_partition', 'test_automatic_partition_reuse'),
+    ('test_automatic_partition', 'test_multi_insert'),
+    ('test_binary_functions', 'test_binary_functions'),
+    ('test_binary_type', 'test_binary_type'),
+    ('test_bitmap_functions', 'test_bitmap_replace_if_not_null'),
+    ('test_bitmap_functions', 'test_bitmap_to_array'),
+    ('test_bitmap_functions', 'test_bitmap_to_base64'),
+    ('test_bitmap_functions', 'test_bitmap_to_string'),
+    ('test_blockhole_sink', 'test_blackhole_sink'),
+    ('test_cacheselect', 'test_shared_data_cache_select'),
+    ('test_cast', 'test_cast_json_to_struct'),
+    ('test_cast', 'test_cast_string_to_int'),
+    ('test_cast', 'test_cast_to_datetime'),
+    ('test_cloud_fse_v2', 'test_fse_v2_sync_mv'),
+    ('test_colocate_range', 'test_colocate_range_basic_create'),
+    ('test_colocate_range', 'test_colocate_range_cross_table_join'),
+    ('test_colocate_range', 'test_colocate_range_dml_roundtrip'),
+    ('test_colocate_range', 'test_colocate_range_group_by_prefix'),
+    ('test_colocate_range', 'test_colocate_range_intra_partition_split'),
+    ('test_colocate_range', 'test_colocate_range_self_join_on_prefix'),
+    ('test_colocate_range', 'test_colocate_range_three_way_join'),
+    ('test_column_rename', 'test_column_rename2'),
+    ('test_column_with_row', 'test_column_with_row_variable'),
+    ('test_consolidate_multi_likes', 'test_consolidate_multi_likes'),
+    ('test_create_table', 'test_create_table_with_time'),
+    ('test_create_table', 'test_keyword_column_name'),
+    ('test_datetime', 'test_datetime'),
+    ('test_datetime', 'test_intervals'),
+    ('test_datetime', 'test_str_to_date'),
+    ('test_datetime', 'test_time_diff'),
+    ('test_datetime', 'test_to_datetime'),
+    ('test_datetime', 'test_to_datetime_ntz'),
+    ('test_ddl', 'test_alter_pk_reorder'),
+    ('test_decimal', 'test_decimal_cast'),
+    ('test_delete', 'test_delete_dupkey_rename'),
+    ('test_drop_table', 'test_drop_table'),
+    ('test_exception', 'test_gen_large_column'),
+    ('test_exception', 'test_number_overflow'),
+    ('test_exception', 'test_pipeline_time_guard'),
+    ('test_exception', 'test_prepare_slow'),
+    ('test_exchange_hash_function', 'test_exchange_hash_function_version'),
+    ('test_explicit_txn_label', 'test_explicit_txn_label'),
+    ('test_fast_schema_evolution', 'test_schema_change_string_to_num_null'),
+    ('test_feedback', 'test_join_predicate_reuse_feedback'),
+    ('test_files', 'csv_format'),
+    ('test_files', 'json_parquet'),
+    ('test_files', 'orc_tinyint_aarch64'),
+    ('test_files', 'test_auto_increment_slot_id'),
+    ('test_files', 'test_csv_compress'),
+    ('test_files', 'test_csv_files_merge'),
+    ('test_files', 'test_csv_ip'),
+    ('test_files', 'test_empty_file'),
+    ('test_files', 'test_error'),
+    ('test_files', 'test_files_schema_basic'),
+    ('test_files', 'test_files_schema_csv'),
+    ('test_files', 'test_files_schema_insert'),
+    ('test_files', 'test_files_schema_missing'),
+    ('test_files', 'test_files_schema_pushdown'),
+    ('test_files', 'test_files_schema_validation'),
+    ('test_files', 'test_insert_by_name_from_files'),
+    ('test_files', 'test_insert_push_down_column_type_nullable'),
+    ('test_files', 'test_list_files'),
+    ('test_files', 'test_orc_files_merge'),
+    ('test_files', 'test_orc_struct'),
+    ('test_files', 'test_parquet_basic_type'),
+    ('test_files', 'test_parquet_column_name_case_insensitive'),
+    ('test_files', 'test_parquet_files_merge'),
+    ('test_files', 'test_parquet_list_legacy_encoding'),
+    ('test_framework', 'test_framework_set_var'),
+    ('test_function', 'test_cbrt'),
+    ('test_function', 'test_date_format'),
+    ('test_function', 'test_date_trunc'),
+    ('test_function', 'test_days_add'),
+    ('test_function', 'test_encode_fingerprint_sha256_const'),
+    ('test_function', 'test_encode_fingerprint_sha256_null'),
+    ('test_function', 'test_greatest_least_coalesce_datetime'),
+    ('test_function', 'test_hll_deserialize_sparse_oob'),
+    ('test_function', 'test_materialize'),
+    ('test_function', 'test_mod_pmod_int_min_overflow'),
+    ('test_function', 'test_named_argments'),
+    ('test_function', 'test_regexp_extract_all_zero_len'),
+    ('test_function', 'test_round'),
+    ('test_function', 'test_split'),
+    ('test_function', 'test_str_to_map'),
+    ('test_function', 'test_substr'),
+    ('test_global_dict', 'collect_dict'),
+    ('test_global_dict', 'dict_in_struct'),
+    ('test_global_dict', 'dict_lake_period_version'),
+    ('test_global_dict', 'truncate_with_insert'),
+    ('test_global_late_mterialization', 'test_glm_outer_join_mixed_expr'),
+    ('test_global_late_mterialization', 'test_glm_with_global_dict'),
+    ('test_grouping_sets', 'test_grouping_sets_struct'),
+    ('test_index', 'test_ngram_non_const_needle'),
+    ('test_information_schema', 'test_be_bvars'),
+    ('test_information_schema', 'test_be_configs'),
+    ('test_information_schema', 'test_cluster_snapshot'),
+    ('test_information_schema', 'test_column'),
+    ('test_information_schema', 'test_execution_time_metrics'),
+    ('test_information_schema', 'test_partitions_meta'),
+    ('test_information_schema', 'test_recyclebin_catalogs'),
+    ('test_information_schema', 'test_tablet_reshard_jobs'),
+    ('test_information_schema', 'test_warehouse_metrics'),
+    ('test_information_schema', 'test_warehouse_queries'),
+    ('test_insert_empty', 'test_insert_label'),
+    ('test_insert_empty', 'test_insert_partial_update_sortkey'),
+    ('test_insert_overwrite', 'test_insert'),
+    ('test_inverted_index', 'test_tokenize'),
+    ('test_jit', 'test_jit_case_when_mixed_types'),
+    ('test_jit', 'test_jit_dict'),
+    ('test_join', 'test_eleminate_join_with_constant'),
+    ('test_join', 'test_expr_key_partition_hash_join'),
+    ('test_join', 'test_fold_constants_after_project_merge'),
+    ('test_join', 'test_full_outer_join_using_mismatched_types.sql'),
+    ('test_join', 'test_join_with_exception'),
+    ('test_join', 'test_join_with_other_predicate'),
+    ('test_join', 'test_pruned_right_outer_local_bucket_shuffle_join'),
+    ('test_json', 'test_flat_json_intermediate_object'),
+    ('test_json', 'test_json_path_rewrite_pruned_partition_predicates.sql'),
+    ('test_json', 'test_json_subfield_case_collision_self_join'),
+    ('test_json', 'to_json'),
+    ('test_lake_sync_mv', 'test_lake_sync_mv'),
+    ('test_lead_lag_support_array_type', 'test_lead_lag_support_array_type'),
+    ('test_list_partition', 'test_list_partition_minmax'),
+    ('test_low_cardinality', 'test_low_cardinality_empty_array'),
+    ('test_low_cardinality', 'test_nested_dict_expr_exchange'),
+    ('test_make_sort_key', 'test_make_sort_key_json'),
+    ('test_map', 'test_map_function_cow'),
+    ('test_materialized_view', 'test_drop_table_check_mv_dependency'),
+    ('test_materialized_view', 'test_materialized_view_rewrite2'),
+    ('test_materialized_view', 'test_materialized_view_staleness'),
+    ('test_materialized_view', 'test_materialized_view_union_rewrite'),
+    ('test_materialized_view', 'test_materialized_view_with_subquery'),
+    ('test_materialized_view', 'test_materialized_view_with_sync_mode'),
+    ('test_materialized_view', 'test_mv_inactive'),
+    ('test_materialized_view', 'test_mv_inactive_list'),
+    ('test_materialized_view', 'test_mv_union_rewrite'),
+    ('test_materialized_view', 'test_mv_with_multi_partition_columns_optimize'),
+    ('test_materialized_view_refresh', 'test_mv_refresh_list_partitions_multi_columns'),
+    ('test_materialized_view_refresh', 'test_mv_with_list_partitions_olap'),
+    ('test_materialized_view_rewrite', 'test_mv_avg_distinct_rewrite'),
+    ('test_materialized_view_rewrite', 'test_mv_rewrite_bugfix3'),
+    ('test_materialized_view_rewrite', 'test_mv_rewrite_with_count_star'),
+    ('test_max_min_by_not_filter_nulls_with_nulls', 'test_max_min_by_with_empty_table'),
+    ('test_multi_distinct_count_using_two_level_hashset', 'test_multi_distinct_count_using_two_level_hashset'),
+    ('test_multi_ops', 'test_depends_ops'),
+    ('test_multi_statements_txn', 'test_enable_sql_transaction'),
+    ('test_multilane_operator_missing_runtime_filter', 'test_multilane_operator_missing_runtime_filter'),
+    ('test_mv', 'basic'),
+    ('test_name_check', 'test_name_check'),
+    ('test_number', 'test_invalid_floating_point_number'),
+    ('test_olap_partition_scan_limit', 'test_olap_partition_scan_limit'),
+    ('test_one_stage_aggr_having_preds_should_apply_to_pre_cache_aggr', 'test_one_stage_aggr_having_preds_should_apply_to_pre_cache_aggr'),
+    ('test_one_stage_aggr_having_preds_should_apply_to_pre_cache_aggr', 'test_pre_cache_agg_with_runtime_filter'),
+    ('test_others', 'test_all_column_exclude'),
+    ('test_partial_update_column_mode', 'test_partial_update_bf'),
+    ('test_partial_update_column_mode', 'test_partial_update_bitmap'),
+    ('test_partial_update_column_mode', 'test_partial_update_char_padding'),
+    ('test_partial_update_column_mode', 'test_partial_update_drop_column'),
+    ('test_partial_update_column_mode', 'test_partial_update_rowset_link'),
+    ('test_partial_update_column_mode', 'test_partial_update_with_global_dict'),
+    ('test_partial_update_column_mode', 'test_partial_update_zonemap'),
+    ('test_partial_update_column_mode', 'test_upper_case_partial_update'),
+    ('test_partition_by_expr', 'test_add_partition_to_auto_partition_table'),
+    ('test_partition_by_expr', 'test_expr_substr'),
+    ('test_partition_by_expr', 'test_partition_bucket_same_column'),
+    ('test_pass_through_exchange', 'test_pass_through_cancel'),
+    ('test_pipeline', 'test_debug_block'),
+    ('test_pipeline', 'test_debug_wait'),
+    ('test_pipeline', 'test_event_schedule_with_grf'),
+    ('test_pipeline', 'test_parallel_prepare'),
+    ('test_pivot', 'test_pivot'),
+    ('test_pk_update', 'test_dcg_column_mode_update'),
+    ('test_pk_update', 'test_pk_update_statement'),
+    ('test_preparestatement', 'test_prepare_statment_partition_changed'),
+    ('test_push_down_distinct_agg_across_window', 'test_push_down_distinct_agg_across_window'),
+    ('test_query_cache', 'test_query_cache_agg_limit_truncation'),
+    ('test_query_cache', 'test_query_cache_shard_data'),
+    ('test_query_cache', 'test_query_cache_time_zone'),
+    ('test_query_cache', 'test_query_cache_with_localshuffle_agg'),
+    ('test_query_history', 'test_query_history'),
+    ('test_rollup', 'test_rollup_basic'),
+    ('test_runtime_filter', 'test_global_runtime_filter_exceed_limit'),
+    ('test_runtime_filter', 'test_runtime_bitset_filter_with_or'),
+    ('test_runtime_filter_push_down_on_left_join', 'test_runtime_filter_push_down_on_left_join'),
+    ('test_runtime_filter_push_down_on_local_right_offsprings_of_broadcast_join_with_grf', 'test_runtime_filter_push_down_on_local_right_offsprings_of_broadcast_join_with_grf_for_colocate'),
+    ('test_scan', 'test_schema_scan_asan_crash'),
+    ('test_schema_change', 'test_lake_add_index_fallback'),
+    ('test_schema_change', 'test_lake_add_index_interleaved'),
+    ('test_schema_change', 'test_lake_drop_index_lifecycle'),
+    ('test_semi', 'test_flat_json_write_fail'),
+    ('test_semi', 'test_uppercase'),
+    ('test_set_operation', 'test_except'),
+    ('test_set_operation', 'test_intersect_json_not_null'),
+    ('test_shared_scan', 'test_shared_scan'),
+    ('test_short_circuit', 'test_short_circuit'),
+    ('test_show', 'test_show_column'),
+    ('test_simple_agg_meta_rewrite', 'test_stale_tablet_stat_count'),
+    ('test_sort', 'test_rank_topn_chunk_boundary'),
+    ('test_sort', 'test_struct_order_by_edge_cases.sql'),
+    ('test_sort', 'test_struct_topn.sql'),
+    ('test_sort', 'test_topn_with_agg_tbl'),
+    ('test_sort', 'test_topn_with_large_limit'),
+    ('test_sort_key', 'test_sort_key_pri_tbl'),
+    ('test_spill', 'test_short_circuit_unique'),
+    ('test_spill', 'test_spill_hash_join_restore_error'),
+    ('test_spill', 'test_spill_join_with_empty_partition'),
+    ('test_spill', 'test_spill_mcast_hang'),
+    ('test_spill', 'test_spill_sort_events'),
+    ('test_spill', 'test_spill_sort_restore_error'),
+    ('test_sql_mode_errors', 'test_division_by_zero_and_str_to_date'),
+    ('test_string_functions', 'test_reverse'),
+    ('test_string_functions', 'test_trim_mysql_syntax'),
+    ('test_subquery', 'test_complex_in'),
+    ('test_subquery', 'test_not_in'),
+    ('test_time_fn', 'test_convert_tz'),
+    ('test_topn_window_pre_agg', 'test_topn_window_pre_agg.sql'),
+    ('test_trino_dialect', 'test_distinct_from'),
+    ('test_trino_dialect', 'test_trino_dialect'),
+    ('test_union', 'test_intersect'),
+    ('test_unnest', 'test_unnest'),
+    ('test_unnest', 'test_unnest_left_join'),
+    ('test_variant_cast', 'test_cast_to_variant_basic.sql'),
+    ('test_variant_cast', 'test_cast_to_variant_complex.sql'),
+    ('test_variant_cast', 'test_get_variant_basic.sql'),
+    ('test_variant_cast', 'test_get_variant_complex.sql'),
+    ('test_variant_cast', 'test_variant_comparable.sql'),
+    ('test_view', 'test_alter_view'),
+    ('test_view', 'test_files_view'),
+    ('test_view', 'test_security_view'),
+    ('test_view', 'test_show_create_view'),
+    ('test_virtual_column', 'test_virtual_column_row_id'),
+    ('test_window_contains_lead_lag_and_aggs', 'test_window_contains_lead_lag_and_aggs'),
+    ('test_window_function', 'test_window_merge_sort'),
+    ('test_window_function', 'test_window_pre_agg_with_rank'),
+    ('test_window_function', 'test_window_with_null_child'),
+})
+
+_PARAMS = [
+    p if (p[0], p[1]) in _FAST
+    else pytest.param(*p, marks=pytest.mark.slow)
+    for p in _SUITES
+]
+
+
 @needs_reference
-@pytest.mark.parametrize("suite,case,min_checked,max_skipped", _SUITES)
+@pytest.mark.parametrize("suite,case,min_checked,max_skipped", _PARAMS)
 def test_reference_suite_matches_r_file(spark, suite, case,
                                         min_checked, max_skipped):
     r = ST.run_suite_expected(spark, suite, case)
