@@ -330,6 +330,7 @@ def main() -> None:
                 os.path.abspath(__file__)), "BENCH_LAST.json"),
                 "w", encoding="utf-8") as f:
             json.dump(payload, f, indent=1)
+            f.write("\n")  # r12 advice: POSIX trailing newline
     except OSError:
         pass
     print(json.dumps(payload))

@@ -307,10 +307,37 @@ _LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
-def quality_features(text: Column) -> dict[str, Column]:
+def with_quality_features(df, text_col: str = "text",
+                          names: list[str] | None = None):
+    """``quality_features`` with the normalized-words array
+    materialized as a real column first (r13, guide §1.2 per-task
+    work): the feature expressions reference the words array up to 8×,
+    and the array HOF subtrees (filter/aggregate) evaluate outside
+    whole-stage codegen's subexpression elimination, so the inline
+    form re-ran the regex normalization per reference — measured 1.75×
+    slower on a mid-size corpus. The multi-reference projection keeps
+    CollapseProject from inlining the array back (the same barrier
+    mechanics as dedup.words_table). Appends the feature columns
+    (``names`` subset, default all) to ``df``; expression shapes are
+    identical to ``quality_features``, so oracle twins are unchanged.
+    """
+    text = F.col(text_col)
+    staged = df.withColumn("__qf_w", norm_words(text))
+    feats = quality_features(text, words=F.col("__qf_w"))
+    keep = names or list(feats)
+    return staged.select(
+        *df.columns, *[feats[k].alias(k) for k in keep]
+    )
+
+
+def quality_features(text: Column,
+                     words: Column | None = None) -> dict[str, Column]:
     """Length / punctuation / stopword-ratio features, double-typed.
-    Mirrors the heuristics of C4/Gopher-style quality filters."""
-    words = norm_words(text)
+    Mirrors the heuristics of C4/Gopher-style quality filters.
+    ``words``: a pre-materialized normalized-words column (see
+    ``with_quality_features``); defaults to the inline expression."""
+    if words is None:
+        words = norm_words(text)
     n_words = F.size(words)
     n_chars = F.length(text)
     n_punct = F.size(F.regexp_extract_all(text, F.lit("[^a-zA-Z0-9\\s]"), 0))

@@ -28,9 +28,15 @@ _WORDS = "(" + T.sql_norm_words("text") + ")"
 def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus quality profile (C4/Gopher-style filters):
     doc counts, token totals, punctuation / stopword ratios."""
-    docs = load_table(spark, sf_dir, "documents")
-    qf = T.quality_features(F.col("text"))
-    per_doc = docs.select("lang", *[v.alias(k) for k, v in qf.items()])
+    # row-proportional parallelism for the CPU-heavy regex stage: the
+    # size-derived scan splits give a mid-size corpus only bytes/128MB
+    # tasks, but quality_features costs ~1 ms/doc of regex regardless
+    # of bytes — the same reason dedup._spread exists. Measured: ~3x
+    # at a 10x corpus, neutral at sf0.1 (6 MB shuffle). The features
+    # come from with_quality_features (words materialized once).
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text") \
+        .repartition(spark.sparkContext.defaultParallelism)
+    per_doc = T.with_quality_features(docs).drop("text")
     return (
         per_doc.groupBy("lang")
         .agg(

@@ -71,6 +71,13 @@ OLAP_CONF: dict[str, str] = {
     #     explicitly repartition to full parallelism, so they keep
     #     their cores either way. Env-overridable for deployments
     #     whose medium-sized hot tables want a parallelism floor.
+    #     r13 three-scale A/B (BENCH_NOTES.md "r13: mid-scale"): at
+    #     sf0.1 floor=1 wins (bench 145 vs 167 s — fixed-overhead-
+    #     bound); in the 10 MB-4 GB band floor=cores wins up to 1.8×
+    #     (bytes/128 MB under-parallelizes there); at >= ~4 GB the
+    #     settings converge (splits >> cores). Production guidance:
+    #     SPARK_GRAFT_SCAN_MIN_SPLITS=<total executor cores> — the
+    #     stock Spark default — whenever hot tables live in that band.
     "spark.sql.files.minPartitionNum":
         os.environ.get("SPARK_GRAFT_SCAN_MIN_SPLITS", "1"),
     # --- broadcast threshold: dimension tables up to 64 MB broadcast

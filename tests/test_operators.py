@@ -189,3 +189,22 @@ def test_lit_frame_nullable_int_roundtrip(spark):
     # single Arrow batch → LocalTableScan leaf (not a pickled RDD scan)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LocalTableScan" in plan
+
+
+def test_with_quality_features_matches_inline(spark):
+    """The materialized-words variant must produce exactly the inline
+    quality_features values (same expression shapes, one norm_words
+    evaluation)."""
+    from pyspark.sql import functions as F
+
+    from starrocks_spark.functions import text as T
+
+    df = spark.createDataFrame(
+        [(1, "The quick brown fox, it jumped!"), (2, ""), (3, "a b")],
+        "id long, text string",
+    )
+    qf = T.quality_features(F.col("text"))
+    inline = df.select("id", *[v.alias(k) for k, v in qf.items()])
+    staged = T.with_quality_features(df).drop("text")
+    assert sorted(map(tuple, inline.collect())) == \
+        sorted(map(tuple, staged.collect()))
